@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()``   — named DataFrame queries (SURVEY.md §2 operators).
+``oracle_sql()``— DuckDB twins, column-aliased identically.
 """
 
 from __future__ import annotations
@@ -13,26 +11,213 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from facturas_spark.analytics import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: run the full extraction pipeline (boilerplate strip ->
+    classify -> deterministic field extraction) over the sf0.001 documents
+    table mapped to the pages shape, and aggregate extraction metrics per
+    lang. Exercises every Arrow UDF plus a built-in aggregation."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.pipeline import extract_pages, extraction_metrics
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("synthetic://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return extraction_metrics(extract_pages(pages)).orderBy("lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "q01_daily_sales": Q.q01_daily_sales,
+        "q02_top_products": Q.q02_top_products,
+        "q03_dashboard_resumen": Q.q03_dashboard_resumen,
+        "q04_payment_pivot": Q.q04_payment_pivot,
+        "q07_category_share": Q.q07_category_share,
+        "q09_purchase_frequency": Q.q09_purchase_frequency,
+        "q10_purchase_gaps": Q.q10_purchase_gaps,
+        "q12_multi_price_products": Q.q12_multi_price_products,
+        "q13_rolling_price_stats": Q.q13_rolling_price_stats,
+        "txt_token_stats": Q.txt_token_stats,
+        "txt_quality_score": Q.txt_quality_score,
+        "txt_amount_shapes": Q.txt_amount_shapes,
+        "dedup_exact": Q.dedup_exact,
+        "ann_cosine_topk": Q.ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
+    return {
+        "q01_daily_sales": """
+            SELECT CAST(ts AS DATE) AS fecha,
+                   COUNT(*) AS num_eventos,
+                   ROUND(SUM(value), 2) AS total_valor,
+                   ROUND(AVG(value), 2) AS valor_medio
+            FROM events GROUP BY 1 ORDER BY fecha DESC
+        """,
+        "q02_top_products": """
+            SELECT p_name,
+                   ROUND(SUM(l_quantity), 2) AS total_cantidad,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_importe,
+                   COUNT(DISTINCT l_orderkey) AS num_pedidos
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_name
+            ORDER BY total_importe DESC, p_name
+            LIMIT 10
+        """,
+        "q03_dashboard_resumen": """
+            SELECT
+              ROUND(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice END), 2) AS ventas_periodo,
+              COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 END) AS pedidos_periodo,
+              ROUND(AVG(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice END), 2) AS ticket_medio,
+              ROUND(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice END), 2) AS ventas_anterior,
+              ROUND((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice END)
+                   - SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice END))
+                   / SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice END) * 100, 2) AS crecimiento_pct
+            FROM orders
+        """,
+        "q04_payment_pivot": """
+            SELECT CASE WHEN event_type IN ('purchase','refund') THEN 'monetario'
+                        WHEN event_type IN ('signup','login') THEN 'cuenta'
+                        ELSE 'otro' END AS categoria,
+                   COUNT(*) AS eventos,
+                   ROUND(SUM(value), 2) AS total_valor
+            FROM events GROUP BY 1 ORDER BY categoria
+        """,
+        "q07_category_share": """
+            WITH agg AS (
+              SELECT p_type, SUM(l_extendedprice * (1 - l_discount)) AS _imp
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_type
+            )
+            SELECT p_type,
+                   ROUND(_imp, 2) AS importe,
+                   ROUND(_imp / SUM(_imp) OVER () * 100, 2) AS pct_total
+            FROM agg ORDER BY importe DESC, p_type
+        """,
+        "q09_purchase_frequency": """
+            SELECT l_partkey,
+                   COUNT(*) AS num_compras,
+                   CAST(MIN(l_shipdate) AS DATE) AS primera_compra,
+                   CAST(MAX(l_shipdate) AS DATE) AS ultima_compra,
+                   date_diff('day', CAST(MIN(l_shipdate) AS DATE), CAST(MAX(l_shipdate) AS DATE)) AS dias_periodo,
+                   ROUND(SUM(l_quantity), 2) AS cantidad_total
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY num_compras DESC, l_partkey
+            LIMIT 100
+        """,
+        "q10_purchase_gaps": """
+            WITH gaps AS (
+              SELECT l_partkey,
+                     date_diff('day',
+                       CAST(LAG(l_shipdate) OVER (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DATE),
+                       CAST(l_shipdate AS DATE)) AS gap
+              FROM lineitem
+            )
+            SELECT l_partkey,
+                   ROUND(AVG(gap), 2) AS gap_medio_dias,
+                   MAX(gap) AS gap_max_dias,
+                   COUNT(*) AS num_gaps
+            FROM gaps WHERE gap IS NOT NULL
+            GROUP BY l_partkey ORDER BY l_partkey
+            LIMIT 100
+        """,
+        "q12_multi_price_products": """
+            SELECT l_partkey,
+                   COUNT(DISTINCT l_extendedprice) AS num_precios,
+                   ROUND(MIN(l_extendedprice), 2) AS precio_min,
+                   ROUND(MAX(l_extendedprice), 2) AS precio_max,
+                   ROUND(AVG(l_extendedprice), 2) AS precio_medio
+            FROM lineitem GROUP BY l_partkey
+            HAVING COUNT(DISTINCT l_extendedprice) > 1
+            ORDER BY num_precios DESC, l_partkey
+            LIMIT 100
+        """,
+        "q13_rolling_price_stats": """
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   CAST(l_shipdate AS DATE) AS fecha_compra,
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT)) OVER w30 + COUNT(*) OVER w30)
+                    // (2 * COUNT(*) OVER w30)) / 100.0 AS precio_promedio_30d,
+                   ROUND(MIN(l_extendedprice) OVER w30, 2) AS precio_min_30d,
+                   ROUND(MAX(l_extendedprice) OVER w30, 2) AS precio_max_30d,
+                   ROUND((l_extendedprice - LAG(l_extendedprice) OVER wl)
+                         / LAG(l_extendedprice) OVER wl * 100, 2) AS variacion_pct
+            FROM lineitem
+            WHERE l_partkey <= 200
+            WINDOW
+              w30 AS (PARTITION BY l_partkey
+                      ORDER BY date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
+              wl AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+            ORDER BY l_partkey, fecha_compra, l_orderkey, l_linenumber
+        """,
+        "txt_token_stats": """
+            WITH t AS (
+              SELECT lang,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+                     length(text) AS n_len
+              FROM documents
+            )
+            SELECT lang, COUNT(*) AS docs, SUM(n_tokens) AS total_tokens,
+                   ROUND(AVG(n_tokens), 2) AS avg_tokens, MAX(n_len) AS max_len
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "txt_quality_score": """
+            WITH t AS (
+              SELECT length(text) AS n,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+                     length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+              FROM documents
+            ), s AS (
+              SELECT CAST(CASE
+                WHEN n < 10 THEN 0.1
+                WHEN (CASE WHEN n > 0 THEN CAST(letters AS DOUBLE)/n ELSE 0.0 END) < 0.5 THEN 0.3
+                WHEN (CASE WHEN spaces > 0 THEN CAST(n - spaces AS DOUBLE)/(spaces + 1) ELSE n END) > 12 THEN 0.4
+                ELSE 1.0 END AS DOUBLE) AS quality
+              FROM t
+            )
+            SELECT quality, COUNT(*) AS docs FROM s GROUP BY quality ORDER BY quality
+        """,
+        "txt_amount_shapes": """
+            SELECT lang,
+                   SUM(len(regexp_extract_all(text, '(\\d+[,\\.]\\d{2})', 1))) AS amount_tokens,
+                   SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS date_tokens,
+                   COUNT(*) AS docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "dedup_exact": """
+            WITH g AS (
+              SELECT md5(lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))) AS fingerprint,
+                     COUNT(*) AS copies
+              FROM documents GROUP BY 1
+            )
+            SELECT COUNT(*) AS unique_docs,
+                   SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS dup_groups,
+                   SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS docs_in_dup_groups,
+                   MAX(copies) AS max_copies
+            FROM g
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(
+                     list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   4) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,135 @@
+"""Benchmark: headline queries + extraction throughput on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "extraction_docs_per_sec": N, ...}
+
+Modes:
+  python bench.py                 # full suite at $SPARK_GRAFT_SF_DIR (sf0.1)
+  python bench.py --scaling       # extraction job at 2 parallelism levels
+                                  # (N=8 vs 4N=32 cores) -> efficiency ratio
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def _bench_extraction(spark, n_docs: int) -> tuple[float, int]:
+    """Extraction throughput: synthesize the pages table on the executors
+    (mapInPandas over an id range — no driver-side materialization), run the
+    full extract pipeline, count. Returns (seconds, docs)."""
+    import pandas as pd
+
+    from facturas_spark.pipeline import extract_pages
+
+    def gen_batch(batches):
+        from facturas_spark.synth import gen_corpus_slice
+
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            rows = gen_corpus_slice(ids, seed=42)
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    base = spark.range(0, n_docs, 1, CPUS * 2)
+    pages = base.mapInPandas(
+        gen_batch,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    pages = pages.persist()
+    n = pages.count()  # materialize generation outside the timed section
+    t0 = time.perf_counter()
+    out = extract_pages(pages)
+    got = out.filter(out.proveedor_cif.isNotNull()).count()
+    dt = time.perf_counter() - t0
+    pages.unpersist()
+    assert got == n, (got, n)
+    return dt, n
+
+
+def run_suite() -> dict:
+    import __spark_entry__ as em
+    from facturas_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS)
+    # warm the JVM + Python workers once so per-query numbers are steady-state
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    t_suite0 = time.perf_counter()
+    for name, fn in em.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ext_sec, ext_docs = _bench_extraction(spark, N_BENCH_DOCS)
+    timings["extraction_pipeline"] = round(ext_sec, 3)
+    total = round(time.perf_counter() - t_suite0, 3)
+
+    return {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "extraction_docs": ext_docs,
+        "extraction_docs_per_sec": round(ext_docs / ext_sec, 1),
+        "cpus": CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same extraction job at N and 4N local cores on identical input.
+
+    Sandbox evidence for the north rule's two-cluster-size criterion
+    (no real cluster available): scaling efficiency =
+    (throughput_4N / throughput_N) / 4.
+    """
+    from facturas_spark.session import get_spark
+
+    lo, hi = max(1, CPUS // 4), CPUS
+    results = {}
+    for cores in (lo, hi):
+        spark = get_spark(f"bench-scale-{cores}", cores=cores)
+        spark.range(1000).selectExpr("sum(id)").collect()
+        sec, docs = _bench_extraction(spark, N_BENCH_DOCS)
+        # second run to exclude first-touch effects; keep the faster
+        sec2, _ = _bench_extraction(spark, N_BENCH_DOCS)
+        best = min(sec, sec2)
+        results[cores] = {"sec": round(best, 3), "docs_per_sec": round(docs / best, 1)}
+        spark.stop()
+    eff = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"] / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"local[{c}]": v["sec"] for c, v in results.items()},
+        "sf": _sf_label(SF_DIR),
+        "detail": {str(c): v for c, v in results.items()},
+        "docs": N_BENCH_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    out = run_scaling() if "--scaling" in sys.argv else run_suite()
+    print(json.dumps(out))

@@ -1,0 +1,335 @@
+"""The SQL analytics surface (SURVEY §2.6 Q1-Q15) + text-analytics operators.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame; each has a
+DuckDB oracle twin in ``__spark_entry__.oracle_sql()``. Column aliases match
+the oracle SQL exactly (the driver compares sorted-by-name value hashes).
+
+Queries are written Spark-first: built-in functions only (whole-stage
+codegen), broadcast hints for dim joins, single-shuffle aggregations.
+Reference citations per query are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- Q1 ----
+def q01_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily sales view (ref migrations/2024_01_01_init_sales_dashboard.sql:77-87):
+    GROUP BY day: count, sum, avg, ordered desc by day."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("fecha"))
+        .agg(
+            F.count("*").alias("num_eventos"),
+            F.round(F.sum("value"), 2).alias("total_valor"),
+            F.round(F.avg("value"), 2).alias("valor_medio"),
+        )
+        .orderBy(F.col("fecha").desc())
+    )
+
+
+# ---------------------------------------------------------------- Q2/Q6 -
+def q02_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 products (ref sql:89-101 + get-dashboard-data/index.ts:205-278):
+    lineitem joined to the part dim (broadcast — dim is tiny), grouped by
+    product name: sum qty, sum revenue, distinct orders; top 10."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_cantidad"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_importe"
+            ),
+            F.countDistinct("l_orderkey").alias("num_pedidos"),
+        )
+        .orderBy(F.col("total_importe").desc(), F.col("p_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- Q3 ----
+def q03_dashboard_resumen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard summary with period-over-period growth
+    (ref get-dashboard-data/index.ts:71-124): two filtered aggregates over
+    fixed adjacent windows + growth pct. Single scan via conditional agg —
+    no self-join, no second pass."""
+    orders = _t(spark, sf_dir, "orders")
+    cur = (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    prev = (F.col("o_orderdate") >= "1994-07-01") & (F.col("o_orderdate") < "1995-01-01")
+    return orders.agg(
+        F.round(F.sum(F.when(cur, F.col("o_totalprice"))), 2).alias("ventas_periodo"),
+        F.count(F.when(cur, 1)).alias("pedidos_periodo"),
+        F.round(F.avg(F.when(cur, F.col("o_totalprice"))), 2).alias("ticket_medio"),
+        F.round(F.sum(F.when(prev, F.col("o_totalprice"))), 2).alias("ventas_anterior"),
+        F.round(
+            (F.sum(F.when(cur, F.col("o_totalprice"))) - F.sum(F.when(prev, F.col("o_totalprice"))))
+            / F.sum(F.when(prev, F.col("o_totalprice"))) * 100,
+            2,
+        ).alias("crecimiento_pct"),
+    )
+
+
+# ---------------------------------------------------------------- Q4 ----
+def q04_payment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-bucketed pivot (ref get-dashboard-data/index.ts:147-162):
+    event_type buckets -> per-bucket totals."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("event_type").isin("purchase", "refund"), "monetario")
+        .when(F.col("event_type").isin("signup", "login"), "cuenta")
+        .otherwise("otro")
+    )
+    return (
+        ev.groupBy(bucket.alias("categoria"))
+        .agg(
+            F.count("*").alias("eventos"),
+            F.round(F.sum("value"), 2).alias("total_valor"),
+        )
+        .orderBy("categoria")
+    )
+
+
+# ---------------------------------------------------------------- Q7 ----
+def q07_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category spend share (ref get-dashboard-data/index.ts:291-319):
+    per-category revenue + pct of grand total via a window over the
+    aggregated (tiny) result — the expensive agg happens once."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_imp"))
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "p_type",
+        F.round("_imp", 2).alias("importe"),
+        F.round(F.col("_imp") / F.sum("_imp").over(w) * 100, 2).alias("pct_total"),
+    ).orderBy(F.col("importe").desc(), "p_type")
+
+
+# ---------------------------------------------------------------- Q9 ----
+def q09_purchase_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase frequency per product (ref consulta_historial_completo.sql:21-33):
+    count, first/last date, day span, total qty."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("num_compras"),
+            F.to_date(F.min("l_shipdate")).alias("primera_compra"),
+            F.to_date(F.max("l_shipdate")).alias("ultima_compra"),
+            F.datediff(F.max("l_shipdate"), F.min("l_shipdate")).alias("dias_periodo"),
+            F.round(F.sum("l_quantity"), 2).alias("cantidad_total"),
+        )
+        .orderBy(F.col("num_compras").desc(), "l_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- Q10 ---
+def q10_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG day-gaps per product (ref consulta_historial_completo.sql:37-52):
+    avg/max gap between consecutive purchases. One shuffle (window + agg
+    share the l_partkey partitioning — Catalyst reuses the exchange)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    gaps = li.select(
+        "l_partkey",
+        F.datediff("l_shipdate", F.lag("l_shipdate").over(w)).alias("gap"),
+    )
+    return (
+        gaps.filter(F.col("gap").isNotNull())
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.avg("gap"), 2).alias("gap_medio_dias"),
+            F.max("gap").alias("gap_max_dias"),
+            F.count("*").alias("num_gaps"),
+        )
+        .orderBy("l_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- Q12 ---
+def q12_multi_price_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Products seen at >1 distinct price (ref
+    consulta_historial_precios_corregida.sql:5-20): HAVING COUNT>1 + min/max/avg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_extendedprice").alias("num_precios"),
+            F.round(F.min("l_extendedprice"), 2).alias("precio_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("precio_max"),
+            F.round(F.avg("l_extendedprice"), 2).alias("precio_medio"),
+        )
+        .filter(F.col("num_precios") > 1)
+        .orderBy(F.col("num_precios").desc(), "l_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- Q13 ---
+def q13_rolling_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day rolling price stats + pct change vs previous purchase
+    (ref process-invoice/index.ts:3441-3505, declarative replacement of the
+    imperative read-modify-write). rangeBetween over epoch-days."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    days = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01"))
+    wr = (
+        Window.partitionBy("l_partkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+    )
+    wl = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # integer-exact rolling average: prices are 2dp, so sum cents as BIGINT
+    # and round half-up via integer division — float avg is summation-order-
+    # dependent and engines disagree on .xx5 rounding ties
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    out = (
+        li.withColumn("_c30", F.sum(cents).over(wr))
+        .withColumn("_n30", F.count("*").over(wr))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("fecha_compra"),
+            F.expr(
+                "CAST((2 * _c30 + _n30) div (2 * _n30) AS DOUBLE) / CAST(100 AS DOUBLE)"
+            ).alias("precio_promedio_30d"),
+            F.round(F.min("l_extendedprice").over(wr), 2).alias("precio_min_30d"),
+            F.round(F.max("l_extendedprice").over(wr), 2).alias("precio_max_30d"),
+            F.round(
+                (F.col("l_extendedprice") - F.lag("l_extendedprice").over(wl))
+                / F.lag("l_extendedprice").over(wl) * 100,
+                2,
+            ).alias("variacion_pct"),
+        )
+    )
+    return out.orderBy("l_partkey", "fecha_compra", "l_orderkey", "l_linenumber")
+
+
+# ------------------------------------------------------- text analytics --
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (whitespace tokenizer), per-lang stats.
+    Training-data-pipeline staple; pure built-ins (split/size)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit(""))
+    )
+    return (
+        docs.select("lang", toks.alias("n_tokens"), F.length("text").alias("n_len"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.max("n_len").alias("max_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (length / punctuation / stopword-ish
+    ratios), bucketed. Generalizes the reference line filter T4
+    (process-invoice/index.ts:1493-1510) to document level."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    letters = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    spaces = F.length(F.regexp_replace("text", r"[^ ]", ""))
+    letter_ratio = F.when(n > 0, letters / n).otherwise(F.lit(0.0))
+    word_len = F.when(spaces > 0, (n - spaces) / (spaces + 1)).otherwise(n)
+    score = (
+        F.when(n < 10, 0.1)
+        .when(letter_ratio < 0.5, 0.3)
+        .when(word_len > 12, 0.4)
+        .otherwise(1.0)
+    )
+    return (
+        docs.select("doc_id", score.alias("quality"))
+        .groupBy("quality")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("quality")
+    )
+
+
+def txt_amount_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-extractor demo on the documents table: count amount-shaped and
+    date-shaped tokens per lang (F4/F3 regex layer, SQL-expressible half)."""
+    docs = _t(spark, sf_dir, "documents")
+    amounts = F.size(F.regexp_extract_all("text", F.lit(r"(\d+[,\.]\d{2})"), 1))
+    dates = F.size(
+        F.regexp_extract_all("text", F.lit(r"(\d{1,2}/\d{1,2}/\d{2,4})"), 1)
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(amounts).alias("amount_tokens"),
+            F.sum(dates).alias("date_tokens"),
+            F.count("*").alias("docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
+    emit duplicate-group stats. The normalized md5 doubles as the document
+    fingerprint operator."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " ")))
+    groups = (
+        docs.select(fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("copies"))
+    )
+    return groups.agg(
+        F.count("*").alias("unique_docs"),
+        F.sum(F.when(F.col("copies") > 1, 1).otherwise(0)).alias("dup_groups"),
+        F.sum(F.when(F.col("copies") > 1, F.col("copies")).otherwise(0)).alias("docs_in_dup_groups"),
+        F.max("copies").alias("max_copies"),
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (SURVEY §2.5 M6 /
+    §2.6 Q15). Query vector = embedding of vec_id 0 (deterministic). The
+    dot/norm runs JVM-side via aggregate/zip_with — no Python in the loop;
+    TakeOrderedAndProject caps the shuffle at k rows per partition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    qn = float(sum(float(x) * float(x) for x in q) ** 0.5)
+    sim = dot / (norm_a * F.lit(qn))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

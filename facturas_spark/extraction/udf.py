@@ -1,0 +1,100 @@
+"""Arrow-batched pandas UDFs wrapping the deterministic parser core.
+
+These are the only Python hot-path entry points in the engine; everything
+else is built-in Spark SQL expressions. Each UDF receives Arrow record
+batches (``spark.sql.execution.arrow.maxRecordsPerBatch`` rows at a time),
+loops in-process over precompiled regexes, and returns a whole batch — no
+per-row Spark round-trips (per-row Python UDFs are banned by the north rule).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from facturas_spark.extraction.boilerplate import extract_main_text
+from facturas_spark.extraction.textparse import classify_document, extract_fields
+
+__all__ = ["EXTRACTED_SCHEMA", "extract_fields_udf", "main_text_udf", "classify_udf"]
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("proveedor_nombre", StringType()),
+        StructField("proveedor_cif", StringType()),
+        StructField("numero_factura", StringType()),
+        StructField("fecha_factura", DateType()),
+        StructField("total_factura", DoubleType()),
+        StructField("base_imponible", DoubleType()),
+        StructField("cuota_iva", DoubleType()),
+        StructField("tipo_iva", IntegerType()),
+        StructField("confianza_global", DoubleType()),
+        StructField("confianza_proveedor", DoubleType()),
+        StructField("confianza_datos_fiscales", DoubleType()),
+        StructField("confianza_importes", DoubleType()),
+    ]
+)
+
+CLASSIFY_SCHEMA = StructType(
+    [
+        StructField("tipo_documento", StringType()),
+        StructField("confianza_clasificacion", DoubleType()),
+        StructField("razonamiento", StringType()),
+    ]
+)
+
+
+@pandas_udf(EXTRACTED_SCHEMA)
+def extract_fields_udf(text: pd.Series) -> pd.DataFrame:
+    """F1-F12 deterministic field extraction, one struct per document."""
+    rows = []
+    for t in text:
+        f = extract_fields(t if isinstance(t, str) else None)
+        rows.append(
+            (
+                f.proveedor_nombre,
+                f.proveedor_cif,
+                f.numero_factura,
+                f.fecha_factura,
+                f.total_factura,
+                f.base_imponible,
+                f.cuota_iva,
+                f.tipo_iva,
+                f.confianza_global,
+                f.confianza_proveedor,
+                f.confianza_datos_fiscales,
+                f.confianza_importes,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=[fld.name for fld in EXTRACTED_SCHEMA.fields]
+    )
+
+
+@pandas_udf(StringType())
+def main_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """Main-content text per page: pre-extracted ``text`` wins when present;
+    otherwise the boilerplate strip runs on the ``html`` payload."""
+    out = []
+    for h, t in zip(html, text):
+        if isinstance(t, str) and t:
+            out.append(t)
+        else:
+            out.append(extract_main_text(h))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(CLASSIFY_SCHEMA)
+def classify_udf(text: pd.Series) -> pd.DataFrame:
+    """C1 document classifier (factura/albaran + confidence + reason tag)."""
+    rows = [classify_document(t if isinstance(t, str) else None) for t in text]
+    return pd.DataFrame(
+        rows, columns=["tipo_documento", "confianza_clasificacion", "razonamiento"]
+    )

@@ -1,0 +1,125 @@
+"""Tests for main-content extraction (boilerplate strip) and span layer."""
+
+from __future__ import annotations
+
+from facturas_spark.extraction.boilerplate import extract_main_text, line_content_mask
+from facturas_spark.extraction.spans import cluster_rows, normalize_box, text_from_segments
+
+
+def test_plain_text_passthrough():
+    assert extract_main_text("hola  mundo \nsegunda linea") == "hola mundo\nsegunda linea"
+    assert extract_main_text(None) == ""
+    assert extract_main_text(b"") == ""
+
+
+def test_html_strip_basics():
+    html = (
+        "<html><head><script>drop()</script><style>x{}</style></head>"
+        "<body><p>TOTAL: 77,55€</p>"
+        "<div><a href='/a'>inicio</a> <a href='/b'>contacto</a></div>"
+        "<p>CORRELIMO HUELVA S.L.</p></body></html>"
+    )
+    out = extract_main_text(html)
+    assert "TOTAL: 77,55" in out
+    assert "CORRELIMO" in out
+    assert "inicio" not in out  # link-density 1.0 nav dropped
+    assert "drop()" not in out
+
+
+def test_html_entities_and_digit_blocks():
+    html = "<p>Garc&iacute;a &amp; Hijos S.L.</p><p>43001874</p>"
+    out = extract_main_text(html)
+    assert out == "García & Hijos S.L.\n43001874"
+
+
+def test_value_shape_blocks_kept_even_when_linky():
+    html = '<div><a href="/x">ver factura 12,34€</a></div>'
+    assert "12,34" in extract_main_text(html)
+
+
+def test_bytes_input_utf8():
+    assert extract_main_text("<p>año 2025</p>".encode()) == "año 2025"
+
+
+def test_line_content_mask():
+    assert line_content_mask("CORRELIMO HUELVA S.L.")
+    assert not line_content_mask("12345")
+    assert not line_content_mask("29/05/2025")
+    assert not line_content_mask("FACTURA 905")
+    assert not line_content_mask("abc")  # too short
+    assert not line_content_mask("x" * 121)
+
+
+# ---- spans (T1): the byte-identical anchor --------------------------------
+
+FULL = "Hello amazing world of documents"
+
+
+def test_segments_basic():
+    assert text_from_segments(FULL, [(0, 5)]) == "Hello"
+    assert text_from_segments(FULL, [(0, 5), (13, 19)]) == "Hello world"
+    # outer whitespace is trimmed (reference trims the concatenated result)
+    assert text_from_segments(FULL, [(5, 14)]) == "amazing"
+
+
+def test_segments_invalid_dropped():
+    assert text_from_segments(FULL, [(-1, 5)]) == ""
+    assert text_from_segments(FULL, [(0, 999)]) == ""
+    assert text_from_segments(FULL, [(5, 5)]) == ""
+    assert text_from_segments(FULL, [(None, 5)]) == ""
+    assert text_from_segments(FULL, [(0, 5), (0, 999)]) == "Hello"
+    assert text_from_segments(None, [(0, 5)]) == ""
+    assert text_from_segments(FULL, None) == ""
+
+
+def test_segments_missing_start_defaults_zero():
+    # Document AI omits startIndex=0; callers feed 0 explicitly (index.ts:1110)
+    assert text_from_segments(FULL, [(0, 5)]) == "Hello"
+
+
+# ---- coordinates (T2) ------------------------------------------------------
+
+def test_normalize_box_normalized_vertices():
+    layout = {
+        "boundingPoly": {
+            "normalizedVertices": [
+                {"x": 0.1, "y": 0.2},
+                {"x": 0.5, "y": 0.2},
+                {"x": 0.5, "y": 0.4},
+                {"x": 0.1, "y": 0.4},
+            ]
+        }
+    }
+    box = normalize_box(layout, page_w=1000.0, page_h=2000.0)
+    assert box == {"x": 100.0, "y": 400.0, "width": 400.0, "height": 400.0}
+
+
+def test_normalize_box_pixel_vertices():
+    layout = {"boundingPoly": {"vertices": [{"x": 10, "y": 20}, {"x": 110, "y": 70}]}}
+    box = normalize_box(layout)
+    assert box == {"x": 10.0, "y": 20.0, "width": 100.0, "height": 50.0}
+
+
+def test_normalize_box_fallback_encodings():
+    assert normalize_box({"boundingBox": {"vertices": [{"x": 1, "y": 2}, {"x": 3, "y": 4}]}}) == {
+        "x": 1.0, "y": 2.0, "width": 2.0, "height": 2.0,
+    }
+    assert normalize_box({}) is None
+    assert normalize_box(None) is None
+
+
+# ---- row clustering (P1 generalization) ------------------------------------
+
+def test_cluster_rows_by_y():
+    toks = [
+        {"x": 50, "y": 100, "h": 10, "t": "b"},
+        {"x": 10, "y": 102, "h": 10, "t": "a"},
+        {"x": 10, "y": 130, "h": 10, "t": "c"},
+        {"x": 90, "y": 131, "h": 10, "t": "d"},
+    ]
+    rows = cluster_rows(toks, eps=6.0)
+    assert [[t["t"] for t in row] for row in rows] == [["a", "b"], ["c", "d"]]
+
+
+def test_cluster_rows_empty():
+    assert cluster_rows([]) == []

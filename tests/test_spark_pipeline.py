@@ -1,0 +1,76 @@
+"""Spark-side pipeline tests: extraction over the pages table, entry() smoke.
+
+Verifies the Arrow-UDF pipeline produces the same byte-identical results as
+the pure-Python core (i.e. the Spark plumbing adds no distortion), and that
+the driver contract functions run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from facturas_spark.pipeline import extract_pages, extraction_metrics, with_salt_bucket
+from facturas_spark.synth import PAGES_SCHEMA_DDL, corpus_rows, gen_corpus
+
+N = 120
+
+
+def test_extract_pages_matches_golden(spark):
+    docs = {d.url: d for d in gen_corpus(N, seed=42)}
+    df = spark.createDataFrame(corpus_rows(N, seed=42), PAGES_SCHEMA_DDL)
+    out = extract_pages(df).collect()
+    assert len(out) == N
+    for row in out:
+        d = docs[row.url]
+        text = d.text if d.text is not None else None
+        assert row.tipo_documento == d.doc_type, row.url
+        assert row.proveedor_cif == d.exp_cif, row.url
+        assert row.numero_factura == d.exp_numero, row.url
+        assert row.proveedor_nombre == d.exp_proveedor, row.url
+        assert row.fecha_factura == d.exp_fecha, row.url
+        assert row.total_factura == d.exp_total, row.url
+        assert row.base_imponible == d.exp_base, row.url
+        assert row.cuota_iva == d.exp_cuota, row.url
+
+
+def test_extract_pages_single_stage_no_shuffle(spark):
+    """Scale invariant: the extraction job must contain zero exchanges —
+    per-row work only, partitioning preserved from the scan."""
+    df = spark.createDataFrame(corpus_rows(16, seed=1), PAGES_SCHEMA_DDL)
+    plan = extract_pages(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_salt_bucket_spreads_hot_host(spark):
+    df = spark.createDataFrame(corpus_rows(300, seed=42), PAGES_SCHEMA_DDL)
+    b = with_salt_bucket(df, n_buckets=16)
+    per_bucket = b.groupBy("bucket").count().collect()
+    # 300 urls over 16 buckets: hot host must not collapse into few buckets
+    assert len(per_bucket) >= 12
+    assert max(r["count"] for r in per_bucket) < 300 * 0.25
+
+
+def test_extraction_metrics_shape(spark):
+    df = spark.createDataFrame(corpus_rows(60, seed=42), PAGES_SCHEMA_DDL)
+    m = extraction_metrics(extract_pages(df)).collect()
+    total_docs = sum(r.docs for r in m)
+    assert total_docs == 60
+    for r in m:
+        assert r.cif_hits == r.docs  # every synthetic doc has a CIF
+        assert 0.0 <= r.avg_confianza <= 1.0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "lang" in df.columns
+
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    assert set(oracles).issubset(set(qs))
+    # smoke one query at the smallest sf
+    out = qs["txt_token_stats"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
