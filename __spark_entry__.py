@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from facturas_spark.analytics import dedup as D
 from facturas_spark.analytics import queries as Q
 
 
@@ -51,6 +52,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_amount_shapes": Q.txt_amount_shapes,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
+        "q08_price_history_log": Q.q08_price_history_log,
+        "q11_spend_per_product": Q.q11_spend_per_product,
+        "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
+        "m5_product_match_pairs": D.m5_product_match_pairs,
+        "m14_duplicate_orders": D.m14_duplicate_orders,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "txt_langid": D.txt_langid,
+        # rows-only (non-SQL-expressible per-doc sequential pipelines)
+        "products_extraction": Q.products_extraction,
+        "cotejo_pipeline": Q.cotejo_pipeline,
     }
 
 
@@ -205,6 +217,116 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS docs_in_dup_groups,
                    MAX(copies) AS max_copies
             FROM g
+        """,
+        "q08_price_history_log": """
+            SELECT p_name,
+                   CAST(l_shipdate AS DATE) AS fecha_compra,
+                   ROUND(l_extendedprice, 2) AS precio,
+                   date_diff('day', CAST(l_shipdate AS DATE), DATE '1999-01-01') AS dias_desde_compra,
+                   o_orderkey, l_linenumber
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_partkey <= 100
+            ORDER BY p_name, fecha_compra, o_orderkey, l_linenumber
+        """,
+        "q11_spend_per_product": """
+            SELECT p_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS gasto_total,
+                   ROUND(AVG(l_extendedprice), 2) AS precio_medio,
+                   COUNT(*) AS num_lineas
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_name
+            ORDER BY gasto_total DESC, p_name
+            LIMIT 50
+        """,
+        "m3_levenshtein_pairs": """
+            SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+                   levenshtein(a.p_name, b.p_name) AS lev
+            FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey
+            WHERE a.p_partkey <= 100 AND b.p_partkey <= 100
+            ORDER BY k1
+        """,
+        "m5_product_match_pairs": """
+            WITH p AS (
+              SELECT p_partkey AS k,
+                     trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+              FROM part WHERE p_partkey <= 200
+            )
+            SELECT a.k AS k1, b.k AS k2
+            FROM p a JOIN p b ON a.k < b.k
+            WHERE a.n = b.n
+               OR (CAST(len(list_filter(string_split(a.n, ' '),
+                                        x -> length(x) > 2 AND list_contains(string_split(b.n, ' '), x))) AS DOUBLE)
+                   / len(string_split(a.n, ' '))) > 0.6
+            ORDER BY k1, k2
+        """,
+        "m14_duplicate_orders": """
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS fecha,
+                   COUNT(*) AS copies, MIN(o_orderkey) AS first_key
+            FROM orders
+            GROUP BY 1, 2
+            HAVING COUNT(*) > 1
+            ORDER BY o_custkey, fecha
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
+              FROM documents
+              WHERE trim(COALESCE(text, '')) <> ''
+            ), sig AS (
+              SELECT doc_id,
+                     {", ".join(f"list_min(list_transform(words, t -> md5(t || ':{i}'))) AS h{i}" for i in range(8))}
+              FROM w
+            ), bands AS (
+              {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS key FROM sig" for j in range(4))}
+            ), groups AS (
+              SELECT band, key, COUNT(*) AS members FROM bands GROUP BY 1, 2
+            )
+            SELECT band, COUNT(*) AS collision_groups,
+                   SUM(members) AS docs_in_collisions,
+                   MAX(members) AS max_group
+            FROM groups WHERE members > 1
+            GROUP BY band ORDER BY band
+        """,
+        "dedup_ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
+              FROM documents WHERE doc_id < 40
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, len(words) - 2),
+                       i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
+              FROM w WHERE len(words) >= 3
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.01
+            ORDER BY id1, id2
+        """,
+        "txt_langid": """
+            WITH w AS (
+              SELECT lang,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
+              FROM documents
+            ), h AS (
+              SELECT lang,
+                     len(list_filter(words, x -> list_contains(['the','of','and','to','in','a','is'], x))) AS en,
+                     len(list_filter(words, x -> list_contains(['el','la','de','que','los','las','una','y'], x))) AS es
+              FROM w
+            )
+            SELECT lang,
+                   CASE WHEN en > es AND en > 0 THEN 'en'
+                        WHEN es > en AND es > 0 THEN 'es'
+                        WHEN en = es AND en > 0 THEN 'tie'
+                        ELSE 'unknown' END AS guess,
+                   COUNT(*) AS docs
+            FROM h GROUP BY 1, 2 ORDER BY lang, guess
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

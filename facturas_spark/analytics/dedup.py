@@ -1,0 +1,189 @@
+"""Deduplication + matching operators exposed as oracle-checkable queries.
+
+Training-data-pipeline staples over the ``documents`` table plus
+fuzzy-matching demos over TPC-H part names. Everything here is expressible
+in both Spark SQL and DuckDB so the driver's oracle gate covers it.
+
+Portability note: MinHash normally uses an integer hash family; DuckDB
+can't parse hex -> int without extensions, so the hash family is
+``min(md5(token || ':' || i))`` under LEXICOGRAPHIC order — md5 hex strings
+are uniformly distributed, so the min-string is a valid MinHash permutation
+stand-in, and both engines produce identical signatures. SimHash similarly
+uses md5-derived hex-nibble bits (see simhash_expr).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_HASHES = 8  # MinHash signature length
+N_BANDS = 4   # LSH bands (2 rows per band)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _words(col):
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def m3_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 demo: edit distance between consecutive part names (built-in
+    levenshtein, both engines); keys restricted so output stays small."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    a = part.select(F.col("p_partkey").alias("k1"), F.col("p_name").alias("n1"))
+    b = part.select(F.col("p_partkey").alias("k2"), F.col("p_name").alias("n2"))
+    return (
+        a.join(b, a.k1 + 1 == b.k2)
+        .select("k1", "k2", F.levenshtein("n1", "n2").alias("lev"))
+        .orderBy("k1")
+    )
+
+
+def m5_product_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 word-overlap matcher over part-name pairs (key<=200, k1<k2),
+    returning only matching pairs — the fuzzy-join primitive."""
+    from facturas_spark.matching.similarity import comparar_productos_expr
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    a = part.select(F.col("p_partkey").alias("k1"), F.col("p_name").alias("n1"))
+    b = part.select(F.col("p_partkey").alias("k2"), F.col("p_name").alias("n2"))
+    return (
+        a.join(b, a.k1 < b.k2)
+        .filter(comparar_productos_expr(F.col("n1"), F.col("n2")))
+        .select("k1", "k2")
+        .orderBy("k1", "k2")
+    )
+
+
+def m14_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 duplicate detection: same (custkey, orderdate) seen >1 time —
+    the reference's CIF+numero_factura equality check shape."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey", F.to_date("o_orderdate").alias("fecha"))
+        .agg(F.count("*").alias("copies"), F.min("o_orderkey").alias("first_key"))
+        .filter(F.col("copies") > 1)
+        .orderBy("o_custkey", "fecha")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection over documents.
+
+    signature_i = min over word tokens of md5(token || ':' || i);
+    band_j = md5(sig_{2j} || sig_{2j+1}); docs sharing a band key are
+    near-dup candidates. Output: per-band-collision-group stats.
+    Scale shape: one shuffle on band key (explode -> groupBy), candidate
+    verification would be a self-join within groups — counts reported here.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    )
+    words = _words(F.col("text"))
+
+    def _sig(i: int):
+        # NB: a 2-arg lambda to F.transform receives (element, index) — a
+        # default-arg capture of i would be shadowed by the array index
+        suffix = f":{i}"
+        return F.array_min(
+            F.transform(words, lambda w: F.md5(F.concat(w, F.lit(suffix))))
+        ).alias(f"h{i}")
+
+    sigs = [_sig(i) for i in range(N_HASHES)]
+    sig_df = docs.select("doc_id", *sigs)
+    bands = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
+                        ).alias("key"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    groups = bands.groupBy("band", "key").agg(F.count("*").alias("members"))
+    return (
+        groups.filter(F.col("members") > 1)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("collision_groups"),
+            F.sum("members").alias("docs_in_collisions"),
+            F.max("members").alias("max_group"),
+        )
+        .orderBy("band")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup over a small doc window (id<40 x id<40):
+    shingle arrays -> intersection/union sizes. array_distinct before the
+    set ops (shingles repeat). Reports pairs with jaccard >= 0.01."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    words = _words(F.col("text"))
+    # valid shingle starts: i in [0, w-3] (1-based element_at below)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
+        )
+    )
+    sh = (
+        docs.select("doc_id", F.size(words).alias("_w"), shingles.alias("sh"))
+        .filter(F.col("_w") >= 3)
+        .drop("_w")
+    )
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("s1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("s2"))
+    pairs = a.join(b, a.id1 < b.id2)
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size(F.array_union("s1", "s2"))
+    jac = inter / union
+    return (
+        pairs.select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.01)
+        .orderBy("id1", "id2")
+    )
+
+
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (n-gram-heuristic family): counts of
+    language-marker tokens -> argmax guess; confusion counts vs the lang
+    column. All built-ins; one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+
+    def hits(markers: list[str]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    en = hits(["the", "of", "and", "to", "in", "a", "is"])
+    es = hits(["el", "la", "de", "que", "los", "las", "una", "y"])
+    guess = (
+        F.when((en > es) & (en > 0), "en")
+        .when((es > en) & (es > 0), "es")
+        .when((en == es) & (en > 0), "tie")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("lang", "guess")
+    )

@@ -222,6 +222,114 @@ def q13_rolling_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_partkey", "fecha_compra", "l_orderkey", "l_linenumber")
 
 
+# ---------------------------------------------------------------- Q8 ----
+def q08_price_history_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-history log with date arithmetic (ref
+    consulta_historial_completo.sql:5-18): 2 joins + day-age column."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 100)
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "p_name",
+            F.to_date("l_shipdate").alias("fecha_compra"),
+            F.round("l_extendedprice", 2).alias("precio"),
+            F.datediff(F.lit("1999-01-01").cast("date"), F.to_date("l_shipdate")).alias(
+                "dias_desde_compra"
+            ),
+            "o_orderkey",
+            "l_linenumber",
+        )
+        .orderBy("p_name", "fecha_compra", "o_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------- Q11 ---
+def q11_spend_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total/avg spend per product (ref consulta_historial_completo.sql:68-80)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "gasto_total"
+            ),
+            F.round(F.avg("l_extendedprice"), 2).alias("precio_medio"),
+            F.count("*").alias("num_lineas"),
+        )
+        .orderBy(F.col("gasto_total").desc(), "p_name")
+        .limit(50)
+    )
+
+
+# ------------------------------------------- rows-only (non-SQL) operators --
+def products_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dogfood path, rows-only check (per-doc sequential P3-P15 pipeline
+    is not oracle-SQL-expressible): synth pages -> extract -> product lines
+    -> per-category aggregate."""
+    from facturas_spark.pipeline import extract_pages, extract_products_table
+    from facturas_spark.synth import PAGES_SCHEMA_DDL, corpus_rows
+
+    pages = spark.createDataFrame(corpus_rows(300, seed=42), PAGES_SCHEMA_DDL)
+    prods = extract_products_table(extract_pages(pages))
+    return (
+        prods.groupBy("categoria")
+        .agg(
+            F.count("*").alias("lineas"),
+            F.round(F.sum("cantidad"), 2).alias("cantidad_total"),
+            F.round(F.sum("precio_total_linea_sin_iva"), 2).alias("importe_total"),
+        )
+        .orderBy("categoria")
+    )
+
+
+def cotejo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end invoice<->delivery-note matching over the synthetic corpus
+    (rows-only: 5-method unioned joins + consolidation are the operator under
+    test; the oracle gate covers the score algebra via test_matching.py)."""
+    from datetime import date
+
+    from facturas_spark.matching.cotejo import run_cotejo
+    from facturas_spark.pipeline import extract_pages, extract_products_table
+    from facturas_spark.synth import PAGES_SCHEMA_DDL, corpus_rows
+
+    pages = spark.createDataFrame(corpus_rows(300, seed=42), PAGES_SCHEMA_DDL)
+    ext = extract_pages(pages).persist()
+    prods = (
+        extract_products_table(ext)
+        .groupBy("url")
+        .agg(F.collect_list("descripcion_original").alias("productos"))
+    )
+    docs = ext.join(prods, "url", "left").withColumn(
+        "productos", F.coalesce("productos", F.array())
+    )
+    facturas = docs.filter(F.col("tipo_documento") == "factura").select(
+        F.col("url").alias("factura_id"),
+        "proveedor_nombre",
+        F.col("fecha_factura"),
+        "total_factura",
+        "productos",
+    )
+    albaranes = docs.filter(F.col("tipo_documento") == "albaran").select(
+        F.col("url").alias("albaran_id"),
+        F.col("numero_factura").alias("numero_albaran"),
+        "proveedor_nombre",
+        F.col("fecha_factura").alias("fecha_albaran"),
+        F.col("total_factura").alias("total_albaran"),
+        "productos",
+    )
+    out = run_cotejo(facturas, albaranes, as_of=date(2025, 12, 31))
+    return (
+        out.groupBy("categoria_enlace", "metodo")
+        .agg(F.count("*").alias("pares"), F.round(F.avg("score"), 4).alias("score_medio"))
+        .orderBy("categoria_enlace", "metodo")
+    )
+
+
 # ------------------------------------------------------- text analytics --
 def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting over documents (whitespace tokenizer), per-lang stats.

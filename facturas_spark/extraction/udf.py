@@ -20,10 +20,20 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql.types import ArrayType, BooleanType
+
 from facturas_spark.extraction.boilerplate import extract_main_text
+from facturas_spark.extraction.products import extract_products
 from facturas_spark.extraction.textparse import classify_document, extract_fields
 
-__all__ = ["EXTRACTED_SCHEMA", "extract_fields_udf", "main_text_udf", "classify_udf"]
+__all__ = [
+    "EXTRACTED_SCHEMA",
+    "PRODUCT_SCHEMA",
+    "extract_fields_udf",
+    "main_text_udf",
+    "classify_udf",
+    "extract_products_udf",
+]
 
 EXTRACTED_SCHEMA = StructType(
     [
@@ -98,3 +108,45 @@ def classify_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["tipo_documento", "confianza_clasificacion", "razonamiento"]
     )
+
+
+PRODUCT_SCHEMA = StructType(
+    [
+        StructField("linea_numero", IntegerType()),
+        StructField("descripcion_original", StringType()),
+        StructField("descripcion_normalizada", StringType()),
+        StructField("cantidad", DoubleType()),
+        StructField("unidad_medida", StringType()),
+        StructField("codigo_producto", StringType()),
+        StructField("precio_unitario_sin_iva", DoubleType()),
+        StructField("precio_unitario_con_iva", DoubleType()),
+        StructField("precio_total_linea_sin_iva", DoubleType()),
+        StructField("precio_total_linea_con_iva", DoubleType()),
+        StructField("tipo_iva", IntegerType()),
+        StructField("confianza_linea", DoubleType()),
+        StructField("formato_comercial", StringType()),
+        StructField("peso_neto_kg", DoubleType()),
+        StructField("volumen_l", DoubleType()),
+        StructField("formato_valido", BooleanType()),
+        StructField("precio_por_kg", DoubleType()),
+        StructField("precio_por_litro", DoubleType()),
+        StructField("categoria", StringType()),
+    ]
+)
+
+_PRODUCT_COLS = [f.name for f in PRODUCT_SCHEMA.fields]
+
+
+@pandas_udf(ArrayType(PRODUCT_SCHEMA))
+def extract_products_udf(text: pd.Series, tipo_iva: pd.Series) -> pd.Series:
+    """P3-P15 line-item extraction: one array<struct> per document, exploded
+    downstream with posexplode — the per-doc sequential pipeline runs in one
+    Python pass, no shuffle."""
+    out = []
+    for t, iva in zip(text, tipo_iva):
+        prods = extract_products(
+            t if isinstance(t, str) else None,
+            int(iva) if iva is not None and not pd.isna(iva) else 21,
+        )
+        out.append([tuple(p.get(c) for c in _PRODUCT_COLS) for p in prods])
+    return pd.Series(out, dtype="object")

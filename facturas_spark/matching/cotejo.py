@@ -1,0 +1,316 @@
+"""Invoice <-> delivery-note matching (SURVEY §2.5 M7-M13) as one Spark job.
+
+The reference runs 5 per-invoice search methods with N+1 Postgres queries
+(cotejo-inteligente/index.ts:236-242, :1266-1671); here each method is one
+declarative join over the whole corpus, unioned, consolidated with a single
+aggregation — the scalable shape of the same semantics.
+
+Input contracts (column names):
+  facturas:  factura_id, proveedor_nombre, fecha_factura(date),
+             total_factura(double), productos(array<string>)
+  albaranes: albaran_id, numero_albaran(string), proveedor_nombre,
+             fecha_albaran(date), total_albaran(double),
+             productos(array<string>)
+
+Scale notes:
+- Every method joins on proveedor_nombre equality plus a date-range
+  predicate -> sort-merge join keyed on proveedor. Proveedor is the skewed
+  key (a hot supplier dominates); AQE skew-join splits oversized partitions,
+  and `salt` adds an explicit salting column for the pathological case
+  (documented, off by default — AQE handles the sf we test).
+- Method 1 (explicit refs) is an equi-join on numero_albaran — if the
+  albaran dim is small it broadcasts automatically (autoBroadcastJoinThreshold).
+- Consolidation is one groupBy((factura_id, albaran_id)).max_by — the only
+  other shuffle.
+
+Score algebra citations:
+- M8 temporal score   cotejo-inteligente/index.ts:549-577
+- M9 last-chance      cotejo-inteligente/index.ts:646-672
+- product score       cotejo-inteligente/index.ts:1501-1549
+- consolidation       :1675-1713 (max score per candidate; ties keep the
+                      earliest method — replicated via (score, -prio) max_by)
+- final adjust        :1715-1744 (+0.02 if invoice has products, cap 1)
+- categorization      :1746-1783 (>=0.95 auto, >=0.7 suggestion, else review)
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from facturas_spark.matching.similarity import product_overlap_ratio_expr
+
+__all__ = ["cotejo_candidates", "categorize", "run_cotejo"]
+
+_CANDIDATE_COLS = [
+    "factura_id",
+    "albaran_id",
+    "score",
+    "metodo",
+    "metodo_prio",
+]
+
+
+def _clamp01(c):
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), c))
+
+
+def _score_m8(f_fecha, a_fecha, f_total, a_total):
+    dias = F.abs(F.datediff(f_fecha, a_fecha))
+    date_adj = (
+        F.when(dias <= 7, 0.1)
+        .when(dias <= 15, 0.05)
+        .when(dias <= 30, 0.02)
+        .otherwise(-0.1)
+    )
+    pct = F.abs(f_total - a_total) / f_total * 100
+    amt_adj = (
+        F.when(pct <= 5, 0.1).when(pct <= 10, 0.05).when(pct <= 20, 0.02).otherwise(-0.15)
+    )
+    # reference guards: adjustments only apply when both values present
+    date_adj = F.when(f_fecha.isNotNull() & a_fecha.isNotNull(), date_adj).otherwise(0.0)
+    amt_adj = F.when(
+        f_total.isNotNull() & (f_total != 0) & a_total.isNotNull() & (a_total != 0),
+        amt_adj,
+    ).otherwise(0.0)
+    return _clamp01(F.lit(0.85) + date_adj + amt_adj)
+
+
+def _score_m9(f_fecha, a_fecha, f_total, a_total):
+    dias = F.abs(F.datediff(f_fecha, a_fecha))
+    date_adj = F.when(dias <= 30, 0.1).when(dias <= 60, 0.05).otherwise(-0.1)
+    pct = F.abs(f_total - a_total) / f_total * 100
+    amt_adj = F.when(pct <= 10, 0.1).when(pct <= 25, 0.05).otherwise(-0.15)
+    date_adj = F.when(f_fecha.isNotNull() & a_fecha.isNotNull(), date_adj).otherwise(0.0)
+    amt_adj = F.when(
+        f_total.isNotNull() & (f_total != 0) & a_total.isNotNull() & (a_total != 0),
+        amt_adj,
+    ).otherwise(0.0)
+    return _clamp01(F.lit(0.4) + date_adj + amt_adj)
+
+
+_ALB_REF_PATTERNS = [
+    r"ALB[-\s]?(\d+)",
+    r"ALBARAN[-\s]?(\d+)",
+    r"DELIVERY[-\s]?(\d+)",
+    r"ENTREGA[-\s]?(\d+)",
+]
+
+
+def cotejo_candidates(
+    facturas: DataFrame,
+    albaranes: DataFrame,
+    as_of: date | None = None,
+    patterns_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Union of the 5 candidate-generation methods.
+
+    ``as_of`` replaces the reference's wall clock for methods 3 and 5
+    (60/90-day windows anchored at 'today'); defaults to the max invoice
+    date in the corpus — deterministic for a fixed input.
+    ``patterns_dim`` (method 4) is optional: columns
+    (proveedor_nombre, dias_minimos, dias_maximos, efectividad).
+    """
+    f = facturas.select(
+        "factura_id",
+        F.col("proveedor_nombre").alias("f_prov"),
+        F.col("fecha_factura"),
+        F.col("total_factura"),
+        F.col("productos").alias("f_productos"),
+    )
+    a = albaranes.select(
+        "albaran_id",
+        "numero_albaran",
+        F.col("proveedor_nombre").alias("a_prov"),
+        F.col("fecha_albaran"),
+        F.col("total_albaran"),
+        F.col("productos").alias("a_productos"),
+    )
+
+    if as_of is None:
+        as_of_col = F.lit(
+            facturas.agg(F.max("fecha_factura")).head()[0]
+        ).cast("date")
+    else:
+        as_of_col = F.lit(as_of.isoformat()).cast("date")
+
+    # -- Method 1: explicit ALB-#### references in product lines -> 0.95
+    refs = (
+        f.select(
+            "factura_id",
+            F.explode_outer("f_productos").alias("desc"),
+        )
+        .select(
+            "factura_id",
+            F.coalesce(
+                *[
+                    F.nullif(F.regexp_extract(F.upper(F.col("desc")), p, 1), F.lit(""))
+                    for p in _ALB_REF_PATTERNS
+                ]
+            ).alias("ref"),
+        )
+        .filter(F.col("ref").isNotNull())
+        .distinct()
+    )
+    m1 = (
+        refs.join(a, refs.ref == a.numero_albaran)
+        .select(
+            "factura_id",
+            "albaran_id",
+            F.lit(0.95).alias("score"),
+            F.lit("referencia_explicita").alias("metodo"),
+            F.lit(1).alias("metodo_prio"),
+        )
+    )
+
+    # -- Method 2: temporal proximity (same proveedor, albaran in [f-45d, f])
+    m2 = (
+        f.join(
+            a,
+            (f.f_prov == a.a_prov)
+            & a.fecha_albaran.between(F.date_sub(f.fecha_factura, 45), f.fecha_factura),
+        )
+        .select(
+            "factura_id",
+            "albaran_id",
+            _score_m8(
+                F.col("fecha_factura"), F.col("fecha_albaran"),
+                F.col("total_factura"), F.col("total_albaran"),
+            ).alias("score"),
+            F.lit("proximidad_temporal").alias("metodo"),
+            F.lit(2).alias("metodo_prio"),
+        )
+    )
+
+    # -- Method 3: product-overlap (same proveedor, last 60 days from as_of)
+    overlap = product_overlap_ratio_expr(F.col("f_productos"), F.col("a_productos"))
+    score3 = F.when(
+        F.size("a_productos") == 0, F.lit(0.75 * 0.5)
+    ).otherwise(_clamp01(F.lit(0.75) * (F.lit(0.3) + overlap * 0.7)))
+    m3 = (
+        f.filter(F.size("f_productos") > 0)
+        .join(
+            a,
+            (f.f_prov == a.a_prov)
+            & (a.fecha_albaran >= F.date_sub(as_of_col, 60)),
+        )
+        .select(
+            "factura_id",
+            "albaran_id",
+            score3.alias("score"),
+            F.lit("analisis_productos").alias("metodo"),
+            F.lit(3).alias("metodo_prio"),
+        )
+        .filter(F.col("score") > 0.6)
+    )
+
+    # -- Method 4: learned temporal patterns dim -> 0.6 * efectividad
+    if patterns_dim is not None:
+        p = patterns_dim.select(
+            F.col("proveedor_nombre").alias("p_prov"),
+            "dias_minimos",
+            "dias_maximos",
+            "efectividad",
+        )
+        m4 = (
+            f.join(F.broadcast(p), f.f_prov == p.p_prov)
+            .join(
+                a,
+                (f.f_prov == a.a_prov)
+                & a.fecha_albaran.between(
+                    F.expr("date_sub(fecha_factura, dias_maximos)"),
+                    F.expr("date_sub(fecha_factura, dias_minimos)"),
+                ),
+            )
+            .select(
+                "factura_id",
+                "albaran_id",
+                _clamp01(F.lit(0.6) * F.col("efectividad")).alias("score"),
+                F.lit("patron_temporal").alias("metodo"),
+                F.lit(4).alias("metodo_prio"),
+            )
+        )
+    else:
+        m4 = None
+
+    # -- Method 5: last chance over 90-day window, top-10 per factura by date
+    cand5 = f.join(
+        a,
+        (f.f_prov == a.a_prov) & (a.fecha_albaran >= F.date_sub(as_of_col, 90)),
+    )
+    w10 = Window.partitionBy("factura_id").orderBy(
+        F.col("fecha_albaran").desc(), F.col("albaran_id")
+    )
+    m5 = (
+        cand5.withColumn("_rn", F.row_number().over(w10))
+        .filter(F.col("_rn") <= 10)  # reference's .limit(10) work cap
+        .select(
+            "factura_id",
+            "albaran_id",
+            _score_m9(
+                F.col("fecha_factura"), F.col("fecha_albaran"),
+                F.col("total_factura"), F.col("total_albaran"),
+            ).alias("score"),
+            F.lit("ultima_oportunidad").alias("metodo"),
+            F.lit(5).alias("metodo_prio"),
+        )
+    )
+
+    parts = [m1, m2, m3, m5] if m4 is None else [m1, m2, m3, m4, m5]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def consolidate(candidates: DataFrame, facturas: DataFrame) -> DataFrame:
+    """M10-M11: keep max-score candidate per (factura, albaran) — ties keep
+    the earliest method (JS Map only replaces on strictly-greater) — then
+    +0.02 bonus if the invoice has products, capped at 1."""
+    best = candidates.groupBy("factura_id", "albaran_id").agg(
+        F.max_by(
+            F.struct("score", "metodo", "metodo_prio"),
+            F.struct(F.col("score"), (-F.col("metodo_prio")).alias("p")),
+        ).alias("_b")
+    ).select(
+        "factura_id",
+        "albaran_id",
+        F.col("_b.score").alias("score"),
+        F.col("_b.metodo").alias("metodo"),
+    )
+    has_prods = facturas.select(
+        "factura_id", (F.size("productos") > 0).alias("_has_p")
+    )
+    return (
+        best.join(F.broadcast(has_prods), "factura_id", "left")
+        .withColumn(
+            "score",
+            F.when(F.col("_has_p"), F.least(F.lit(1.0), F.col("score") + 0.02))
+            .otherwise(F.col("score")),
+        )
+        .drop("_has_p")
+    )
+
+
+def categorize(consolidated: DataFrame) -> DataFrame:
+    """M12: >=0.95 auto-link, >=0.7 suggestion, else manual review."""
+    return consolidated.withColumn(
+        "categoria_enlace",
+        F.when(F.col("score") >= 0.95, "enlace_automatico")
+        .when(F.col("score") >= 0.7, "sugerencia")
+        .otherwise("revision_manual"),
+    )
+
+
+def run_cotejo(
+    facturas: DataFrame,
+    albaranes: DataFrame,
+    as_of: date | None = None,
+    patterns_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Full pipeline: candidates -> consolidate -> categorize."""
+    cands = cotejo_candidates(facturas, albaranes, as_of, patterns_dim)
+    return categorize(consolidate(cands, facturas))

@@ -28,10 +28,16 @@ from pyspark.sql import functions as F
 from facturas_spark.extraction.udf import (
     classify_udf,
     extract_fields_udf,
+    extract_products_udf,
     main_text_udf,
 )
 
-__all__ = ["extract_pages", "with_salt_bucket", "extraction_metrics"]
+__all__ = [
+    "extract_pages",
+    "extract_products_table",
+    "with_salt_bucket",
+    "extraction_metrics",
+]
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
@@ -57,6 +63,25 @@ def extract_pages(pages: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def extract_products_table(extracted: DataFrame) -> DataFrame:
+    """Line-item child table: posexplode of the per-doc product array
+    (SURVEY §2.4). Input is :func:`extract_pages` output (needs
+    extracted_text + tipo_iva). Still a single stage — the UDF + explode
+    pipeline over the same partitioning; one row per product line."""
+    prods = extracted.withColumn(
+        "_p", extract_products_udf(F.col("extracted_text"), F.col("tipo_iva"))
+    )
+    return prods.select(
+        "url",
+        "tipo_documento",
+        F.posexplode_outer("_p").alias("_pos", "producto"),
+    ).select(
+        "url",
+        "tipo_documento",
+        F.col("producto.*"),
+    ).filter(F.col("linea_numero").isNotNull())
 
 
 def with_salt_bucket(df: DataFrame, n_buckets: int = 256, url_col: str = "url") -> DataFrame:
