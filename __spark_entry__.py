@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from facturas_spark.analytics import dedup as D
+from facturas_spark.analytics import master as M
 from facturas_spark.analytics import queries as Q
 
 
@@ -60,6 +61,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "txt_langid": D.txt_langid,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
+        "txt_bpe_token_stats": D.txt_bpe_token_stats,
+        "ann_lsh_buckets": D.ann_lsh_buckets,
+        "master_products": M.master_products,
+        "supplier_dim": M.supplier_dim,
+        "price_history_append": M.price_history_append,
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
@@ -308,6 +317,113 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.01
             ORDER BY id1, id2
+        """,
+        "dedup_simhash": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> ''),
+                       t -> md5(t)) AS hashes
+              FROM documents WHERE doc_id < 60
+            )
+            SELECT doc_id,
+                   {" + ".join(f"(CASE WHEN 2 * len(list_filter(hashes, h -> substr(h, {k + 1}, 1) IN ('8','9','a','b','c','d','e','f'))) > len(hashes) THEN {1 << k} ELSE 0 END)" for k in range(16))}
+                   AS simhash
+            FROM w WHERE len(hashes) > 0
+            ORDER BY doc_id
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 80)
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   ROUND(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(
+                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                  4) >= 0.2
+            ORDER BY id1, id2
+        """,
+        "txt_fingerprint_rolling": """
+            WITH c AS (
+              SELECT doc_id,
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         range(1, length(lower(regexp_replace(COALESCE(text,''), '\\s+', ' ', 'g'))) + 1),
+                         i -> CAST(ascii(substr(lower(regexp_replace(COALESCE(text,''), '\\s+', ' ', 'g')), i, 1)) AS BIGINT)))
+                     AS codes
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id,
+                   list_reduce(codes, (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+            FROM c ORDER BY doc_id
+        """,
+        "txt_bpe_token_stats": """
+            SELECT lang,
+                   SUM(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))) AS total_tokens,
+                   ROUND(AVG(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))), 2) AS avg_tokens,
+                   COUNT(*) AS docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "ann_lsh_buckets": f"""
+            SELECT {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))} AS bucket,
+                   COUNT(*) AS vectors
+            FROM embeddings
+            GROUP BY 1 ORDER BY bucket
+        """,
+        "master_products": """
+            WITH ranked AS (
+              SELECT l_partkey, l_extendedprice,
+                     ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn_desc,
+                     LAG(l_extendedprice) OVER (PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev
+              FROM lineitem WHERE l_partkey <= 500
+            ), last AS (
+              SELECT l_partkey,
+                     ROUND(l_extendedprice, 2) AS precio_ultimo,
+                     ROUND((l_extendedprice - prev) / prev * 100, 2) AS variacion_pct
+              FROM ranked WHERE rn_desc = 1
+            ), hist AS (
+              SELECT l_partkey,
+                     ROUND(MIN(l_extendedprice), 2) AS precio_minimo_historico,
+                     ROUND(MAX(l_extendedprice), 2) AS precio_maximo_historico,
+                     ROUND(AVG(l_extendedprice), 2) AS precio_promedio,
+                     COUNT(*) AS numero_compras
+              FROM lineitem WHERE l_partkey <= 500 GROUP BY l_partkey
+            )
+            SELECT hist.*, last.precio_ultimo, last.variacion_pct
+            FROM hist JOIN last USING (l_partkey)
+            ORDER BY l_partkey
+        """,
+        "supplier_dim": """
+            SELECT s_suppkey, s_name, n_name,
+                   COUNT(*) AS num_lineas,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS facturacion,
+                   CAST(MIN(l_shipdate) AS DATE) AS primera_venta,
+                   CAST(MAX(l_shipdate) AS DATE) AS ultima_venta
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY s_suppkey, s_name, n_name
+            ORDER BY facturacion DESC, s_suppkey
+            LIMIT 50
+        """,
+        "price_history_append": """
+            SELECT l_partkey,
+                   CAST(l_shipdate AS DATE) AS fecha_compra,
+                   ROUND(l_extendedprice, 2) AS precio,
+                   ROUND(l_extendedprice - LAG(l_extendedprice) OVER (
+                     PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber), 2) AS delta_precio,
+                   l_orderkey, l_linenumber
+            FROM lineitem WHERE l_partkey <= 50
+            ORDER BY l_partkey, fecha_compra, l_orderkey, l_linenumber
         """,
         "txt_langid": """
             WITH w AS (

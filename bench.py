@@ -66,13 +66,25 @@ def _bench_extraction(spark, n_docs: int) -> tuple[float, int]:
     return dt, n
 
 
+def _warm_workers(spark) -> None:
+    """Warm the JVM (codegen) and one Python/Arrow worker per core so the
+    first UDF query doesn't pay 32x cold-start (~0.7 s/worker import cost)."""
+    from pyspark.sql.functions import col, lit
+
+    from facturas_spark.extraction.udf import extract_doc_udf
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(0, CPUS * 4, 1, CPUS).select(
+        extract_doc_udf(lit(None).cast("binary"), col("id").cast("string"))
+    ).count()
+
+
 def run_suite() -> dict:
     import __spark_entry__ as em
     from facturas_spark.session import get_spark
 
     spark = get_spark("bench", cores=CPUS)
-    # warm the JVM + Python workers once so per-query numbers are steady-state
-    spark.range(1000).selectExpr("sum(id)").collect()
+    _warm_workers(spark)
 
     timings: dict[str, float] = {}
     t_suite0 = time.perf_counter()
@@ -111,7 +123,7 @@ def run_scaling() -> dict:
     results = {}
     for cores in (lo, hi):
         spark = get_spark(f"bench-scale-{cores}", cores=cores)
-        spark.range(1000).selectExpr("sum(id)").collect()
+        _warm_workers(spark)
         sec, docs = _bench_extraction(spark, N_BENCH_DOCS)
         # second run to exclude first-touch effects; keep the faster
         sec2, _ = _bench_extraction(spark, N_BENCH_DOCS)

@@ -162,6 +162,121 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprints over documents (doc_id < 60).
+
+    Portable bit family: bit_k of token = 1 iff hex char k of md5(token) is
+    in [8..f] (each nibble's MSB is a fair coin). simhash bit_k = majority
+    vote over tokens; emitted as an integer. Identical in DuckDB.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    words = _words(F.col("text"))
+    hashes = F.transform(words, lambda w: F.md5(w))
+    n = F.size(hashes)
+    bits = []
+    for k in range(N_SIMHASH_BITS):
+        pos = k + 1
+        votes = F.size(
+            F.filter(
+                hashes,
+                lambda h: F.substring(h, pos, 1).isin(*"89abcdef"),
+            )
+        )
+        bits.append(F.when(votes * 2 > n, F.lit(1 << k)).otherwise(F.lit(0)))
+    simhash = sum(bits[1:], bits[0])
+    return (
+        docs.select("doc_id", simhash.alias("simhash"))
+        .filter(F.size(words) > 0)
+        .orderBy("doc_id")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: vector pairs (id<80, id1<id2) with
+    cosine >= 0.2 — the semantic-dedup primitive over array<float>.
+    JVM-side aggregate/zip_with; brute-force quadratic on the small window
+    (the scale path is LSH-bucketing, see ann_lsh_buckets)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, a.id1 < b.id2)
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    cos = dot / (norm(F.col("e1")) * norm(F.col("e2")))
+    return (
+        pairs.select("id1", "id2", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+        .orderBy("id1", "id2")
+    )
+
+
+def txt_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via polynomial rolling hash of the normalized
+    text: fold (acc*31 + ascii(char)) % 1000000007 over characters.
+    Order-sensitive (unlike the md5 fingerprint in dedup_exact)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    norm = F.lower(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " "))
+    chars = F.split(norm, "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer: word pieces + standalone punctuation
+    (`[a-z0-9]+|[^a-z0-9\\s]`) over lowered text — the LLM-pretraining
+    token-count estimator; per-lang totals."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce("text", F.lit(""))),
+            F.lit(r"([a-z0-9]+|[^a-z0-9\s])"),
+            1,
+        )
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg(toks), 2).alias("avg_tokens"),
+            F.count("*").alias("docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN scale path: 8-bit sign bucket over the first 8
+    embedding dims (axis-aligned hyperplanes — deterministic and portable).
+    At scale, top-k search probes only the query's bucket (+neighbors),
+    turning the brute-force O(N) scan into O(N/256). Output: bucket
+    occupancy histogram (the candidate-reduction evidence)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("vectors"))
+        .orderBy("bucket")
+    )
+
+
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (n-gram-heuristic family): counts of
     language-marker tokens -> argmax guess; confusion counts vs the lang

@@ -271,11 +271,11 @@ def products_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dogfood path, rows-only check (per-doc sequential P3-P15 pipeline
     is not oracle-SQL-expressible): synth pages -> extract -> product lines
     -> per-category aggregate."""
-    from facturas_spark.pipeline import extract_pages, extract_products_table
+    from facturas_spark.pipeline import extract_pages_full, extract_products_table
     from facturas_spark.synth import PAGES_SCHEMA_DDL, corpus_rows
 
     pages = spark.createDataFrame(corpus_rows(300, seed=42), PAGES_SCHEMA_DDL)
-    prods = extract_products_table(extract_pages(pages))
+    prods = extract_products_table(extract_pages_full(pages))
     return (
         prods.groupBy("categoria")
         .agg(
@@ -294,17 +294,18 @@ def cotejo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import date
 
     from facturas_spark.matching.cotejo import run_cotejo
-    from facturas_spark.pipeline import extract_pages, extract_products_table
+    from facturas_spark.pipeline import extract_pages_full, extract_products_table
     from facturas_spark.synth import PAGES_SCHEMA_DDL, corpus_rows
 
     pages = spark.createDataFrame(corpus_rows(300, seed=42), PAGES_SCHEMA_DDL)
-    ext = extract_pages(pages).persist()
+    ext = extract_pages_full(pages).persist()
+    ext.count()  # materialize the (expensive) UDF lineage exactly once
     prods = (
         extract_products_table(ext)
         .groupBy("url")
         .agg(F.collect_list("descripcion_original").alias("productos"))
     )
-    docs = ext.join(prods, "url", "left").withColumn(
+    docs = ext.drop("productos").join(prods, "url", "left").withColumn(
         "productos", F.coalesce("productos", F.array())
     )
     facturas = docs.filter(F.col("tipo_documento") == "factura").select(

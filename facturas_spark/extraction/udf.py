@@ -29,10 +29,12 @@ from facturas_spark.extraction.textparse import classify_document, extract_field
 __all__ = [
     "EXTRACTED_SCHEMA",
     "PRODUCT_SCHEMA",
+    "FULL_SCHEMA",
     "extract_fields_udf",
     "main_text_udf",
     "classify_udf",
     "extract_products_udf",
+    "extract_doc_udf",
 ]
 
 EXTRACTED_SCHEMA = StructType(
@@ -135,6 +137,59 @@ PRODUCT_SCHEMA = StructType(
 )
 
 _PRODUCT_COLS = [f.name for f in PRODUCT_SCHEMA.fields]
+
+
+# The fused per-document kernel: ONE Python eval node for the whole doc
+# pipeline. Chained dependent pandas UDFs each become a separate
+# PythonEvalExec with its own worker per task — at 32 tasks x 4 chained UDFs
+# that's 128 concurrent Python workers and 4 Arrow round-trips per row.
+# Fusing keeps it at one worker per task and one Arrow transfer.
+FULL_SCHEMA = StructType(
+    [
+        StructField("extracted_text", StringType()),
+        StructField("tipo_documento", StringType()),
+        StructField("confianza_clasificacion", DoubleType()),
+        *EXTRACTED_SCHEMA.fields,
+        StructField("productos", ArrayType(PRODUCT_SCHEMA)),
+    ]
+)
+
+_PRODUCT_COLS_FUSED = [f.name for f in PRODUCT_SCHEMA.fields]
+
+
+@pandas_udf(FULL_SCHEMA)
+def extract_doc_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Fused doc pipeline: boilerplate strip -> classify -> field extraction
+    -> line-item extraction, one Python pass per batch."""
+    from facturas_spark.extraction.products import extract_products
+
+    rows = []
+    for h, t in zip(html, text):
+        doc_text = t if isinstance(t, str) and t else extract_main_text(h)
+        tipo, conf, _ = classify_document(doc_text)
+        f = extract_fields(doc_text)
+        prods = extract_products(doc_text, f.tipo_iva)
+        rows.append(
+            (
+                doc_text,
+                tipo,
+                conf,
+                f.proveedor_nombre,
+                f.proveedor_cif,
+                f.numero_factura,
+                f.fecha_factura,
+                f.total_factura,
+                f.base_imponible,
+                f.cuota_iva,
+                f.tipo_iva,
+                f.confianza_global,
+                f.confianza_proveedor,
+                f.confianza_datos_fiscales,
+                f.confianza_importes,
+                [tuple(p.get(c) for c in _PRODUCT_COLS_FUSED) for p in prods],
+            )
+        )
+    return pd.DataFrame(rows, columns=[fld.name for fld in FULL_SCHEMA.fields])
 
 
 @pandas_udf(ArrayType(PRODUCT_SCHEMA))

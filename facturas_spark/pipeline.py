@@ -25,14 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from facturas_spark.extraction.udf import (
-    classify_udf,
-    extract_fields_udf,
-    extract_products_udf,
-    main_text_udf,
-)
+from facturas_spark.extraction.udf import extract_doc_udf
 
 __all__ = [
+    "extract_pages_full",
     "extract_pages",
     "extract_products_table",
     "with_salt_bucket",
@@ -40,48 +36,37 @@ __all__ = [
 ]
 
 
+def extract_pages_full(pages: DataFrame) -> DataFrame:
+    """Run the full extraction over a pages DataFrame — ONE fused Arrow UDF
+    (boilerplate strip -> classify -> fields -> line items), one Python eval
+    node, zero shuffles.
+
+    Returns one row per input page: url, warc_ts, lang, extracted_text,
+    tipo_documento, confianza_clasificacion, the 12 field columns, and the
+    ``productos`` array<struct> (explode via extract_products_table)."""
+    return pages.withColumn(
+        "_d", extract_doc_udf(F.col("html"), F.col("text"))
+    ).select("url", "warc_ts", "lang", F.col("_d.*"))
+
+
 def extract_pages(pages: DataFrame) -> DataFrame:
-    """Run the full extraction over a pages DataFrame.
-
-    Returns one row per input page with columns:
-    url, warc_ts, lang, extracted_text, tipo_documento,
-    confianza_clasificacion, + the 12 extracted field columns (flattened).
-    """
-    out = (
-        pages
-        .withColumn("extracted_text", main_text_udf(F.col("html"), F.col("text")))
-        .withColumn("_cls", classify_udf(F.col("extracted_text")))
-        .withColumn("_f", extract_fields_udf(F.col("extracted_text")))
-        .select(
-            "url",
-            "warc_ts",
-            "lang",
-            "extracted_text",
-            F.col("_cls.tipo_documento").alias("tipo_documento"),
-            F.col("_cls.confianza_clasificacion").alias("confianza_clasificacion"),
-            F.col("_f.*"),
-        )
-    )
-    return out
+    """Header-fields view of :func:`extract_pages_full` (no product array)."""
+    return extract_pages_full(pages).drop("productos")
 
 
-def extract_products_table(extracted: DataFrame) -> DataFrame:
+def extract_products_table(extracted_full: DataFrame) -> DataFrame:
     """Line-item child table: posexplode of the per-doc product array
-    (SURVEY §2.4). Input is :func:`extract_pages` output (needs
-    extracted_text + tipo_iva). Still a single stage — the UDF + explode
-    pipeline over the same partitioning; one row per product line."""
-    prods = extracted.withColumn(
-        "_p", extract_products_udf(F.col("extracted_text"), F.col("tipo_iva"))
+    (SURVEY §2.4). Input is :func:`extract_pages_full` output (carries the
+    ``productos`` column); one row per product line, still shuffle-free."""
+    return (
+        extracted_full.select(
+            "url",
+            "tipo_documento",
+            F.posexplode_outer("productos").alias("_pos", "producto"),
+        )
+        .select("url", "tipo_documento", F.col("producto.*"))
+        .filter(F.col("linea_numero").isNotNull())
     )
-    return prods.select(
-        "url",
-        "tipo_documento",
-        F.posexplode_outer("_p").alias("_pos", "producto"),
-    ).select(
-        "url",
-        "tipo_documento",
-        F.col("producto.*"),
-    ).filter(F.col("linea_numero").isNotNull())
 
 
 def with_salt_bucket(df: DataFrame, n_buckets: int = 256, url_col: str = "url") -> DataFrame:

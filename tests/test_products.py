@@ -227,11 +227,11 @@ def test_extract_products_values():
 
 
 def test_extract_products_table_spark(spark):
-    from facturas_spark.pipeline import extract_pages, extract_products_table
+    from facturas_spark.pipeline import extract_pages_full, extract_products_table
     from facturas_spark.synth import PAGES_SCHEMA_DDL, corpus_rows
 
     df = spark.createDataFrame(corpus_rows(40, seed=42), PAGES_SCHEMA_DDL)
-    prods = extract_products_table(extract_pages(df))
+    prods = extract_products_table(extract_pages_full(df))
     rows = prods.collect()
     assert len(rows) > 40  # multiple lines per invoice
     assert {"url", "categoria", "cantidad", "precio_unitario_sin_iva"} <= set(
