@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
+        "ocr_layout_extraction": Q.ocr_layout_extraction,
     }
 
 

@@ -11,6 +11,7 @@ Reference citations per query are in each docstring.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -328,6 +329,71 @@ def cotejo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("categoria_enlace", "metodo")
         .agg(F.count("*").alias("pares"), F.round(F.avg("score"), 4).alias("score_medio"))
         .orderBy("categoria_enlace", "metodo")
+    )
+
+
+def ocr_layout_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-layout path, rows-only check: synthetic Document-AI-style docs ->
+    byte-identical span reconstruction (T1), layout walk (T3), table product
+    extraction (P1), y-cluster row rebuild — aggregated counts per doc."""
+    from pyspark.sql.functions import pandas_udf
+
+    from facturas_spark.extraction.ocr import OCR_DOC_DDL
+    from facturas_spark.synth import ocr_rows
+
+    df = spark.createDataFrame(ocr_rows(60, seed=42), OCR_DOC_DDL)
+
+    @pandas_udf(
+        "n_elements int, n_products int, n_rows int, spans_ok boolean"
+    )
+    def kernel(text: pd.Series, pages: pd.Series) -> pd.DataFrame:
+        from facturas_spark.extraction.ocr import (
+            extract_table_products,
+            reconstruct_rows_from_tokens,
+            walk_layout,
+        )
+
+        out = []
+        for t, ps in zip(text, pages):
+            pages_py = [
+                {
+                    "page_no": p["page_no"],
+                    "width": p["width"],
+                    "height": p["height"],
+                    "tokens": [dict(tok.asDict()) if hasattr(tok, "asDict") else dict(tok) for tok in p["tokens"]],
+                    "lines": [dict(x.asDict()) if hasattr(x, "asDict") else dict(x) for x in p["lines"]],
+                    "blocks": [dict(x.asDict()) if hasattr(x, "asDict") else dict(x) for x in p["blocks"]],
+                    "tables": [
+                        {
+                            "header_cells": [dict(c.asDict()) if hasattr(c, "asDict") else dict(c) for c in tb["header_cells"]],
+                            "body_rows": [
+                                [dict(c.asDict()) if hasattr(c, "asDict") else dict(c) for c in row]
+                                for row in tb["body_rows"]
+                            ],
+                        }
+                        for tb in (p["tables"] or [])
+                    ],
+                }
+                for p in ps
+            ]
+            els = walk_layout(t, pages_py)
+            prods = extract_table_products(t, pages_py)
+            rows = reconstruct_rows_from_tokens(t, pages_py[0])
+            spans_ok = all(e["texto"] == e["texto"].strip() and e["texto"] for e in els)
+            out.append((len(els), len(prods), len(rows), spans_ok))
+        return pd.DataFrame(
+            out, columns=["n_elements", "n_products", "n_rows", "spans_ok"]
+        )
+
+    from pyspark.sql import functions as FF
+
+    res = df.select("url", kernel("text", "pages").alias("k")).select("url", "k.*")
+    return res.agg(
+        FF.count("*").alias("docs"),
+        FF.sum("n_elements").alias("total_elements"),
+        FF.sum("n_products").alias("total_products"),
+        FF.sum("n_rows").alias("total_rows"),
+        FF.sum(FF.when(FF.col("spans_ok"), 1).otherwise(0)).alias("docs_spans_ok"),
     )
 
 

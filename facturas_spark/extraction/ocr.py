@@ -1,0 +1,318 @@
+"""OCR-layout extraction layer (SURVEY §2.2 T1-T3, §2.3 F13/F14, §2.4 P1).
+
+Operates on the ``ocr_doc`` shape from FIXTURES.md §3 (Document-AI-style):
+flat ``text`` + per-page token/line/block offset+box arrays + tables. The
+per-document kernel is pure Python (batched via one Arrow UDF); the
+byte-identical invariant is ``text[start:end]`` concatenation per span
+(T1, getTextFromAnchor — process-invoice/index.ts:1738-1809).
+
+Reference semantics (studied, not copied):
+- layout walk + confidence priors   process-invoice/index.ts:1122-1165
+  (blocks 0.7 / paragraphs 0.75 / lines 0.85 / tokens 0.9)
+- table extraction P1               :2043-2130 (header regex binding:
+  cantidad/uds, descripcion/concepto/articulo, precio/importe/total,
+  codigo/ref; body row -> product if len(desc)>2 and price>0; conf 0.9)
+- form-field mapper F13             :461-670 (normalized name routing,
+  max-confidence merge, derive cuota+tipo from base & total)
+- entity mapper F14                 :673-863 (type-synonym routing,
+  rejects date-shaped invoice numbers, confianza = mean of 3 floor 0.3)
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from datetime import date
+
+from facturas_spark.extraction.spans import cluster_rows, text_from_segments
+from facturas_spark.extraction.textparse import js_round2, parse_spanish_amount
+
+__all__ = [
+    "OCR_DOC_DDL",
+    "walk_layout",
+    "extract_table_products",
+    "map_form_fields",
+    "map_entities",
+    "reconstruct_rows_from_tokens",
+]
+
+_SPAN_DDL = "array<struct<start: long, end: long, x: double, y: double, w: double, h: double, conf: double>>"
+OCR_DOC_DDL = (
+    "url string, text string, pages array<struct<"
+    "page_no: int, width: double, height: double, "
+    f"tokens: {_SPAN_DDL}, lines: {_SPAN_DDL}, blocks: {_SPAN_DDL}, "
+    "tables: array<struct<"
+    "  header_cells: array<struct<start: long, end: long>>, "
+    "  body_rows: array<array<struct<start: long, end: long>>>>>"
+    ">>"
+)
+
+_KIND_PRIORS = {"blocks": 0.7, "paragraphs": 0.75, "lines": 0.85, "tokens": 0.9}
+
+
+def walk_layout(text: str, pages: list[dict]) -> list[dict]:
+    """T3: emit one element per layout container with byte-identical span
+    text, pixel coords, and the reference's per-kind confidence prior.
+    Element ids follow the reference shape ``pagina_{p}_{kind}_{i}``."""
+    elements: list[dict] = []
+    for p, page in enumerate(pages or []):
+        for kind in ("blocks", "lines", "tokens"):
+            for i, el in enumerate(page.get(kind) or []):
+                span_text = text_from_segments(text, [(el.get("start"), el.get("end"))])
+                if not span_text:
+                    continue
+                elements.append(
+                    {
+                        "id": f"pagina_{p + 1}_{kind}_{i}",
+                        "page_no": page.get("page_no", p + 1),
+                        "kind": kind,
+                        "texto": span_text,
+                        "x": el.get("x"),
+                        "y": el.get("y"),
+                        "w": el.get("w"),
+                        "h": el.get("h"),
+                        "conf": _KIND_PRIORS[kind],
+                    }
+                )
+    return elements
+
+
+_HDR_CANTIDAD = re.compile(r"cant|uds|unid", re.IGNORECASE)
+_HDR_DESC = re.compile(r"desc|concepto|art[ií]culo|producto", re.IGNORECASE)
+_HDR_PRECIO = re.compile(r"precio|importe|total", re.IGNORECASE)
+_HDR_CODIGO = re.compile(r"c[oó]d|ref|sku", re.IGNORECASE)
+
+
+def extract_table_products(text: str, pages: list[dict]) -> list[dict]:
+    """P1: per table — bind columns by fuzzy header regex, emit one product
+    per body row when description len > 2 and price > 0; confidence 0.9."""
+    productos: list[dict] = []
+    for page in pages or []:
+        for table in page.get("tables") or []:
+            headers = [
+                text_from_segments(text, [(c.get("start"), c.get("end"))])
+                for c in (table.get("header_cells") or [])
+            ]
+            col_cantidad = col_desc = col_precio = col_codigo = None
+            for idx, h in enumerate(headers):
+                if col_cantidad is None and _HDR_CANTIDAD.search(h):
+                    col_cantidad = idx
+                elif col_desc is None and _HDR_DESC.search(h):
+                    col_desc = idx
+                elif col_precio is None and _HDR_PRECIO.search(h):
+                    col_precio = idx
+                elif col_codigo is None and _HDR_CODIGO.search(h):
+                    col_codigo = idx
+            if col_desc is None:
+                continue
+            for row in table.get("body_rows") or []:
+                cells = [
+                    text_from_segments(text, [(c.get("start"), c.get("end"))])
+                    for c in row
+                ]
+
+                def cell(idx):
+                    return cells[idx] if idx is not None and idx < len(cells) else ""
+
+                desc = cell(col_desc)
+                precio = parse_spanish_amount(cell(col_precio)) if col_precio is not None else None
+                if len(desc) > 2 and precio is not None and precio > 0:
+                    cantidad = parse_spanish_amount(cell(col_cantidad)) if col_cantidad is not None else None
+                    productos.append(
+                        {
+                            "linea_numero": len(productos) + 1,
+                            "descripcion_original": desc,
+                            "cantidad": cantidad if cantidad and cantidad > 0 else 1.0,
+                            "precio_total_linea_sin_iva": precio,
+                            "codigo_producto": cell(col_codigo) or None,
+                            "confianza_linea": 0.9,
+                        }
+                    )
+    return productos
+
+
+_CIF_STRICT = re.compile(r"^[A-Z]\d{8}[A-Z0-9]?$")
+_CIF_NIF = re.compile(r"^\d{8}[A-Z]$")
+_NAME_CLEAN = re.compile(r"[\n\r\:\.\s]")
+_CRLF = re.compile(r"[\n\r]")
+_WSP = re.compile(r"\s+")
+
+
+def map_form_fields(
+    fields: list[tuple[str, str, float]], extracted: dict | None = None
+) -> dict:
+    """F13: route (field_name, field_value, confidence) tuples into the
+    extracted-fields dict, exact elif order of the reference; then derive
+    cuota + tipo from base & total (index.ts:659-666)."""
+    d = extracted if extracted is not None else {}
+    d.setdefault("proveedor_nombre", None)
+    d.setdefault("proveedor_cif", None)
+    d.setdefault("numero_factura", None)
+    d.setdefault("fecha_factura", None)
+    d.setdefault("total_factura", 0.0)
+    d.setdefault("base_imponible", 0.0)
+    d.setdefault("cuota_iva", 0.0)
+    d.setdefault("tipo_iva", 0)
+    d.setdefault("confianza_proveedor", 0.0)
+    d.setdefault("confianza_datos_fiscales", 0.0)
+    d.setdefault("confianza_importes", 0.0)
+
+    for field_name, field_value, confidence in fields:
+        name = _NAME_CLEAN.sub("", (field_name or "").lower().strip())
+        value = _CRLF.sub("", (field_value or "").strip())
+
+        if "fecha" in name and "vto" not in name:
+            if value and len(value) >= 8:
+                parts = value.split("/")
+                if len(parts) == 3:
+                    try:
+                        dia, mes, anio = parts
+                        d["fecha_factura"] = date(int(anio), int(mes), int(dia))
+                        d["confianza_datos_fiscales"] = max(
+                            d["confianza_datos_fiscales"], confidence
+                        )
+                    except (ValueError, TypeError):
+                        pass
+        elif "factura" in name or "nºdefactura" in name or "numerofactura" in name:
+            if value:
+                d["numero_factura"] = _WSP.sub("", value)
+                d["confianza_datos_fiscales"] = max(
+                    d["confianza_datos_fiscales"], confidence
+                )
+        elif "nif" in name or "cif" in name:
+            if value and len(value) >= 8:
+                cleaned = re.sub(r"[\s\-\.]", "", value).upper()
+                if _CIF_STRICT.match(cleaned) or _CIF_NIF.match(cleaned):
+                    d["proveedor_cif"] = cleaned
+                    d["confianza_datos_fiscales"] = max(
+                        d["confianza_datos_fiscales"], confidence
+                    )
+        elif "totalfactura" in name or "totalapagar" in name:
+            amt = parse_spanish_amount(value) if value else None
+            if amt and amt > 0:
+                d["total_factura"] = amt
+                d["confianza_importes"] = max(d["confianza_importes"], confidence)
+        elif "totalconceptos" in name or "base" in name or "subtotal" in name:
+            amt = parse_spanish_amount(value) if value else None
+            if amt and amt > 0:
+                d["base_imponible"] = amt
+                d["confianza_importes"] = max(d["confianza_importes"], confidence)
+        elif "totalliquido" in name:
+            amt = parse_spanish_amount(value) if value else None
+            if amt and amt > 0 and d["total_factura"] == 0:
+                d["total_factura"] = amt
+                d["confianza_importes"] = max(d["confianza_importes"], confidence)
+        elif "identificacioncliente" in name:
+            if value and len(value) > 10:
+                # NB: reference splits the *cleaned* value (CR/LF already
+                # stripped), so multi-line detection needs the raw value —
+                # we follow the reference and split the raw field_value
+                lines = [ln for ln in (field_value or "").split("\n") if ln.strip()]
+                if len(lines) >= 2 and len(lines[1]) > 5:
+                    d["proveedor_nombre"] = lines[1].strip()
+                    d["confianza_proveedor"] = max(
+                        d["confianza_proveedor"], confidence
+                    )
+
+    if d["base_imponible"] > 0 and d["total_factura"] > 0:
+        d["cuota_iva"] = js_round2(d["total_factura"] - d["base_imponible"])
+        if d["cuota_iva"] > 0:
+            d["tipo_iva"] = int(
+                math.floor(d["cuota_iva"] / d["base_imponible"] * 100 + 0.5)
+            )
+    return d
+
+
+_DATE_SHAPED = re.compile(r"^\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4}$")
+
+_ENTITY_SYNONYMS = {
+    "proveedor_nombre": {"supplier_name", "supplier", "proveedor", "vendor", "remit_to_name"},
+    "proveedor_cif": {"supplier_tax_id", "cif", "nif", "vat", "tax_id"},
+    "numero_factura": {"invoice_id", "invoice_number", "numero_factura", "factura"},
+    "fecha_factura": {"invoice_date", "fecha", "date", "fecha_factura"},
+    "total_factura": {"total_amount", "total", "importe_total", "amount_due"},
+    "base_imponible": {"net_amount", "base_imponible", "subtotal"},
+    "cuota_iva": {"total_tax_amount", "vat_amount", "iva"},
+}
+
+
+def map_entities(entities: list[tuple[str, str, float]]) -> dict:
+    """F14: Document-AI entity (type, mention_text, confidence) routing via
+    ES+EN synonym sets; rejects date-shaped invoice numbers; confianza_global
+    = mean of the three sub-confidences, floored at 0.3
+    (process-invoice/index.ts:673-863, semantics-level)."""
+    d: dict = {
+        "proveedor_nombre": None,
+        "proveedor_cif": None,
+        "numero_factura": None,
+        "fecha_factura": None,
+        "total_factura": 0.0,
+        "base_imponible": 0.0,
+        "cuota_iva": 0.0,
+        "confianza_proveedor": 0.0,
+        "confianza_datos_fiscales": 0.0,
+        "confianza_importes": 0.0,
+    }
+    from facturas_spark.extraction.textparse import parse_spanish_date
+
+    for etype, mention, conf in entities:
+        t = (etype or "").lower().strip()
+        v = (mention or "").strip()
+        if not v:
+            continue
+        if t in _ENTITY_SYNONYMS["proveedor_nombre"]:
+            d["proveedor_nombre"] = v
+            d["confianza_proveedor"] = max(d["confianza_proveedor"], conf)
+        elif t in _ENTITY_SYNONYMS["proveedor_cif"]:
+            d["proveedor_cif"] = re.sub(r"[\s\-\.]", "", v).upper()
+            d["confianza_datos_fiscales"] = max(d["confianza_datos_fiscales"], conf)
+        elif t in _ENTITY_SYNONYMS["numero_factura"]:
+            if not _DATE_SHAPED.match(v):  # reject date-shaped numbers
+                d["numero_factura"] = v
+                d["confianza_datos_fiscales"] = max(d["confianza_datos_fiscales"], conf)
+        elif t in _ENTITY_SYNONYMS["fecha_factura"]:
+            parsed = parse_spanish_date(v)
+            if parsed is not None:
+                d["fecha_factura"] = parsed
+                d["confianza_datos_fiscales"] = max(d["confianza_datos_fiscales"], conf)
+        elif t in _ENTITY_SYNONYMS["total_factura"]:
+            amt = parse_spanish_amount(v)
+            if amt and amt > 0:
+                d["total_factura"] = amt
+                d["confianza_importes"] = max(d["confianza_importes"], conf)
+        elif t in _ENTITY_SYNONYMS["base_imponible"]:
+            amt = parse_spanish_amount(v)
+            if amt and amt > 0:
+                d["base_imponible"] = amt
+                d["confianza_importes"] = max(d["confianza_importes"], conf)
+        elif t in _ENTITY_SYNONYMS["cuota_iva"]:
+            amt = parse_spanish_amount(v)
+            if amt and amt > 0:
+                d["cuota_iva"] = amt
+                d["confianza_importes"] = max(d["confianza_importes"], conf)
+    d["confianza_global"] = max(
+        0.3,
+        (d["confianza_proveedor"] + d["confianza_datos_fiscales"] + d["confianza_importes"]) / 3,
+    )
+    return d
+
+
+def reconstruct_rows_from_tokens(
+    text: str, page: dict, eps: float | None = None
+) -> list[str]:
+    """P1 generalization: rebuild visual text rows from raw token boxes via
+    y-clustering (spans.cluster_rows), joining tokens left-to-right with a
+    single space. eps defaults to page_height/140 (~half a text line)."""
+    tokens = page.get("tokens") or []
+    if eps is None:
+        eps = float(page.get("height") or 842.0) / 140.0
+    rows = cluster_rows(tokens, eps=eps)
+    out = []
+    for row in rows:
+        texts = [
+            text_from_segments(text, [(t.get("start"), t.get("end"))]) for t in row
+        ]
+        joined = " ".join(t for t in texts if t)
+        if joined:  # rows made only of invalid-span tokens render empty -> drop
+            out.append(joined)
+    return out

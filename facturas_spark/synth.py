@@ -266,6 +266,151 @@ def gen_corpus_slice(ids, seed: int = 42, **kw) -> list[tuple]:
     return out
 
 
+def synth_ocr_doc(i: int, seed: int = 42) -> dict:
+    """One deterministic Document-AI-style ocr_doc (FIXTURES.md §3 shape).
+
+    Lays words on a row grid: token spans index into the flat text
+    (byte-identical invariant), boxes on a 1681x2379 page (the reference
+    fixture's dims), one line/block per row, one products table. Includes
+    the edge cases FIXTURES.md names: an out-of-bounds trailing segment
+    (must be dropped by T1) and jittered y coords (y-clustering must still
+    rebuild rows).
+    """
+    rng = random.Random(f"ocr:{seed}:{i}")
+    width, height = 1681.0, 2379.0
+    row_h = 40.0
+    supplier, cif_letter = _SUPPLIERS[rng.randrange(len(_SUPPLIERS))]
+    cif = f"{cif_letter}{rng.randrange(10_000_000, 99_999_999)}"
+    numero = str(rng.randrange(100, 99_999))
+    d = date(2024, 1, 1) + timedelta(days=rng.randrange(0, 700))
+
+    rows_words: list[list[str]] = [
+        supplier.split(" "),
+        ["CIF:", cif],
+        ["FACTURA", "Nº", numero],
+        ["FECHA", f"{d.day:02d}/{d.month:02d}/{d.year}"],
+        ["CODIGO", "DESCRIPCION", "CANTIDAD", "PRECIO"],
+    ]
+    n_prods = rng.randrange(2, 5)
+    prod_rows = []
+    for k in range(n_prods):
+        pname, _unit = _PRODUCTS[rng.randrange(len(_PRODUCTS))]
+        code = f"P{rng.randrange(1000, 9999)}"
+        qty = f"{rng.randrange(1, 9)},{rng.randrange(10, 99)}"
+        price = f"{rng.randrange(2, 80)},{rng.randrange(10, 99)}"
+        prod_rows.append((code, pname, qty, price))
+        rows_words.append([code, *pname.split(" "), qty, price])
+
+    # flat text + token offsets
+    text_parts: list[str] = []
+    tokens = []
+    lines = []
+    blocks = []
+    table_cells: dict[tuple[int, int], tuple[int, int]] = {}  # (row, col)->span
+    pos = 0
+    for r, words in enumerate(rows_words):
+        row_start = pos
+        x = 60.0
+        y = 80.0 + r * row_h + rng.uniform(-3.0, 3.0)  # jitter for clustering
+        col_idx = 0
+        word_spans = []
+        for w_i, w in enumerate(words):
+            start = pos
+            text_parts.append(w)
+            pos += len(w)
+            end = pos
+            text_parts.append(" " if w_i < len(words) - 1 else "\n")
+            pos += 1
+            tokens.append(
+                {
+                    "start": start, "end": end,
+                    "x": x, "y": y, "w": 9.0 * len(w), "h": 28.0,
+                    "conf": 0.97,
+                }
+            )
+            word_spans.append((start, end))
+            x += 9.0 * len(w) + 14.0
+        lines.append(
+            {"start": row_start, "end": pos - 1, "x": 60.0, "y": y, "w": x - 60.0,
+             "h": 28.0, "conf": 0.96}
+        )
+        if r >= 4:  # header + product rows form the table grid
+            if r == 4:
+                for c, span in enumerate(word_spans):
+                    table_cells[(0, c)] = span
+            else:
+                # product rows: code, name words..., qty, price -> 4 cells
+                code_span = word_spans[0]
+                name_span = (word_spans[1][0], word_spans[-3][1])
+                qty_span = word_spans[-2]
+                price_span = word_spans[-1]
+                for c, span in enumerate((code_span, name_span, qty_span, price_span)):
+                    table_cells[(r - 4, c)] = span
+    blocks.append({"start": 0, "end": pos - 1, "x": 50.0, "y": 70.0,
+                   "w": width - 100.0, "h": row_h * len(rows_words), "conf": 0.9})
+    text = "".join(text_parts)
+
+    header_cells = [
+        {"start": table_cells[(0, c)][0], "end": table_cells[(0, c)][1]}
+        for c in range(4)
+    ]
+    body_rows = [
+        [
+            {"start": table_cells[(r, c)][0], "end": table_cells[(r, c)][1]}
+            for c in range(4)
+        ]
+        for r in range(1, n_prods + 1)
+    ]
+    # edge case: an out-of-bounds token T1 must drop
+    tokens.append({"start": 10, "end": len(text) + 50, "x": 0.0, "y": 0.0,
+                   "w": 1.0, "h": 1.0, "conf": 0.1})
+
+    page = {
+        "page_no": 1, "width": width, "height": height,
+        "tokens": tokens, "lines": lines, "blocks": blocks,
+        "tables": [{"header_cells": header_cells, "body_rows": body_rows}],
+    }
+    return {
+        "url": f"https://ocr.example.es/doc/{seed}/{i}",
+        "text": text,
+        "pages": [page],
+        # golden expectations
+        "exp_rows": [" ".join(w) for w in rows_words],
+        "exp_products": [
+            {"codigo": c, "descripcion": n, "cantidad": q, "precio": p}
+            for c, n, q, p in prod_rows
+        ],
+        "exp_cif": cif,
+        "exp_numero": numero,
+        "exp_fecha": d,
+    }
+
+
+def ocr_rows(n_docs: int, seed: int = 42) -> list[tuple]:
+    """Input rows for spark.createDataFrame(rows, OCR_DOC_DDL)."""
+    out = []
+    for i in range(n_docs):
+        doc = synth_ocr_doc(i, seed)
+        pages = [
+            (
+                p["page_no"], p["width"], p["height"],
+                [tuple(t[k] for k in ("start", "end", "x", "y", "w", "h", "conf")) for t in p["tokens"]],
+                [tuple(t[k] for k in ("start", "end", "x", "y", "w", "h", "conf")) for t in p["lines"]],
+                [tuple(t[k] for k in ("start", "end", "x", "y", "w", "h", "conf")) for t in p["blocks"]],
+                [
+                    (
+                        [(c["start"], c["end"]) for c in tb["header_cells"]],
+                        [[(c["start"], c["end"]) for c in row] for row in tb["body_rows"]],
+                    )
+                    for tb in p["tables"]
+                ],
+            )
+            for p in doc["pages"]
+        ]
+        out.append((doc["url"], doc["text"], pages))
+    return out
+
+
 def corpus_rows(n_docs: int, seed: int = 42, **kw) -> list[tuple]:
     """Rows for ``spark.createDataFrame(rows, PAGES_SCHEMA_DDL)`` (input
     columns only, no golden columns)."""
