@@ -1,0 +1,83 @@
+"""Structured Streaming ingestion (SURVEY §1.2 / §7: the reference's
+``cola_procesamiento`` priority-queue table re-expressed as micro-batches).
+
+The reference processes one document per HTTP invocation with a row state
+machine + retry queue (Database_tables:375-415). Here: a file-source stream
+over the pages directory, the SAME fused extraction UDF, an
+``availableNow`` trigger (drain-everything-then-stop = the queue), and a
+checkpoint directory for exactly-once file tracking — re-runs pick up only
+new files, which is the queue's at-least-once retry semantics without row
+mutation.
+
+Also provides a watermarked windowed aggregation (events stream) for the
+late-data path — the streaming counterpart of Q1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from facturas_spark.extraction.udf import extract_doc_udf
+
+__all__ = ["stream_extract_pages", "stream_windowed_events"]
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_extract_pages(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all currently-available page files through the extraction
+    pipeline and stop (availableNow). Checkpointed: a second call processes
+    only files added since the last run."""
+    reader = (
+        spark.readStream.schema(PAGES_DDL)
+        .format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.load(input_dir)
+
+    extracted = pages.withColumn(
+        "_d", extract_doc_udf(F.col("html"), F.col("text"))
+    ).select("url", "warc_ts", "lang", F.col("_d.*")).drop("productos")
+
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_windowed_events(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a streaming events frame
+    (streaming Q1): late rows beyond the watermark are dropped, state is
+    bounded. Returns the streaming DataFrame (caller starts the sink)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("ventana"), "event_type")
+        .agg(
+            F.count("*").alias("eventos"),
+            F.sum("value").alias("total_valor"),
+        )
+        .select(
+            F.col("ventana.start").alias("inicio"),
+            F.col("ventana.end").alias("fin"),
+            "event_type",
+            "eventos",
+            "total_valor",
+        )
+    )
