@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from facturas_spark.analytics import dedup as D
 from facturas_spark.analytics import master as M
+from facturas_spark.analytics import nlsql as N
 from facturas_spark.analytics import queries as Q
 
 
@@ -69,10 +70,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "master_products": M.master_products,
         "supplier_dim": M.supplier_dim,
         "price_history_append": M.price_history_append,
+        "q14_ultima_factura": N.q14_ultima_factura,
+        "q14_facturas_semana": N.q14_facturas_semana,
+        "q14_gasto_mes": N.q14_gasto_mes,
+        "q14_proveedores_activos": N.q14_proveedores_activos,
+        "q14_resumen_anual": N.q14_resumen_anual,
+        "q14_top_proveedores": N.q14_top_proveedores,
+        "q14_productos_categoria": N.q14_productos_categoria,
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
         "ocr_layout_extraction": Q.ocr_layout_extraction,
+        "multimodal_features": Q.multimodal_features,
     }
 
 
@@ -425,6 +434,69 @@ def oracle_sql() -> dict[str, str]:
                    l_orderkey, l_linenumber
             FROM lineitem WHERE l_partkey <= 50
             ORDER BY l_partkey, fecha_compra, l_orderkey, l_linenumber
+        """,
+        "q14_ultima_factura": """
+            WITH a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS hoy FROM orders)
+            SELECT o_orderkey, o_custkey,
+                   CAST(o_orderdate AS DATE) AS fecha_factura,
+                   ROUND(o_totalprice, 2) AS total_factura,
+                   date_diff('day', CAST(o_orderdate AS DATE), a.hoy) AS dias_diferencia
+            FROM orders, a
+            ORDER BY fecha_factura DESC, o_orderkey DESC
+            LIMIT 1
+        """,
+        "q14_facturas_semana": """
+            WITH a AS (SELECT date_trunc('week', MAX(o_orderdate)) AS semana FROM orders)
+            SELECT COUNT(*) AS total_facturas,
+                   ROUND(SUM(o_totalprice), 2) AS total_gastado
+            FROM orders, a
+            WHERE o_orderdate >= a.semana
+        """,
+        "q14_gasto_mes": """
+            WITH a AS (SELECT date_trunc('month', MAX(o_orderdate)) AS mes FROM orders)
+            SELECT ROUND(SUM(o_totalprice), 2) AS total_mes
+            FROM orders, a
+            WHERE date_trunc('month', o_orderdate) = a.mes
+        """,
+        "q14_proveedores_activos": """
+            WITH a AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS hoy FROM lineitem)
+            SELECT s_name,
+                   COUNT(*) AS num_facturas,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_gastado
+            FROM lineitem, a
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE CAST(l_shipdate AS DATE) >= a.hoy - INTERVAL 30 DAY
+            GROUP BY s_name
+            ORDER BY total_gastado DESC, s_name
+        """,
+        "q14_resumen_anual": """
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS anio,
+                   COUNT(*) AS total_facturas,
+                   ROUND(SUM(o_totalprice), 2) AS total_gastado,
+                   ((2 * SUM(CAST(o_totalprice * 100 AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*))) / 100.0 AS promedio_factura
+            FROM orders
+            GROUP BY 1 ORDER BY anio DESC
+        """,
+        "q14_top_proveedores": """
+            SELECT s_name,
+                   COUNT(*) AS num_facturas,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_gastado
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY total_gastado DESC, s_name
+            LIMIT 5
+        """,
+        "q14_productos_categoria": """
+            WITH a AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS hoy FROM lineitem)
+            SELECT p_type,
+                   COUNT(*) AS num_productos,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_gastado
+            FROM lineitem, a
+            JOIN part ON l_partkey = p_partkey
+            WHERE CAST(l_shipdate AS DATE) >= a.hoy - INTERVAL 90 DAY
+            GROUP BY p_type
+            ORDER BY total_gastado DESC, p_type
         """,
         "txt_langid": """
             WITH w AS (

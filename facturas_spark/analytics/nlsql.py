@@ -1,0 +1,203 @@
+"""Q14 — the NL->SQL analytics surface (ask-my-invoices).
+
+The reference answers natural-language questions via (a) a keyword router
+to a corpus of canned SQL templates, (b) an LLM SQL generator gated by a
+safety filter, (c) semantic fallback. The LLM part is excluded (north rule:
+deterministic); what we rebuild:
+
+- :func:`detect_query_type` — the keyword router, exact rule order
+  (ask-my-invoices/index.ts:375-439).
+- :func:`is_sql_safe`       — the SQL safety filter (index.ts:1133-1164).
+- ``q14_*`` queries         — the canned template corpus
+  (CONSULTAS_BASICAS, index.ts:247-374) re-expressed over the orders /
+  lineitem / supplier tables (facturas -> orders, proveedor -> supplier,
+  productos -> part), each with a DuckDB oracle twin. ``current_date`` is
+  replaced by the corpus max order date (deterministic for a fixed input,
+  computed identically in both engines via a scalar subquery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["detect_query_type", "is_sql_safe"]
+
+
+def detect_query_type(pregunta: str) -> str | None:
+    """Keyword router, exact reference rule order."""
+    p = pregunta.lower()
+    if "última factura" in p and "sistema" not in p and "recibida" not in p:
+        return "última_factura"
+    if "última factura" in p and ("sistema" in p or "recibida" in p):
+        return "ultima_factura_sistema"
+    if "factura" in p and ("reciente" in p or "recibida" in p or "llegada" in p):
+        return "facturas_recientemente_recibidas"
+    if ("esta semana" in p or "semana actual" in p) and ("factura" in p or "gasto" in p):
+        return "facturas_esta_semana"
+    if ("este mes" in p or "mes actual" in p) and (
+        "gast" in p or "dinero" in p or "total" in p
+    ):
+        return "gasto_este_mes"
+    if "proveedor" in p and ("activo" in p or "último" in p or "reciente" in p):
+        return "proveedores_activos"
+    if "producto" in p and ("más" in p or "frecuente" in p or "comprado" in p):
+        return "productos_mas_comprados"
+    if "año" in p and ("resumen" in p or "total" in p or "gasto" in p):
+        return "resumen_anual"
+    if "proveedor" in p and ("top" in p or "principal" in p or "mayor" in p):
+        return "top_proveedores"
+    if "categoría" in p or "categoria" in p:
+        return "productos_por_categoria"
+    return None
+
+
+_DANGEROUS = ["drop", "delete", "insert", "update", "create", "alter", "truncate"]
+
+
+def is_sql_safe(sql: str, restaurante_id: str) -> bool:
+    """SQL safety gate: SELECT-only, tenant filter present, no DDL/DML
+    keywords, max one statement — exact reference checks."""
+    lower = sql.lower().strip()
+    if not lower.startswith("select"):
+        return False
+    if f"restaurante_id = '{restaurante_id}'" not in lower:
+        return False
+    if any(cmd in lower for cmd in _DANGEROUS):
+        return False
+    if ";" in lower and len(lower.split(";")) > 2:
+        return False
+    return True
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q14_ultima_factura(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'última_factura' template: latest order (ties broken by key) with the
+    day gap to the corpus anchor date."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("_hoy"))
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("fecha_factura"),
+            F.round("o_totalprice", 2).alias("total_factura"),
+            F.datediff(F.col("_hoy"), F.to_date("o_orderdate")).alias("dias_diferencia"),
+        )
+        .orderBy(F.col("fecha_factura").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+    )
+
+
+def q14_facturas_semana(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'facturas_esta_semana': count + spend since the Monday of the anchor
+    week (date_trunc('week'))."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.date_trunc("week", F.max("o_orderdate")).alias("_semana")
+    )
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .filter(F.col("o_orderdate") >= F.col("_semana"))
+        .agg(
+            F.count("*").alias("total_facturas"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_gastado"),
+        )
+    )
+
+
+def q14_gasto_mes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'gasto_este_mes': spend in the anchor month (date_trunc('month'))."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.date_trunc("month", F.max("o_orderdate")).alias("_mes")
+    )
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .filter(F.date_trunc("month", F.col("o_orderdate")) == F.col("_mes"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_mes"))
+    )
+
+
+def q14_proveedores_activos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'proveedores_activos': per-supplier volume in the trailing 30 days of
+    the anchor; supplier resolved through lineitem (broadcast dim join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    anchor = li.agg(F.max(F.to_date("l_shipdate")).alias("_hoy"))
+    return (
+        li.crossJoin(F.broadcast(anchor))
+        .filter(F.to_date("l_shipdate") >= F.date_sub(F.col("_hoy"), 30))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("num_facturas"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_gastado"
+            ),
+        )
+        .orderBy(F.col("total_gastado").desc(), "s_name")
+    )
+
+
+def q14_resumen_anual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'resumen_anual': per-year count/sum/avg (integer-exact avg cents so
+    both engines round identically)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("anio"))
+        .agg(
+            F.count("*").alias("total_facturas"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_gastado"),
+            # decimal cast first: Spark's double->BIGINT truncates while
+            # DuckDB rounds; DECIMAL(18,2)*100 is exact in both
+            F.expr(
+                "CAST((2 * sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) + count(*))"
+                " div (2 * count(*)) AS DOUBLE) / CAST(100 AS DOUBLE)"
+            ).alias("promedio_factura"),
+        )
+        .orderBy(F.col("anio").desc())
+    )
+
+
+def q14_top_proveedores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'top_proveedores': top-5 suppliers by spend."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("num_facturas"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_gastado"
+            ),
+        )
+        .orderBy(F.col("total_gastado").desc(), "s_name")
+        .limit(5)
+    )
+
+
+def q14_productos_categoria(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'productos_por_categoria': spend per category (p_type) in the
+    trailing 90 days of the anchor."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    anchor = li.agg(F.max(F.to_date("l_shipdate")).alias("_hoy"))
+    return (
+        li.crossJoin(F.broadcast(anchor))
+        .filter(F.to_date("l_shipdate") >= F.date_sub(F.col("_hoy"), 90))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("num_productos"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_gastado"
+            ),
+        )
+        .orderBy(F.col("total_gastado").desc(), "p_type")
+    )

@@ -332,6 +332,37 @@ def cotejo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal stub pipeline, rows-only check: synthetic media corpus ->
+    image features + audio features + video frame sampling (mapInPandas,
+    deterministic fake decodes) -> per-kind aggregate counts."""
+    from facturas_spark.sources.multimodal import (
+        MEDIA_DDL,
+        audio_features,
+        frame_sample,
+        image_features,
+        synth_media_rows,
+    )
+
+    media = spark.createDataFrame(synth_media_rows(90, seed=42), MEDIA_DDL)
+    img = image_features(media).agg(
+        F.lit("image").alias("kind"),
+        F.count("*").alias("rows"),
+        F.round(F.sum("mean_intensity"), 4).alias("metric"),
+    )
+    aud = audio_features(media).agg(
+        F.lit("audio").alias("kind"),
+        F.count("*").alias("rows"),
+        F.round(F.sum("rms"), 4).alias("metric"),
+    )
+    vid = frame_sample(media, fps=0.5).agg(
+        F.lit("video_frames").alias("kind"),
+        F.count("*").alias("rows"),
+        F.round(F.sum("ts_s"), 4).alias("metric"),
+    )
+    return img.unionByName(aud).unionByName(vid).orderBy("kind")
+
+
 def ocr_layout_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCR-layout path, rows-only check: synthetic Document-AI-style docs ->
     byte-identical span reconstruction (T1), layout walk (T3), table product
