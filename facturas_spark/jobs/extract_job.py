@@ -1,0 +1,73 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (cluster or local):
+
+    spark-submit --py-files facturas_spark.zip \\
+        facturas_spark/jobs/extract_job.py \\
+        --input /data/pages_parquet --output /data/extracted \\
+        --buckets 4096 [--streaming] [--cores 32]
+
+Batch mode runs :func:`facturas_spark.sources.io.run_with_resume` — the
+checkpointed, per-bucket-resumable job the north rule asks for; re-running
+after a failure skips committed buckets. ``--streaming`` instead drains new
+files via the availableNow micro-batch path.
+
+Cluster sizing notes (the local defaults mirror these):
+- spark.sql.shuffle.partitions ~ 2-3x total executor cores (the extraction
+  job itself has no shuffle; this covers the downstream aggregations).
+- spark.sql.files.maxPartitionBytes 128m keeps a scan task's Arrow batches
+  comfortably in executor memory at ~1-4 KB/doc.
+- AQE on (skew-join + partition coalescing) for the matching/aggregation
+  stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# local runs invoke this file directly; make the repo root importable
+# (under spark-submit --py-files the package zip is already on the path)
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True, help="pages parquet dir")
+    parser.add_argument("--output", required=True, help="output dir")
+    parser.add_argument("--buckets", type=int, default=256)
+    parser.add_argument("--cores", type=int, default=None, help="local-mode cores")
+    parser.add_argument("--streaming", action="store_true")
+    args = parser.parse_args(argv)
+
+    from facturas_spark.session import get_spark
+
+    spark = get_spark("facturas-extract-job", cores=args.cores)
+
+    if args.streaming:
+        from facturas_spark.streaming.stream import stream_extract_pages
+
+        stream_extract_pages(
+            spark,
+            args.input,
+            f"{args.output}/extracted",
+            f"{args.output}/_checkpoint",
+        )
+        result = {"mode": "streaming", "output": f"{args.output}/extracted"}
+    else:
+        from facturas_spark.sources.io import run_with_resume
+
+        pages = spark.read.parquet(args.input)
+        result = run_with_resume(spark, pages, args.output, n_buckets=args.buckets)
+        result["mode"] = "batch"
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

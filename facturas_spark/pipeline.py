@@ -50,8 +50,14 @@ def extract_pages_full(pages: DataFrame) -> DataFrame:
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
-    """Header-fields view of :func:`extract_pages_full` (no product array)."""
-    return extract_pages_full(pages).drop("productos")
+    """Header-fields view of :func:`extract_pages_full` (no product array),
+    plus the C2 review gate: confianza < 0.8 flags the document for manual
+    review — processing continues (process-invoice/index.ts:4649-4696)."""
+    return (
+        extract_pages_full(pages)
+        .drop("productos")
+        .withColumn("requiere_revision", F.col("confianza_global") < 0.8)
+    )
 
 
 def extract_products_table(extracted_full: DataFrame) -> DataFrame:

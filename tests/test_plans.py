@@ -1,0 +1,94 @@
+"""Physical-plan audits: the optimizations the 100 TB story depends on.
+
+Each test asserts a plan property that must survive scale-up:
+filter pushdown to the parquet scan, column pruning, broadcast dim joins,
+no Python in SQL-only queries, zero shuffles in the extraction job.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q08 filters l_partkey <= 100: must appear in PushedFilters of the
+    parquet scan, not as a post-scan Filter only."""
+    plan = _plan(em.queries()["q08_price_history_log"](spark, SF))
+    assert "PushedFilters:" in plan
+    assert "LessThanOrEqual(l_partkey,100)" in plan
+
+
+def test_column_pruning(spark):
+    """txt_token_stats touches only (lang, text): the documents scan must
+    not read doc_id/source/n_chars."""
+    plan = _plan(em.queries()["txt_token_stats"](spark, SF))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    rs = scan_lines[0]
+    assert "text" in rs and "lang" in rs
+    assert "n_chars" not in rs and "source" not in rs
+
+
+def test_broadcast_join_for_dims(spark):
+    """q02 joins lineitem to the part dim: must be a broadcast hash join,
+    not sort-merge (no shuffle of the fact side by join key)."""
+    plan = _plan(em.queries()["q02_top_products"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sql_queries_have_no_python(spark):
+    """Oracle-checked analytics queries must run fully JVM-side — any
+    Python/Arrow eval node in them would be a 10-100x hot-path regression."""
+    qs = em.queries()
+    for name in (
+        "q01_daily_sales",
+        "q07_category_share",
+        "q13_rolling_price_stats",
+        "dedup_minhash_lsh",
+        "m5_product_match_pairs",
+        "txt_langid",
+        "ann_lsh_buckets",
+        "master_products",
+        "q14_resumen_anual",
+    ):
+        plan = _plan(qs[name](spark, SF))
+        assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_partial_aggregation_map_side(spark):
+    """Aggregations must do map-side partial aggregation (partial_count /
+    partial_sum before the exchange) — the combiner that keeps the shuffle
+    proportional to group count, not row count."""
+    plan = _plan(em.queries()["q01_daily_sales"](spark, SF))
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_whole_stage_codegen_present(spark):
+    """Codegen spans (the `*(n)` markers) appear in the final adaptive plan
+    after execution — the SQL operators run inside generated code."""
+    df = em.queries()["q01_daily_sales"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan
+
+
+def test_extraction_job_zero_shuffle(spark):
+    """The 10^12-doc job: scan -> fused Arrow UDF -> project. Any Exchange
+    here would shuffle the full corpus."""
+    from facturas_spark.pipeline import extract_pages_full
+    from facturas_spark.synth import PAGES_SCHEMA_DDL, corpus_rows
+
+    df = spark.createDataFrame(corpus_rows(8, seed=1), PAGES_SCHEMA_DDL)
+    plan = _plan(extract_pages_full(df))
+    assert "Exchange" not in plan
+    # exactly one Python eval node (the fused UDF)
+    assert plan.count("ArrowEvalPython") == 1
