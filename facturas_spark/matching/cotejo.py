@@ -43,7 +43,42 @@ from pyspark.sql.window import Window
 
 from facturas_spark.matching.similarity import product_overlap_ratio_expr
 
-__all__ = ["cotejo_candidates", "categorize", "run_cotejo"]
+__all__ = ["cotejo_candidates", "categorize", "run_cotejo", "salted_join"]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    extra_cond=None,
+) -> DataFrame:
+    """Explicit skew-salting equi-join (north rule: salting for skewed keys).
+
+    The hot-key problem: a dominant proveedor puts most rows of both sides
+    into one shuffle partition. Salting splits it: the big side gets a
+    random-but-deterministic salt ``xxhash64(all cols) % n_salts``; the
+    small side is exploded n_salts times so every (key, salt) pair exists.
+    Shuffle key becomes (key, salt) — the hot key spreads over n_salts
+    partitions. AQE's skew-join handles moderate skew automatically; this
+    is the explicit tool for the pathological case.
+    """
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    small_s = small.withColumnRenamed(key, "_key2").withColumn(
+        "_salt2", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (big_s[key] == small_s["_key2"]) & (
+        big_s["_salt"] == small_s["_salt2"]
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return big_s.join(small_s, cond, how).drop("_salt", "_salt2", "_key2")
 
 _CANDIDATE_COLS = [
     "factura_id",
