@@ -258,8 +258,17 @@ _UNIT_COUNT_PATTERNS = [
 ]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8192)
 def infer_format(desc: str) -> tuple[str | None, float | None, float | None]:
-    """KB lookup then unit-count patterns; returns (formato, peso_kg, vol_l)."""
+    """KB lookup then unit-count patterns; returns (formato, peso_kg, vol_l).
+
+    Memoized: the pipeline consults it up to 3x per product line (format,
+    €/kg fallback, €/l fallback) and product descriptions repeat heavily
+    across a corpus — pure function, so caching is semantics-free.
+    """
     d = desc.lower()
     for words, peso, vol, fmt in _KB:
         if all(w in d for w in words):

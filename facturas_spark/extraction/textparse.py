@@ -432,14 +432,52 @@ def extract_fields(text: str | None, as_of: date = AS_OF_DEFAULT) -> ExtractedFi
 
     lines = [ln for ln in text.split("\n") if ln.strip()]
 
-    cifs = [_STRIP_CIF.sub("", c) for c in _extract_all(_PAT_CIF, text)]
-    numeros = _extract_all(_PAT_NUMERO, text)
-    fechas = _extract_all(_PAT_FECHA, text)
-    totales = _extract_all(_PAT_TOTAL, text)
-    bases = _extract_all(_PAT_BASE, text)
-    cuotas = _extract_all(_PAT_CUOTA, text)
+    # Conservative guards: each pattern bank can only match if its required
+    # literal appears (e.g. every total-pattern alternative contains
+    # TOTAL/LIQUIDO/IMPORTE/SUMA). When the guard fails the bank provably
+    # yields [] — skipping the 5-10 regex scans is semantics-free and is the
+    # dominant win on the realistic web corpus where most pages are NOT
+    # invoices.
+    low = text.lower()
+    has_digit = _HAS_DIGIT.search(text) is not None
+
+    cifs = (
+        [_STRIP_CIF.sub("", c) for c in _extract_all(_PAT_CIF, text)]
+        if has_digit
+        else []
+    )
+    numeros = (
+        _extract_all(_PAT_NUMERO, text)
+        if has_digit
+        and ("factura" in low or "invoice" in low or "nº" in low or "num" in low
+             or "fn" in low or "f.n" in low)
+        else []
+    )
+    fechas = _extract_all(_PAT_FECHA, text) if has_digit else []
+    totales = (
+        _extract_all(_PAT_TOTAL, text)
+        if has_digit
+        and ("total" in low or "líquido" in low or "liquido" in low
+             or "importe" in low or "suma" in low)
+        else []
+    )
+    bases = (
+        _extract_all(_PAT_BASE, text)
+        if has_digit and ("base" in low or "subtotal" in low or "neto" in low)
+        else []
+    )
+    cuotas = (
+        _extract_all(_PAT_CUOTA, text)
+        if has_digit and ("iva" in low or "i.v.a" in low or "cuota" in low)
+        else []
+    )
     tipos: list[int] = []
-    for t in _extract_all(_PAT_TIPO, text):
+    tipo_raw = (
+        _extract_all(_PAT_TIPO, text)
+        if has_digit and ("iva" in low or "i.v.a" in low or "al" in low)
+        else []
+    )
+    for t in tipo_raw:
         try:
             n = int(t)
         except ValueError:
