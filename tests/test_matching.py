@@ -5,6 +5,7 @@ from __future__ import annotations
 from datetime import date
 
 import pytest
+from pyspark.sql import functions as F
 
 from facturas_spark.matching.similarity import (
     comparar_productos_py,
@@ -185,3 +186,36 @@ def test_salted_join_equivalence(spark):
     plain = big.join(small, "proveedor").select("row_id", "prio")
     salted = salted_join(big, small, "proveedor").select("row_id", "prio")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_inverse_cotejo_m13(spark):
+    """M13: the albarán->factura direction is the same plan with sides
+    swapped — run it and check the expected pairs appear with the same
+    score algebra."""
+    from facturas_spark.matching.cotejo import run_cotejo
+
+    facturas, albaranes = _mk_corpus(spark)
+    inv = run_cotejo(
+        albaranes.select(
+            F.col("albaran_id").alias("factura_id"),
+            "proveedor_nombre",
+            F.col("fecha_albaran").alias("fecha_factura"),
+            F.col("total_albaran").alias("total_factura"),
+            "productos",
+        ),
+        facturas.select(
+            F.col("factura_id").alias("albaran_id"),
+            F.lit(None).cast("string").alias("numero_albaran"),
+            "proveedor_nombre",
+            F.col("fecha_factura").alias("fecha_albaran"),
+            F.col("total_factura").alias("total_albaran"),
+            "productos",
+        ),
+        as_of=date(2025, 3, 20),
+    )
+    rows = {(r.factura_id, r.albaran_id): r for r in inv.collect()}
+    # the temporal pair exists in the inverse direction too; the inverse
+    # window is [albaran-45d, albaran], so a2 (Mar 8) does NOT see f1
+    # (Mar 10, 2 days LATER) via m2 — but the 90-day last-chance does
+    assert ("a2", "f1") in rows
+    assert rows[("a2", "f1")].score > 0
