@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_resumen_anual": N.q14_resumen_anual,
         "q14_top_proveedores": N.q14_top_proveedores,
         "q14_productos_categoria": N.q14_productos_categoria,
+        "q15_hybrid_textual": N.q15_hybrid_textual,
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
@@ -486,6 +487,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY total_gastado DESC, s_name
             LIMIT 5
+        """,
+        "q15_hybrid_textual": """
+            SELECT p_name,
+                   COUNT(*) AS num_compras,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS gasto
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE lower(p_name) LIKE '%widget%'
+               OR lower(p_name) LIKE '%rojo%'
+               OR lower(p_name) LIKE '%bolt%'
+            GROUP BY p_name
+            ORDER BY gasto DESC, p_name
+            LIMIT 20
         """,
         "q14_productos_categoria": """
             WITH a AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS hoy FROM lineitem)

@@ -18,6 +18,8 @@ deterministic); what we rebuild:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,6 +74,65 @@ def is_sql_safe(sql: str, restaurante_id: str) -> bool:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- Q15 hybrid search cascade (busquedaHibridaRobusta, index.ts:687-922) ---
+
+_STOPWORDS_ES = {
+    "que", "cual", "cuanto", "cuánto", "como", "donde", "los", "las", "del",
+    "por", "para", "con", "una", "uno", "este", "esta", "the", "how", "much",
+    "have", "comprado", "gastado",
+}
+
+
+def extract_keywords(pregunta: str, top: int = 3) -> list[str]:
+    """M2-style keyword extraction: words len>2, stopword-filtered, first
+    ``top`` kept (the reference takes top-3 for its ILIKE chain,
+    process-invoice/index.ts:2459-2480)."""
+    words = re.findall(r"[a-záéíóúñü0-9]+", pregunta.lower())
+    return [w for w in words if len(w) > 2 and w not in _STOPWORDS_ES][:top]
+
+
+def busqueda_textual(
+    spark: SparkSession, sf_dir: str, pregunta: str
+) -> DataFrame:
+    """Textual fallback (ask-my-invoices/index.ts:849-922): ILIKE-style
+    substring match of the extracted keywords against product names (ANY
+    keyword, as the reference ORs per-keyword queries), returning spend per
+    matching product."""
+    kws = extract_keywords(pregunta)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    if not kws:
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_name")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("gasto"))
+            .limit(0)
+        )
+    cond = None
+    for k in kws:
+        c = F.lower(F.col("p_name")).contains(k)
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(F.broadcast(part.filter(cond)), li.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(
+            F.count("*").alias("num_compras"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "gasto"
+            ),
+        )
+        .orderBy(F.col("gasto").desc(), "p_name")
+        .limit(20)
+    )
+
+
+def q15_hybrid_textual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable instance of the Q15 cascade's textual fallback with
+    a fixed question whose template lookup misses ('¿cuánto he comprado de
+    widget rojo y bolt?' -> keywords [widget, rojo, bolt])."""
+    return busqueda_textual(spark, sf_dir, "¿cuánto he comprado de widget rojo y bolt?")
 
 
 def q14_ultima_factura(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -157,10 +157,10 @@ FULL_SCHEMA = StructType(
 _PRODUCT_COLS_FUSED = [f.name for f in PRODUCT_SCHEMA.fields]
 
 
-@pandas_udf(FULL_SCHEMA)
-def extract_doc_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
-    """Fused doc pipeline: boilerplate strip -> classify -> field extraction
-    -> line-item extraction, one Python pass per batch."""
+def extract_batch(html, text) -> pd.DataFrame:
+    """The fused per-batch kernel (shared by the pandas UDF and the
+    accumulator-instrumented mapInPandas path): boilerplate strip ->
+    classify -> field extraction -> line-item extraction."""
     from facturas_spark.extraction.products import extract_products
 
     rows = []
@@ -190,6 +190,12 @@ def extract_doc_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
             )
         )
     return pd.DataFrame(rows, columns=[fld.name for fld in FULL_SCHEMA.fields])
+
+
+@pandas_udf(FULL_SCHEMA)
+def extract_doc_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Fused doc pipeline: one Python pass per Arrow batch."""
+    return extract_batch(html, text)
 
 
 @pandas_udf(ArrayType(PRODUCT_SCHEMA))

@@ -60,6 +60,40 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def extract_pages_instrumented(spark, pages: DataFrame):
+    """Accumulator-instrumented extraction (north rule: accumulator-backed
+    extraction metrics): same fused kernel via mapInPandas, incrementing
+    live counters per Arrow batch — visible on the driver while the job
+    runs, unlike the declarative :func:`extraction_metrics` (which remains
+    the exact, recomputable source of truth).
+
+    Returns (DataFrame, accumulators dict). Accumulator values are
+    task-at-least-once semantics (Spark retries may double-count) — use for
+    monitoring, not correctness.
+    """
+    from facturas_spark.extraction.udf import FULL_SCHEMA, extract_batch
+
+    acc = {
+        "docs": spark.sparkContext.accumulator(0),
+        "cif_hits": spark.sparkContext.accumulator(0),
+        "review_flagged": spark.sparkContext.accumulator(0),
+    }
+
+    def batches(it):
+        for pdf in it:
+            out = extract_batch(pdf["html"], pdf["text"])
+            out.insert(0, "url", pdf["url"].values)
+            acc["docs"].add(len(out))
+            acc["cif_hits"].add(int(out["proveedor_cif"].notna().sum()))
+            acc["review_flagged"].add(int((out["confianza_global"] < 0.8).sum()))
+            yield out
+
+    schema = "url string, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in FULL_SCHEMA.fields
+    )
+    return pages.mapInPandas(batches, schema=schema), acc
+
+
 def extract_products_table(extracted_full: DataFrame) -> DataFrame:
     """Line-item child table: posexplode of the per-doc product array
     (SURVEY §2.4). Input is :func:`extract_pages_full` output (carries the
