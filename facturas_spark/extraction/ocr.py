@@ -225,22 +225,25 @@ def map_form_fields(
 
 _DATE_SHAPED = re.compile(r"^\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4}$")
 
-_ENTITY_SYNONYMS = {
-    "proveedor_nombre": {"supplier_name", "supplier", "proveedor", "vendor", "remit_to_name"},
-    "proveedor_cif": {"supplier_tax_id", "cif", "nif", "vat", "tax_id"},
-    "numero_factura": {"invoice_id", "invoice_number", "numero_factura", "factura"},
-    "fecha_factura": {"invoice_date", "fecha", "date", "fecha_factura"},
-    "total_factura": {"total_amount", "total", "importe_total", "amount_due"},
-    "base_imponible": {"net_amount", "base_imponible", "subtotal"},
-    "cuota_iva": {"total_tax_amount", "vat_amount", "iva"},
-}
+_ENT_PROVEEDOR = ("proveedor", "empresa", "compañia", "compañía", "entidad",
+                  "supplier", "vendor", "company", "seller", "merchant")
+_ENT_CIF = ("cif", "nif", "identificación", "identificacion", "tax", "vat",
+            "ein", "business", "registration")
+_ENT_NUMERO = ("factura", "numero", "número", "documento", "folio",
+               "referencia", "invoice", "document", "reference", "number")
+_ENT_FECHA = ("fecha", "emisión", "emision", "date", "time")
+_ENT_IMPORTE = ("dinero", "importe", "total", "precio", "coste", "costo",
+                "valor", "money", "currency", "amount", "price", "cost")
 
 
 def map_entities(entities: list[tuple[str, str, float]]) -> dict:
-    """F14: Document-AI entity (type, mention_text, confidence) routing via
-    ES+EN synonym sets; rejects date-shaped invoice numbers; confianza_global
-    = mean of the three sub-confidences, floored at 0.3
-    (process-invoice/index.ts:673-863, semantics-level)."""
+    """F14 ``extractFromEntities`` (process-invoice/index.ts:673-863), exact
+    semantics: substring gates on the lowered entity type, NON-exclusive
+    ``if`` blocks (one entity can hit several), CIF strips spaces/dashes
+    only (dots survive — faithful), numero rejects values containing
+    '/', '-', '.' or a date shape, importes sub-routes total/base/iva only
+    when the outer money gate matched; confianza_global = max(0.3, mean3).
+    """
     d: dict = {
         "proveedor_nombre": None,
         "proveedor_cif": None,
@@ -257,39 +260,56 @@ def map_entities(entities: list[tuple[str, str, float]]) -> dict:
 
     for etype, mention, conf in entities:
         t = (etype or "").lower().strip()
-        v = (mention or "").strip()
-        if not v:
-            continue
-        if t in _ENTITY_SYNONYMS["proveedor_nombre"]:
-            d["proveedor_nombre"] = v
-            d["confianza_proveedor"] = max(d["confianza_proveedor"], conf)
-        elif t in _ENTITY_SYNONYMS["proveedor_cif"]:
-            d["proveedor_cif"] = re.sub(r"[\s\-\.]", "", v).upper()
-            d["confianza_datos_fiscales"] = max(d["confianza_datos_fiscales"], conf)
-        elif t in _ENTITY_SYNONYMS["numero_factura"]:
-            if not _DATE_SHAPED.match(v):  # reject date-shaped numbers
-                d["numero_factura"] = v
-                d["confianza_datos_fiscales"] = max(d["confianza_datos_fiscales"], conf)
-        elif t in _ENTITY_SYNONYMS["fecha_factura"]:
-            parsed = parse_spanish_date(v)
-            if parsed is not None:
-                d["fecha_factura"] = parsed
-                d["confianza_datos_fiscales"] = max(d["confianza_datos_fiscales"], conf)
-        elif t in _ENTITY_SYNONYMS["total_factura"]:
+        v = mention or ""
+        vs = v.strip()
+
+        if any(k in t for k in _ENT_PROVEEDOR):
+            if len(vs) > 3:
+                d["proveedor_nombre"] = vs
+                d["confianza_proveedor"] = max(d["confianza_proveedor"], conf)
+
+        if any(k in t for k in _ENT_CIF):
+            if len(vs) >= 8:
+                d["proveedor_cif"] = re.sub(r"[\s\-]", "", v)
+                d["confianza_datos_fiscales"] = max(
+                    d["confianza_datos_fiscales"], conf
+                )
+
+        if any(k in t for k in _ENT_NUMERO):
+            if (
+                len(vs) >= 1
+                and "/" not in v
+                and "-" not in v
+                and "." not in v
+                and not _DATE_SHAPED.match(v)
+            ):
+                d["numero_factura"] = vs
+                d["confianza_datos_fiscales"] = max(
+                    d["confianza_datos_fiscales"], conf
+                )
+
+        if any(k in t for k in _ENT_FECHA):
+            if len(vs) >= 6:
+                parsed = parse_spanish_date(v)
+                if parsed is not None:
+                    d["fecha_factura"] = parsed
+                    d["confianza_datos_fiscales"] = max(
+                        d["confianza_datos_fiscales"], conf
+                    )
+
+        if any(k in t for k in _ENT_IMPORTE):
             amt = parse_spanish_amount(v)
             if amt and amt > 0:
-                d["total_factura"] = amt
-                d["confianza_importes"] = max(d["confianza_importes"], conf)
-        elif t in _ENTITY_SYNONYMS["base_imponible"]:
-            amt = parse_spanish_amount(v)
-            if amt and amt > 0:
-                d["base_imponible"] = amt
-                d["confianza_importes"] = max(d["confianza_importes"], conf)
-        elif t in _ENTITY_SYNONYMS["cuota_iva"]:
-            amt = parse_spanish_amount(v)
-            if amt and amt > 0:
-                d["cuota_iva"] = amt
-                d["confianza_importes"] = max(d["confianza_importes"], conf)
+                if "total" in t or "importe" in t:
+                    d["total_factura"] = amt
+                    d["confianza_importes"] = max(d["confianza_importes"], conf)
+                elif "base" in t or "neto" in t:
+                    d["base_imponible"] = amt
+                    d["confianza_importes"] = max(d["confianza_importes"], conf)
+                elif "iva" in t or "impuesto" in t:
+                    d["cuota_iva"] = amt
+                    d["confianza_importes"] = max(d["confianza_importes"], conf)
+
     d["confianza_global"] = max(
         0.3,
         (d["confianza_proveedor"] + d["confianza_datos_fiscales"] + d["confianza_importes"]) / 3,

@@ -136,7 +136,10 @@ def test_map_entities():
             ("invoice_id", "43001874", 0.8),
             ("invoice_date", "31/07/2025", 0.85),
             ("total_amount", "77,55 €", 0.9),
+            # 'net_amount' passes the outer money gate ('amount') but hits
+            # no sub-route ('net' != 'neto') — faithful fall-through
             ("net_amount", "64,09", 0.88),
+            ("base_amount", "64,09", 0.88),
         ]
     )
     assert d["proveedor_nombre"] == "DIMARBA S.L."
@@ -145,6 +148,26 @@ def test_map_entities():
     assert d["total_factura"] == 77.55
     assert d["base_imponible"] == 64.09
     assert d["confianza_global"] == pytest.approx((0.9 + 0.85 + 0.9) / 3)
+
+
+def test_map_entities_faithful_gates():
+    # money gate passes but no sub-route matches -> nothing assigned
+    d = map_entities([("net_amount", "64,09", 0.88)])
+    assert d["base_imponible"] == 0.0
+    assert d["total_factura"] == 0.0
+    # ...yet confianza_importes is NOT bumped either (assignment-gated)
+    assert d["confianza_global"] == 0.3
+    # numero gate rejects values containing '.', '-', '/'
+    d2 = map_entities([("invoice_number", "F.2025", 0.9)])
+    assert d2["numero_factura"] is None
+    # one entity can hit several non-exclusive gates: 'invoice_date' sets
+    # fecha; date-shaped value is rejected by the numero gate ('/')
+    d3 = map_entities([("invoice_date", "31/07/2025", 0.7)])
+    assert d3["fecha_factura"] == date(2025, 7, 31)
+    assert d3["numero_factura"] is None
+    # CIF keeps dots (reference strips only spaces and dashes)
+    d4 = map_entities([("tax_id", "B-12.345.678", 0.9)])
+    assert d4["proveedor_cif"] == "B12.345.678"
 
 
 def test_map_entities_floor():
