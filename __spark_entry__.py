@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from facturas_spark.analytics import dedup as D
+from facturas_spark.analytics import escandallos as E
 from facturas_spark.analytics import master as M
 from facturas_spark.analytics import nlsql as N
 from facturas_spark.analytics import queries as Q
@@ -78,6 +79,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_top_proveedores": N.q14_top_proveedores,
         "q14_productos_categoria": N.q14_productos_categoria,
         "q15_hybrid_textual": N.q15_hybrid_textual,
+        "esc_food_cost_platos": E.esc_food_cost_platos,
+        "esc_resumen_global": E.esc_resumen_global,
+        "esc_ingredientes_stats": E.esc_ingredientes_stats,
+        "v_ventas_diarias": E.v_ventas_diarias,
+        "v_productos_top": E.v_productos_top,
+        "numier_upsert_ventas": E.numier_upsert_ventas,
+        "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
@@ -544,5 +552,135 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "esc_food_cost_platos": """
+            WITH base AS (
+              SELECT 'PLATO-' || o_orderkey AS plato,
+                     CASE WHEN o_orderkey % 10 <> 0
+                          THEN FLOOR((o_totalprice / 100) * 100 + 0.5) / 100 END AS pvp_bruto,
+                     FLOOR((SUM(l_extendedprice * (1 - l_discount))
+                           * (1 + o_orderkey % 6) / 10) * 100 + 0.5) / 100 AS food_cost_total
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY o_orderkey, o_totalprice
+            )
+            SELECT plato,
+                   pvp_bruto,
+                   FLOOR((pvp_bruto / 1.1) * 100 + 0.5) / 100 AS pvp_neto,
+                   food_cost_total,
+                   FLOOR((food_cost_total / (pvp_bruto / 1.1) * 100) * 100 + 0.5) / 100 AS food_cost_pct,
+                   FLOOR((pvp_bruto / 1.1 - food_cost_total) * 100 + 0.5) / 100 AS margen_neto,
+                   CASE WHEN pvp_bruto IS NULL THEN 'sin_precio'
+                        WHEN food_cost_total / (pvp_bruto / 1.1) * 100 < 25 THEN 'muy_rentable'
+                        WHEN food_cost_total / (pvp_bruto / 1.1) * 100 < 35 THEN 'rentable'
+                        WHEN food_cost_total / (pvp_bruto / 1.1) * 100 < 45 THEN 'limite'
+                        ELSE 'poco_rentable' END AS rentabilidad,
+                   CASE WHEN food_cost_total > 0
+                        THEN FLOOR((food_cost_total / 0.30 * 1.10) * 100 + 0.5) / 100 ELSE 0 END AS pvp_sugerido_30,
+                   CASE WHEN food_cost_total > 0
+                        THEN FLOOR((food_cost_total / 0.35 * 1.10) * 100 + 0.5) / 100 ELSE 0 END AS pvp_sugerido_35
+            FROM base ORDER BY plato
+        """,
+        "esc_resumen_global": """
+            WITH base AS (
+              SELECT CASE WHEN o_orderkey % 10 <> 0
+                          THEN FLOOR((o_totalprice / 100) * 100 + 0.5) / 100 END AS pvp_bruto,
+                     FLOOR((SUM(l_extendedprice * (1 - l_discount))
+                           * (1 + o_orderkey % 6) / 10) * 100 + 0.5) / 100 AS food_cost_total
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY o_orderkey, o_totalprice
+            ), p AS (
+              SELECT pvp_bruto, food_cost_total,
+                     food_cost_total / (pvp_bruto / 1.1) * 100 AS pct
+              FROM base
+            )
+            SELECT COUNT(*) AS platos_analizados,
+                   SUM(CASE WHEN pvp_bruto IS NOT NULL AND pvp_bruto > 0 THEN 1 ELSE 0 END) AS platos_con_pvp,
+                   SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct < 40 THEN 1 ELSE 0 END) AS rentables,
+                   SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct >= 40 AND pct < 50 THEN 1 ELSE 0 END) AS en_limite,
+                   SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct >= 50 THEN 1 ELSE 0 END) AS poco_rentables,
+                   SUM(CASE WHEN pvp_bruto IS NULL OR pvp_bruto <= 0 THEN 1 ELSE 0 END) AS sin_precio,
+                   FLOOR((SUM(food_cost_total)) * 100 + 0.5) / 100 AS costo_total_ingredientes,
+                   FLOOR((AVG(pct)) * 100 + 0.5) / 100 AS food_cost_promedio
+            FROM p
+        """,
+        "esc_ingredientes_stats": """
+            WITH ing AS (
+              SELECT l_orderkey, l_linenumber,
+                     lower(p_name) || '_' || CAST(l_quantity AS VARCHAR) AS _key,
+                     (l_partkey % 5 <> 0) AS _found,
+                     (l_linenumber % 4 = 0) AS _aprendido,
+                     ROW_NUMBER() OVER (PARTITION BY l_orderkey,
+                                        lower(p_name) || '_' || CAST(l_quantity AS VARCHAR)
+                                        ORDER BY l_linenumber) AS _rn
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_orderkey <= 2000
+            )
+            SELECT l_orderkey AS plato_id,
+                   COUNT(*) AS total,
+                   SUM(CASE WHEN _found THEN 1 ELSE 0 END) AS encontrados,
+                   SUM(CASE WHEN _found AND _aprendido THEN 1 ELSE 0 END) AS ia_aprendida,
+                   SUM(CASE WHEN _found AND NOT _aprendido THEN 1 ELSE 0 END) AS semantica,
+                   SUM(CASE WHEN NOT _found THEN 1 ELSE 0 END) AS no_encontrados,
+                   CAST(FLOOR(SUM(CASE WHEN _found THEN 1 ELSE 0 END) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS success_rate
+            FROM ing WHERE _rn = 1
+            GROUP BY l_orderkey ORDER BY plato_id
+        """,
+        "v_ventas_diarias": """
+            SELECT CAST(o_orderdate AS DATE) AS fecha,
+                   COUNT(*) AS total_tickets,
+                   FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total_ventas,
+                   FLOOR((AVG(o_totalprice)) * 100 + 0.5) / 100 AS ticket_promedio,
+                   SUM(o_custkey % 8 + 1) AS total_comensales
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY 1 ORDER BY fecha DESC
+        """,
+        "v_productos_top": """
+            SELECT p_partkey, p_name, p_type,
+                   FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS cantidad_total,
+                   FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS importe_total,
+                   COUNT(DISTINCT l_orderkey) AS veces_vendido
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey, p_name, p_type
+            ORDER BY importe_total DESC, p_partkey
+            LIMIT 100
+        """,
+        "numier_upsert_ventas": """
+            WITH existing AS (
+              SELECT o_custkey % 100 AS restaurante_id,
+                     'numier' AS sistema_origen,
+                     'NUM-' || o_orderkey AS id_externo,
+                     FLOOR((o_totalprice) * 100 + 0.5) / 100 AS total_bruto,
+                     1 AS _batch
+              FROM orders
+            ), incoming AS (
+              SELECT o_custkey % 100, 'numier', 'NUM-' || o_orderkey,
+                     FLOOR((o_totalprice * 1.1) * 100 + 0.5) / 100, 2
+              FROM orders WHERE o_orderkey % 3 = 0
+            ), merged AS (
+              SELECT * FROM existing UNION ALL SELECT * FROM incoming
+            )
+            SELECT restaurante_id, sistema_origen, id_externo, total_bruto
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY restaurante_id, sistema_origen, id_externo
+                                           ORDER BY _batch DESC) AS _rn
+              FROM merged
+            ) WHERE _rn = 1 ORDER BY id_externo
+        """,
+        "cotejo_patron_efectividad": """
+            WITH ev AS (
+              SELECT o_custkey % 20 AS restaurante_id,
+                     ['referencia_albaran','proveedor_fecha_importe','proveedor_productos',
+                      'patron_aprendido','ultima_oportunidad'][CAST(o_orderkey % 5 AS INT) + 1] AS metodo_deteccion,
+                     CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END AS _conf
+              FROM orders WHERE o_orderkey <= 5000
+            )
+            SELECT restaurante_id, metodo_deteccion,
+                   SUM(_conf) AS confirmaciones,
+                   SUM(1 - _conf) AS rechazos,
+                   COUNT(*) AS total_evaluaciones,
+                   FLOOR((SUM(_conf) * 1.0 / COUNT(*)) * 10000 + 0.5) / 10000 AS porcentaje_efectividad
+            FROM ev GROUP BY 1, 2 ORDER BY restaurante_id, metodo_deteccion
         """,
     }

@@ -1,0 +1,299 @@
+"""Escandallos (recipe food-cost) + sales-dashboard + sync surfaces.
+
+Covers the reference modules that were not yet in the operator map:
+
+- ``escandallos-pro/main.js`` — per-dish food-cost economics. The repo's
+  backend computes food_cost upstream; the *public* client logic encodes
+  the identities this module implements: suggested PVP at a target food
+  cost = ``(cost / target) * 1.10`` (main.js:606,618 — the 1.10 re-adds
+  the 10% IVA the costs are net of), the rentability cascade
+  <25 / <35 / <45 / else (main.js:192-233 ``getRentabilityInfo``), the
+  global-summary buckets <40 / [40,50) / >=50 / sin-precio
+  (main.js:685-688), first-wins ingredient dedup keyed on
+  ``lower(nombre)_cantidad`` (main.js:305-314), and per-dish match stats +
+  success rate (main.js:248-277 ``countIngredientsByMatch``, :318-320).
+
+- ``dashboard-ventas/schema-ventas.sql:145-172`` — the two sales views
+  ``vista_ventas_diarias`` and ``vista_productos_top``.
+
+- ``sync-numier-data/index.ts:519-598`` — POS-sale upsert keyed on
+  ``(restaurante_id, sistema_origen, id_externo)``: last write wins. At
+  cluster scale this is an Iceberg ``MERGE INTO``; here it is expressed
+  as the equivalent batch form — union + per-key latest-record window —
+  which is also how the merge's shuffle behaves (one exchange on the key).
+
+- ``gestionar-sugerencias-cotejo/index.ts:353-418`` — learned-pattern
+  effectiveness: per (restaurante, metodo) confirm/reject tallies and
+  ``porcentaje_efectividad = confirmaciones / total_evaluaciones``.
+
+The dish/ingredient/sale entities are mapped onto the synthetic star
+schema deterministically (documented per query); every query has a DuckDB
+oracle twin in ``__spark_entry__.oracle_sql()``.
+
+Scale notes: every query is one shuffle on its natural key (orderkey /
+date / partkey); dims are broadcast; the plato-level queries share the
+``l_orderkey`` partitioning between the window and the groupBy so
+Catalyst reuses the exchange. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(c, n: int = 2):
+    """JS Math.round at n decimals (floor(x*10^n + 0.5)/10^n) — identical
+    IEEE-double result in Spark and DuckDB, unlike HALF_UP vs HALF_EVEN
+    ``round`` which disagree on .xx5 ties."""
+    m = 10 ** n
+    return F.floor(c * m + F.lit(0.5)) / m
+
+
+def _platos_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic plato mapping: one order = one plato.
+
+    pvp_bruto = o_totalprice / 100 (orders where o_orderkey % 10 == 0
+    model cartas without a printed price -> NULL, the reference's
+    'SIN PRECIO' class); food_cost_total = the order's net line spend
+    scaled by a deterministic per-order factor (1 + o_orderkey % 6) / 10
+    so the food-cost %% spread exercises every rentability bucket."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_net")
+    )
+    return (
+        orders.join(cost, orders.o_orderkey == cost.l_orderkey, "inner")
+        .select(
+            F.concat(F.lit("PLATO-"), F.col("o_orderkey")).alias("plato"),
+            F.when(
+                F.col("o_orderkey") % 10 != 0, _r(F.col("o_totalprice") / 100, 2)
+            ).alias("pvp_bruto"),
+            _r(F.col("_net") * (1 + F.col("o_orderkey") % 6) / 10
+            ).alias("food_cost_total"),
+        )
+    )
+
+
+def esc_food_cost_platos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dish economics (escandallos-pro/main.js): pvp_neto nets out the
+    10%% IVA (main.js:606 implies pvp_bruto = neto * 1.10); food_cost_pct
+    = cost / pvp_neto * 100; margen = pvp_neto - cost; rentabilidad via
+    the exact getRentabilityInfo cascade (<25 muy_rentable, <35 rentable,
+    <45 limite, else poco_rentable; NULL pvp -> sin_precio); suggested
+    PVPs = (cost / 0.30|0.35) * 1.10 when cost > 0 else 0."""
+    base = _platos_base(spark, sf_dir)
+    pvp_neto = F.col("pvp_bruto") / 1.1
+    pct = F.col("food_cost_total") / pvp_neto * 100
+    return base.select(
+        "plato",
+        "pvp_bruto",
+        _r(pvp_neto).alias("pvp_neto"),
+        "food_cost_total",
+        _r(pct).alias("food_cost_pct"),
+        _r(pvp_neto - F.col("food_cost_total")).alias("margen_neto"),
+        F.when(F.col("pvp_bruto").isNull(), F.lit("sin_precio"))
+        .when(pct < 25, F.lit("muy_rentable"))
+        .when(pct < 35, F.lit("rentable"))
+        .when(pct < 45, F.lit("limite"))
+        .otherwise(F.lit("poco_rentable"))
+        .alias("rentabilidad"),
+        F.when(
+            F.col("food_cost_total") > 0,
+            _r(F.col("food_cost_total") / 0.30 * 1.10, 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pvp_sugerido_30"),
+        F.when(
+            F.col("food_cost_total") > 0,
+            _r(F.col("food_cost_total") / 0.35 * 1.10, 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pvp_sugerido_35"),
+    ).orderBy("plato")
+
+
+def esc_resumen_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global food-cost summary (main.js:662-766): bucket counts use the
+    reference's truthiness gate (pct must be non-null AND non-zero) with
+    <40 rentable, [40,50) limite, >=50 poco rentable; sin_precio = platos
+    without a positive pvp; plus total ingredient cost and mean pct.
+    Single full-agg — partial aggregation map-side, one row out."""
+    base = _platos_base(spark, sf_dir)
+    pct = F.col("food_cost_total") / (F.col("pvp_bruto") / 1.1) * 100
+    has_pct = pct.isNotNull() & (pct != 0)
+    con_pvp = F.col("pvp_bruto").isNotNull() & (F.col("pvp_bruto") > 0)
+    return base.agg(
+        F.count("*").alias("platos_analizados"),
+        F.sum(con_pvp.cast("int")).alias("platos_con_pvp"),
+        F.sum((has_pct & (pct < 40)).cast("int")).alias("rentables"),
+        F.sum((has_pct & (pct >= 40) & (pct < 50)).cast("int")).alias("en_limite"),
+        F.sum((has_pct & (pct >= 50)).cast("int")).alias("poco_rentables"),
+        F.sum((~con_pvp).cast("int")).alias("sin_precio"),
+        _r(F.sum("food_cost_total")).alias("costo_total_ingredientes"),
+        _r(F.avg(pct)).alias("food_cost_promedio"),
+    )
+
+
+def esc_ingredientes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dish ingredient stats after first-wins dedup
+    (main.js:305-320 + countIngredientsByMatch main.js:248-277).
+
+    Ingredient = lineitem row; dedup key = lower(p_name)_quantity keeping
+    the first by line order (row_number over linenumber — the JS Set keeps
+    the first occurrence in array order). Match synthesis, deterministic:
+    lines with l_partkey %% 5 == 0 model 'No encontrado'; found lines with
+    l_linenumber %% 4 == 0 carry origen_match='aprendido' (ia_aprendida),
+    the rest are 'semantica'. success_rate uses floor(x+0.5) — JS
+    Math.round half-up — identical in the oracle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    part = _t(spark, sf_dir, "part")
+    ing = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lower("p_name"), F.lit("_"), F.col("l_quantity").cast("string")
+        ).alias("_key"),
+        (F.col("l_partkey") % 5 != 0).alias("_found"),
+        (F.col("l_linenumber") % 4 == 0).alias("_aprendido"),
+    )
+    w = Window.partitionBy("l_orderkey", "_key").orderBy("l_linenumber")
+    dedup = ing.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    enc = F.sum(F.col("_found").cast("int"))
+    return (
+        dedup.groupBy(F.col("l_orderkey").alias("plato_id"))
+        .agg(
+            F.count("*").alias("total"),
+            enc.alias("encontrados"),
+            F.sum((F.col("_found") & F.col("_aprendido")).cast("int")).alias(
+                "ia_aprendida"
+            ),
+            F.sum((F.col("_found") & ~F.col("_aprendido")).cast("int")).alias(
+                "semantica"
+            ),
+            F.sum((~F.col("_found")).cast("int")).alias("no_encontrados"),
+        )
+        .withColumn(
+            "success_rate",
+            F.floor(F.col("encontrados") / F.col("total") * 100 + 0.5).cast("bigint"),
+        )
+        .orderBy("plato_id")
+    )
+
+
+def v_ventas_diarias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vista_ventas_diarias (dashboard-ventas/schema-ventas.sql:145-156):
+    completed sales only, per day: tickets, revenue, avg ticket, diners.
+    Sale = order; estado completada = o_orderstatus 'F'; comensales
+    synthesized deterministically as o_custkey %% 8 + 1."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("fecha"))
+        .agg(
+            F.count("*").alias("total_tickets"),
+            _r(F.sum("o_totalprice")).alias("total_ventas"),
+            _r(F.avg("o_totalprice")).alias("ticket_promedio"),
+            F.sum(F.col("o_custkey") % 8 + 1).alias("total_comensales"),
+        )
+        .orderBy(F.col("fecha").desc())
+    )
+
+
+def v_productos_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vista_productos_top (schema-ventas.sql:159-172): completed sales,
+    3-way join producto/linea/venta, per product: qty, revenue
+    (SUM(cantidad * precio_unitario) == SUM(l_extendedprice)), distinct
+    sale count; by revenue desc. Orders dim pre-filtered before the join;
+    part broadcast. Top 100 keeps the contract result bounded."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_type")
+        .agg(
+            _r(F.sum("l_quantity")).alias("cantidad_total"),
+            _r(F.sum("l_extendedprice")).alias("importe_total"),
+            F.countDistinct("l_orderkey").alias("veces_vendido"),
+        )
+        .orderBy(F.col("importe_total").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+def numier_upsert_ventas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified-sale upsert (sync-numier-data/index.ts:519-556): key
+    (restaurante_id, sistema_origen, id_externo), ON CONFLICT last write
+    wins. Existing state = all orders at batch 1; the incoming sync batch
+    re-delivers every third sale with re-read totals (batch 2). The merge
+    is union + latest-per-key (row_number desc) — one shuffle on the key;
+    on the real lakehouse table this is the same plan Iceberg MERGE INTO
+    produces (broadcast/SMJ on the key + per-key latest)."""
+    o = _t(spark, sf_dir, "orders")
+    sale = lambda batch_df, batch, price: batch_df.select(  # noqa: E731
+        (F.col("o_custkey") % 100).alias("restaurante_id"),
+        F.lit("numier").alias("sistema_origen"),
+        F.concat(F.lit("NUM-"), F.col("o_orderkey")).alias("id_externo"),
+        _r(price).alias("total_bruto"),
+        F.lit(batch).alias("_batch"),
+    )
+    existing = sale(o, 1, F.col("o_totalprice"))
+    incoming = sale(o.filter(F.col("o_orderkey") % 3 == 0), 2, F.col("o_totalprice") * 1.1)
+    merged = existing.unionByName(incoming)
+    w = Window.partitionBy("restaurante_id", "sistema_origen", "id_externo").orderBy(
+        F.col("_batch").desc()
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("restaurante_id", "sistema_origen", "id_externo", "total_bruto")
+        .orderBy("id_externo")
+    )
+
+
+def cotejo_patron_efectividad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-pattern effectiveness rollup (gestionar-sugerencias-cotejo/
+    index.ts:353-418): per (restaurante_id, metodo_deteccion) tally of
+    user confirmations/rejections and porcentaje_efectividad =
+    confirmaciones / total_evaluaciones. Decision events synthesized from
+    orders: metodo = the 5 cotejo methods keyed o_orderkey %% 5,
+    confirmation iff o_orderkey %% 3 != 0. The reference folds events in
+    one-by-one (read-modify-write); the declarative rebuild is a single
+    groupBy — same end state, idempotent, scale-safe."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    metodo = F.element_at(
+        F.array(
+            F.lit("referencia_albaran"),
+            F.lit("proveedor_fecha_importe"),
+            F.lit("proveedor_productos"),
+            F.lit("patron_aprendido"),
+            F.lit("ultima_oportunidad"),
+        ),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    conf = (F.col("o_orderkey") % 3 != 0).cast("int")
+    return (
+        o.select(
+            (F.col("o_custkey") % 20).alias("restaurante_id"),
+            metodo.alias("metodo_deteccion"),
+            conf.alias("_conf"),
+        )
+        .groupBy("restaurante_id", "metodo_deteccion")
+        .agg(
+            F.sum("_conf").alias("confirmaciones"),
+            F.sum(1 - F.col("_conf")).alias("rechazos"),
+            F.count("*").alias("total_evaluaciones"),
+        )
+        .withColumn(
+            "porcentaje_efectividad",
+            _r(F.col("confirmaciones") / F.col("total_evaluaciones"), 4),
+        )
+        .orderBy("restaurante_id", "metodo_deteccion")
+    )

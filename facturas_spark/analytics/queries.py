@@ -104,8 +104,11 @@ def q04_payment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q7 ----
 def q07_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Category spend share (ref get-dashboard-data/index.ts:291-319):
-    per-category revenue + pct of grand total via a window over the
-    aggregated (tiny) result — the expensive agg happens once."""
+    per-category revenue + pct of grand total. The grand total is a scalar
+    agg broadcast-cross-joined back in, NOT an unpartitioned window — a
+    ``Window.partitionBy()`` would exchange the (tiny) agg result to a
+    single partition and trips the WindowExec scale warning; the broadcast
+    keeps every exchange partial-agg-sized at any data scale."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     agg = (
@@ -113,12 +116,16 @@ def q07_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_imp"))
     )
-    w = Window.partitionBy()
-    return agg.select(
-        "p_type",
-        F.round("_imp", 2).alias("importe"),
-        F.round(F.col("_imp") / F.sum("_imp").over(w) * 100, 2).alias("pct_total"),
-    ).orderBy(F.col("importe").desc(), "p_type")
+    total = agg.agg(F.sum("_imp").alias("_tot"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "p_type",
+            F.round("_imp", 2).alias("importe"),
+            F.round(F.col("_imp") / F.col("_tot") * 100, 2).alias("pct_total"),
+        )
+        .orderBy(F.col("importe").desc(), "p_type")
+    )
 
 
 # ---------------------------------------------------------------- Q9 ----
