@@ -502,7 +502,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS gasto
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
-            WHERE lower(p_name) LIKE '%widget%'
+            WHERE lower(p_name) LIKE '%comprado%'
+               OR lower(p_name) LIKE '%widget%'
                OR lower(p_name) LIKE '%rojo%'
                OR lower(p_name) LIKE '%bolt%'
             GROUP BY p_name

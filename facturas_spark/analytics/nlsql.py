@@ -78,19 +78,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- Q15 hybrid search cascade (busquedaHibridaRobusta, index.ts:687-922) ---
 
-_STOPWORDS_ES = {
-    "que", "cual", "cuanto", "cuánto", "como", "donde", "los", "las", "del",
-    "por", "para", "con", "una", "uno", "este", "esta", "the", "how", "much",
-    "have", "comprado", "gastado",
-}
+# The reference ships TWO keyword extractors with different rules; each is
+# bound to its exact call site below.
+
+_STOP_M2 = ("del", "con", "sin", "para", "por", "los", "las", "una", "uno")
+
+_STOP_Q15 = (
+    "el", "la", "los", "las", "de", "del", "en", "con", "por", "para", "a",
+    "al", "un", "una", "unos", "unas", "que", "cual", "cuanto", "cuanta",
+    "cuantos", "cuantas", "este", "esta", "estos", "estas", "ese", "esa",
+    "esos", "esas", "aquel", "aquella", "aquellos", "aquellas",
+)
+
+_PURE_NUMBER = re.compile(r"^\d+$")
 
 
-def extract_keywords(pregunta: str, top: int = 3) -> list[str]:
-    """M2-style keyword extraction: words len>2, stopword-filtered, first
-    ``top`` kept (the reference takes top-3 for its ILIKE chain,
-    process-invoice/index.ts:2459-2480)."""
-    words = re.findall(r"[a-záéíóúñü0-9]+", pregunta.lower())
-    return [w for w in words if len(w) > 2 and w not in _STOPWORDS_ES][:top]
+def extract_keywords_m2(descripcion: str, top: int = 3) -> list[str]:
+    """M2 product keyword candidates (process-invoice/index.ts:2459-2465):
+    lower -> strip all but [a-zA-Z0-9 ñáéíóúü] (accents SURVIVE here) ->
+    split -> len>2 -> 9-word article list -> first 3."""
+    words = re.sub(r"[^a-zA-Z0-9\sñáéíóúü]", " ", descripcion.lower()).split(" ")
+    return [w for w in words if len(w) > 2 and w not in _STOP_M2][:top]
+
+
+def extraer_palabras_clave(texto: str, top: int = 5) -> list[str]:
+    """Q15 textual-search keywords (ask-my-invoices/index.ts:924-945),
+    exact: JS ``\\w`` is ASCII-only, so the [^\\w\\s] strip REMOVES accented
+    letters ('cuánto' -> 'cu nto' — faithful quirk), then normalize spaces,
+    split, keep len>2, drop the 35-word article list and pure numbers,
+    first 5."""
+    limpio = re.sub(r"\s+", " ", re.sub(r"[^a-zA-Z0-9_\s]", " ", texto.lower())).strip()
+    return [
+        w
+        for w in limpio.split(" ")
+        if len(w) > 2 and w not in _STOP_Q15 and not _PURE_NUMBER.match(w)
+    ][:top]
+
+
 
 
 def busqueda_textual(
@@ -100,7 +124,7 @@ def busqueda_textual(
     substring match of the extracted keywords against product names (ANY
     keyword, as the reference ORs per-keyword queries), returning spend per
     matching product."""
-    kws = extract_keywords(pregunta)
+    kws = extraer_palabras_clave(pregunta)
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     if not kws:
@@ -130,9 +154,11 @@ def busqueda_textual(
 
 def q15_hybrid_textual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable instance of the Q15 cascade's textual fallback with
-    a fixed question whose template lookup misses ('¿cuánto he comprado de
-    widget rojo y bolt?' -> keywords [widget, rojo, bolt])."""
-    return busqueda_textual(spark, sf_dir, "¿cuánto he comprado de widget rojo y bolt?")
+    a fixed question whose template lookup misses ('cuanto he comprado de
+    widget rojo y bolt' -> keywords [comprado, widget, rojo, bolt]: 'cuanto'
+    and 'de' fall to the stopword list, 'comprado' faithfully survives —
+    the reference list doesn't include it)."""
+    return busqueda_textual(spark, sf_dir, "cuanto he comprado de widget rojo y bolt")
 
 
 def q14_ultima_factura(spark: SparkSession, sf_dir: str) -> DataFrame:

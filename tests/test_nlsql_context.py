@@ -111,3 +111,40 @@ def test_with_restaurant_filter_batch_parity(spark):
         assert list(r.found_cifs) == p["found_cifs"]
         assert r.has_restaurant_cif == p["has_restaurant_cif"]
         assert r.recomendacion == p["recomendacion"]
+
+# --- the two keyword extractors (distinct reference variants) -----------
+
+
+def test_extraer_palabras_clave_q15_variant():
+    from facturas_spark.analytics.nlsql import extraer_palabras_clave
+
+    # JS \w is ASCII: accented letters are STRIPPED ('cuánto' -> 'cu nto')
+    assert extraer_palabras_clave("¿cuánto he comprado de tomate?") == [
+        "nto", "comprado", "tomate",
+    ]
+    # 35-word article list + pure-number filter + top 5
+    assert extraer_palabras_clave("el total de las 123 facturas del mes") == [
+        "total", "facturas", "mes",
+    ]
+    # 'uno' is NOT in the reference list (only un/una/unos/unas) — kept
+    assert extraer_palabras_clave("uno dos tres cuatro cinco seis siete ocho") == [
+        "uno", "dos", "tres", "cuatro", "cinco",
+    ]
+
+
+def test_extraer_palabras_clave_top5():
+    from facturas_spark.analytics.nlsql import extraer_palabras_clave
+
+    out = extraer_palabras_clave("alfa beta gama delta epsilon zeta eta")
+    assert out == ["alfa", "beta", "gama", "delta", "epsilon"]
+
+
+def test_extract_keywords_m2_variant():
+    from facturas_spark.analytics.nlsql import extract_keywords_m2
+
+    # accents SURVIVE in this variant; ñ too; top 3
+    assert extract_keywords_m2("Jamón Ibérico de Bellota 5J") == [
+        "jamón", "ibérico", "bellota",
+    ]
+    # 9-word article list only ('que' is NOT in it here)
+    assert extract_keywords_m2("que pasa con los tomates") == ["que", "pasa", "tomates"]
