@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_top_proveedores": N.q14_top_proveedores,
         "q14_productos_categoria": N.q14_productos_categoria,
         "q15_hybrid_textual": N.q15_hybrid_textual,
+        "q15_semantic_ranked": N.q15_semantic_ranked,
         "esc_food_cost_platos": E.esc_food_cost_platos,
         "esc_resumen_global": E.esc_resumen_global,
         "esc_ingredientes_stats": E.esc_ingredientes_stats,
@@ -553,6 +554,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "q15_semantic_ranked": """
+            WITH ranked AS (
+              SELECT vec_id, embedding, 50 - vec_id % 50 AS frecuencia_uso
+              FROM embeddings
+              ORDER BY frecuencia_uso DESC, vec_id
+              LIMIT 20
+            ), q AS (
+              SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id, frecuencia_uso,
+                   ROUND(GREATEST(0.0,
+                     list_sum(list_transform(list_zip(r.embedding, q.qe),
+                                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(r.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))),
+                   4) AS similitud
+            FROM ranked r, q
+            WHERE ROUND(GREATEST(0.0,
+                     list_sum(list_transform(list_zip(r.embedding, q.qe),
+                                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(r.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))),
+                   4) > 0.7
+            ORDER BY similitud DESC, vec_id
         """,
         "esc_food_cost_platos": """
             WITH base AS (

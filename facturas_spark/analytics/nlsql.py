@@ -161,6 +161,58 @@ def q15_hybrid_textual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return busqueda_textual(spark, sf_dir, "cuanto he comprado de widget rojo y bolt")
 
 
+def q15_semantic_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic stage of the Q15 cascade (buscarSemanticamente,
+    ask-my-invoices/index.ts:507-608), exact shape: candidates are
+    pre-capped to the TOP-20 by frecuencia_uso BEFORE scoring (:536-538),
+    cosine clamps negatives to 0 (:677 Math.max(0, sim)), matches must
+    exceed the 0.7 umbral STRICTLY (:569), result sorts by similitud desc
+    (:598). frecuencia_uso is synthesized as 50 - vec_id % 50 (ties by
+    vec_id, matching Postgres's deterministic tie order here); the query
+    embedding is vec 0's, so the corpus self-match is the only vector
+    above the reference threshold in this synthetic corpus.
+
+    Scale shape: the candidate cap makes the scored set tiny, so the
+    cosine runs on a broadcast-joined 20-row frame — no full-corpus scan
+    at serving time (the full-corpus path is ann_lsh_buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ranked = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            (50 - F.col("vec_id") % 50).alias("frecuencia_uso"),
+        )
+        .orderBy(F.col("frecuencia_uso").desc(), "vec_id")
+        .limit(20)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qe", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = F.greatest(F.lit(0.0), dot / (norm("embedding") * norm("qe")))
+    return (
+        ranked.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "frecuencia_uso",
+            F.round(sim, 4).alias("similitud"),
+        )
+        .filter(F.col("similitud") > 0.7)
+        .orderBy(F.col("similitud").desc(), "vec_id")
+    )
+
+
 def q14_ultima_factura(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'última_factura' template: latest order (ties broken by key) with the
     day gap to the corpus anchor date."""
