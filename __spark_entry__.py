@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_productos_categoria": N.q14_productos_categoria,
         "q15_hybrid_textual": N.q15_hybrid_textual,
         "q15_semantic_ranked": N.q15_semantic_ranked,
+        "q15_datos_basicos": N.q15_datos_basicos,
         "esc_food_cost_platos": E.esc_food_cost_platos,
         "esc_resumen_global": E.esc_resumen_global,
         "esc_ingredientes_stats": E.esc_ingredientes_stats,
@@ -554,6 +555,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "q15_datos_basicos": """
+            WITH resumen AS (
+              SELECT 'resumen_facturas' AS seccion, o_orderkey AS item_id,
+                     ROUND(o_totalprice, 2) AS importe
+              FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
+            ), top_prod AS (
+              SELECT 'top_productos', l_partkey, ROUND(l_extendedprice, 2)
+              FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5
+            ), top_prov AS (
+              SELECT 'top_proveedores', o_custkey, ROUND(o_totalprice, 2)
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+            )
+            SELECT * FROM (
+              SELECT * FROM resumen
+              UNION ALL SELECT * FROM top_prod
+              UNION ALL SELECT * FROM top_prov
+            ) ORDER BY seccion, importe DESC, item_id
         """,
         "q15_semantic_ranked": """
             WITH ranked AS (

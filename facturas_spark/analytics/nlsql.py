@@ -213,6 +213,50 @@ def q15_semantic_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_datos_basicos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-chance fallback of the Q15 cascade (getDatosBasicosRestaurante,
+    ask-my-invoices/index.ts:948-1001): three independent top-5s — latest
+    invoices by date, priciest product lines, biggest invoices by total —
+    returned as one stacked frame tagged by ``seccion`` (the reference
+    returns them as three keys of one JSON object). Each branch is a
+    TakeOrderedAndProject (no full sort, no extra shuffle); the union is
+    read-time only."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    resumen = (
+        orders.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(5)
+        .select(
+            F.lit("resumen_facturas").alias("seccion"),
+            F.col("o_orderkey").alias("item_id"),
+            F.round("o_totalprice", 2).alias("importe"),
+        )
+    )
+    top_prod = (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(5)
+        .select(
+            F.lit("top_productos").alias("seccion"),
+            F.col("l_partkey").alias("item_id"),
+            F.round("l_extendedprice", 2).alias("importe"),
+        )
+    )
+    top_prov = (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(5)
+        .select(
+            F.lit("top_proveedores").alias("seccion"),
+            F.col("o_custkey").alias("item_id"),
+            F.round("o_totalprice", 2).alias("importe"),
+        )
+    )
+    return resumen.unionByName(top_prod).unionByName(top_prov).orderBy(
+        "seccion", F.col("importe").desc(), "item_id"
+    )
+
+
 def q14_ultima_factura(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'última_factura' template: latest order (ties broken by key) with the
     day gap to the corpus anchor date."""
