@@ -92,3 +92,29 @@ def test_extract_pages_instrumented_accumulators(spark):
     a = {r.url: r.proveedor_cif for r in out.collect()}
     b = {r.url: r.proveedor_cif for r in extract_pages_full(df).collect()}
     assert a == b
+
+
+def test_extract_pages_hostile_inputs(spark):
+    """Crawl-reality probe: null payloads, broken UTF-8, tag soup, empty
+    strings, and a binary-garbage html cell must flow through the fused
+    extraction UDF without raising and yield one output row per input."""
+    rows = [
+        ("h://null-both", None, None, None, None),
+        ("h://empty-text", None, None, "", "es"),
+        ("h://bad-utf8", None, b"\xff\xfe\x00\x80<p>x</p>\xf0\x28\x8c\x28", None, None),
+        ("h://tag-soup", None, b"<div><p>FACTURA <b>33 </div></p><<>>&nbsp;&bogus;", None, "es"),
+        ("h://binary-garbage", None, bytes(range(256)), None, None),
+        ("h://text-only", None, None, "TOTAL: 1.234,56 \u20ac\nCIF: B12345678", "es"),
+        ("h://ctrl-chars", None, None, "\x00\x01\x02 FACTURA N\xba 7 \x7f", "es"),
+    ]
+    from facturas_spark.pipeline import extract_pages
+    from facturas_spark.synth import PAGES_SCHEMA_DDL
+
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA_DDL)
+    out = extract_pages(pages).collect()
+    assert len(out) == len(rows)
+    by_url = {r["url"]: r for r in out}
+    # the clean text row still extracts its fields
+    assert by_url["h://text-only"]["proveedor_cif"] == "B12345678"
+    # null/garbage rows degrade gracefully (no field, review-flagged)
+    assert by_url["h://null-both"]["requiere_revision"] is True
