@@ -130,3 +130,36 @@ def test_stream_windowed_events_plan(spark):
     agg = stream_windowed_events(ev)
     assert agg.isStreaming
     assert {"inicio", "fin", "event_type", "eventos", "total_valor"} == set(agg.columns)
+
+# --- Iceberg path (gated: no Iceberg jar in this container) --------------
+
+
+def test_iceberg_unavailable_detection(spark):
+    from facturas_spark.sources.iceberg import (
+        IcebergUnavailable,
+        create_pages_table,
+        iceberg_available,
+        write_pages,
+    )
+
+    assert iceberg_available(spark) is False
+    import pytest as _pytest
+
+    with _pytest.raises(IcebergUnavailable):
+        create_pages_table(spark)
+    with _pytest.raises(IcebergUnavailable):
+        write_pages(spark.range(1))
+
+
+def test_iceberg_config_probe_requires_classpath(spark):
+    """A configured catalog without the jar on the classpath must still
+    report unavailable (config alone doesn't make writes work)."""
+    from facturas_spark.sources.iceberg import iceberg_available
+
+    spark.conf.set(
+        "spark.sql.catalog.probe_cat", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert iceberg_available(spark, "probe_cat") is False
+    finally:
+        spark.conf.unset("spark.sql.catalog.probe_cat")
