@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ventas_diarias": E.v_ventas_diarias,
         "v_productos_top": E.v_productos_top,
         "numier_upsert_ventas": E.numier_upsert_ventas,
+        "numier_dashboard_resumen": E.numier_dashboard_resumen,
         "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
@@ -713,6 +714,18 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY _batch DESC) AS _rn
               FROM merged
             ) WHERE _rn = 1 ORDER BY id_externo
+        """,
+        "numier_dashboard_resumen": """
+            SELECT
+              FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_bruto,
+              FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_neto,
+              FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice - o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_impuestos,
+              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_orderkey % 5 ELSE 0 END) AS total_descuentos,
+              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 7 ELSE 0 END) AS total_propinas,
+              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 8 + 1 ELSE 0 END) AS total_comensales,
+              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) AS total_tickets,
+              FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_anterior
+            FROM orders
         """,
         "cotejo_patron_efectividad": """
             WITH ev AS (

@@ -258,6 +258,49 @@ def numier_upsert_ventas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def numier_dashboard_resumen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales-dashboard resumen (get-dashboard-data/index.ts:71-121): six
+    measures summed over the period's unified sales — bruto, neto,
+    impuestos, descuentos, propinas, comensales — plus ticket count and
+    the previous period's neto for the growth comparison. The reference
+    fetches every row and reduces client-side; here it is ONE full agg
+    with period CASE filters (two periods in a single scan, partial
+    map-side aggregation — the shape that survives 10^12 rows).
+
+    ventas_datos measures synthesized from orders deterministically:
+    neto = bruto/1.1, impuestos = bruto - neto, descuentos = o_orderkey%%5,
+    propinas = o_custkey%%7, comensales = o_custkey%%8+1; period = 1995H1,
+    anterior = 1994H2 (the corpus's densest halves, matching Q3)."""
+    o = _t(spark, sf_dir, "orders")
+    in_per = (F.col("o_orderdate") >= F.lit("1995-01-01")) & (
+        F.col("o_orderdate") < F.lit("1995-07-01")
+    )
+    in_prev = (F.col("o_orderdate") >= F.lit("1994-07-01")) & (
+        F.col("o_orderdate") < F.lit("1995-01-01")
+    )
+    bruto = F.col("o_totalprice")
+    neto = bruto / 1.1
+    per = lambda c: F.sum(F.when(in_per, c).otherwise(0.0))  # noqa: E731
+    return o.agg(
+        _r(per(bruto)).alias("total_ventas_bruto"),
+        _r(per(neto)).alias("total_ventas_neto"),
+        _r(per(bruto - neto)).alias("total_impuestos"),
+        F.sum(F.when(in_per, F.col("o_orderkey") % 5).otherwise(0)).alias(
+            "total_descuentos"
+        ),
+        F.sum(F.when(in_per, F.col("o_custkey") % 7).otherwise(0)).alias(
+            "total_propinas"
+        ),
+        F.sum(F.when(in_per, F.col("o_custkey") % 8 + 1).otherwise(0)).alias(
+            "total_comensales"
+        ),
+        F.sum(in_per.cast("int")).alias("total_tickets"),
+        _r(F.sum(F.when(in_prev, neto).otherwise(0.0))).alias(
+            "total_ventas_anterior"
+        ),
+    )
+
+
 def cotejo_patron_efectividad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-pattern effectiveness rollup (gestionar-sugerencias-cotejo/
     index.ts:353-418): per (restaurante_id, metodo_deteccion) tally of

@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--buckets", type=int, default=256)
     parser.add_argument("--cores", type=int, default=None, help="local-mode cores")
     parser.add_argument("--streaming", action="store_true")
+    parser.add_argument(
+        "--iceberg-table",
+        default=None,
+        help="write to this Iceberg table (catalog.db.table) instead of the "
+        "bucketed-parquet layout; requires the iceberg-spark-runtime jar "
+        "(falls back to --output with a warning when absent)",
+    )
     args = parser.parse_args(argv)
 
     from facturas_spark.session import get_spark
@@ -58,6 +65,31 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.output}/_checkpoint",
         )
         result = {"mode": "streaming", "output": f"{args.output}/extracted"}
+    elif args.iceberg_table:
+        from facturas_spark.pipeline import extract_pages
+        from facturas_spark.sources.iceberg import (
+            create_pages_table,
+            iceberg_available,
+            write_pages,
+        )
+
+        pages = spark.read.parquet(args.input)
+        if iceberg_available(spark, args.iceberg_table.split(".", 1)[0]):
+            create_pages_table(spark, args.iceberg_table, n_buckets=args.buckets)
+            write_pages(extract_pages(pages), args.iceberg_table)
+            result = {"mode": "iceberg", "table": args.iceberg_table}
+        else:
+            print(
+                "WARN: no Iceberg runtime on the classpath; "
+                "falling back to bucketed parquet",
+                file=sys.stderr,
+            )
+            from facturas_spark.sources.io import run_with_resume
+
+            result = run_with_resume(
+                spark, pages, args.output, n_buckets=args.buckets
+            )
+            result["mode"] = "batch-fallback"
     else:
         from facturas_spark.sources.io import run_with_resume
 
