@@ -243,11 +243,19 @@ def cotejo_candidates(
     )
 
     # -- Method 4: learned temporal patterns dim -> 0.6 * efectividad
+    # (cotejo-inteligente/index.ts:1552-1601 + buscarAlbaranesPorPatron
+    # :610-640, exact: only patterns with efectividad > 0.7 STRICT are
+    # used; the window is [fecha_factura - (dias_maximos||30),
+    # fecha_factura] — the reference computes diasMinimos but never uses
+    # it in the query (faithful dead variable; the dim keeps the column
+    # for schema parity); ||30 is JS-falsy, so 0 and NULL both default)
     if patterns_dim is not None:
-        p = patterns_dim.select(
+        p = patterns_dim.filter(F.col("efectividad") > 0.7).select(
             F.col("proveedor_nombre").alias("p_prov"),
-            "dias_minimos",
-            "dias_maximos",
+            F.coalesce(
+                F.when(F.col("dias_maximos") != 0, F.col("dias_maximos")),
+                F.lit(30),
+            ).alias("_dias_max"),
             "efectividad",
         )
         m4 = (
@@ -256,8 +264,8 @@ def cotejo_candidates(
                 a,
                 (f.f_prov == a.a_prov)
                 & a.fecha_albaran.between(
-                    F.expr("date_sub(fecha_factura, dias_maximos)"),
-                    F.expr("date_sub(fecha_factura, dias_minimos)"),
+                    F.expr("date_sub(fecha_factura, _dias_max)"),
+                    F.col("fecha_factura"),
                 ),
             )
             .select(

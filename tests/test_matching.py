@@ -164,8 +164,44 @@ def test_cotejo_patterns_dim(spark):
         facturas, albaranes, as_of=date(2025, 3, 20), patterns_dim=patterns
     )
     rows = {(r.factura_id, r.albaran_id, r.metodo): r.score for r in cands.collect()}
-    # a3 is 77 days before f2 -> within [30, 90] pattern window -> 0.6*0.9
+    # a3 is 77 days before f2 -> within [fecha-90, fecha] -> 0.6*0.9
     assert rows[("f2", "a3", "patron_temporal")] == pytest.approx(0.54)
+
+
+def test_cotejo_patterns_dim_faithful_gates(spark):
+    """Method-4 quirks (cotejo-inteligente:610-640,1581): dias_minimos is
+    a DEAD variable (window upper bound is fecha_factura itself); the
+    efectividad gate is STRICTLY > 0.7; dias_maximos 0/NULL -> 30."""
+    from facturas_spark.matching.cotejo import cotejo_candidates
+
+    facturas, albaranes = _mk_corpus(spark)
+    patterns = spark.createDataFrame(
+        [
+            # dias_minimos=30 would exclude a2 (2 days before f1) if it
+            # were honored — it must match anyway
+            ("DISTRIBUCIONES GARRIDO S.L.", 30, 90, 0.8),
+            # efectividad exactly 0.7 -> gated out (strict >)
+            ("PESCADOS MARISOL S.L.U.", 1, 90, 0.7),
+        ],
+        "proveedor_nombre string, dias_minimos int, dias_maximos int, efectividad double",
+    )
+    cands = cotejo_candidates(
+        facturas, albaranes, as_of=date(2025, 3, 20), patterns_dim=patterns
+    )
+    rows = {(r.factura_id, r.albaran_id, r.metodo): r.score for r in cands.collect()}
+    assert rows[("f1", "a2", "patron_temporal")] == pytest.approx(0.48)
+    assert ("f3", "a4", "patron_temporal") not in rows
+
+    # dias_maximos = 0 -> JS-falsy -> defaults to 30: a4 (4 days) matches
+    patterns0 = spark.createDataFrame(
+        [("PESCADOS MARISOL S.L.U.", 1, 0, 0.9)],
+        "proveedor_nombre string, dias_minimos int, dias_maximos int, efectividad double",
+    )
+    cands0 = cotejo_candidates(
+        facturas, albaranes, as_of=date(2025, 3, 20), patterns_dim=patterns0
+    )
+    rows0 = {(r.factura_id, r.albaran_id, r.metodo): r.score for r in cands0.collect()}
+    assert rows0[("f3", "a4", "patron_temporal")] == pytest.approx(0.54)
 
 
 def test_salted_join_equivalence(spark):
