@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
+        "cotejo_inverso_pipeline": Q.cotejo_inverso_pipeline,
         "ocr_layout_extraction": Q.ocr_layout_extraction,
         "multimodal_features": Q.multimodal_features,
     }

@@ -339,6 +339,49 @@ def cotejo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cotejo_inverso_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 end-to-end: the albarán→factura direction with its own faithful
+    windows/filters (rows-only; semantics pinned in test_matching.py)."""
+    from datetime import date
+
+    from facturas_spark.matching.cotejo import run_cotejo_inverso
+    from facturas_spark.pipeline import extract_pages_full, extract_products_table
+    from facturas_spark.synth import PAGES_SCHEMA_DDL, corpus_rows
+
+    pages = spark.createDataFrame(corpus_rows(300, seed=42), PAGES_SCHEMA_DDL)
+    ext = extract_pages_full(pages).persist()
+    ext.count()
+    prods = (
+        extract_products_table(ext)
+        .groupBy("url")
+        .agg(F.collect_list("descripcion_original").alias("productos"))
+    )
+    docs = ext.drop("productos").join(prods, "url", "left").withColumn(
+        "productos", F.coalesce("productos", F.array())
+    )
+    facturas = docs.filter(F.col("tipo_documento") == "factura").select(
+        F.col("url").alias("factura_id"),
+        "proveedor_nombre",
+        "fecha_factura",
+        "total_factura",
+        "numero_factura",
+        "productos",
+    )
+    albaranes = docs.filter(F.col("tipo_documento") == "albaran").select(
+        F.col("url").alias("albaran_id"),
+        "proveedor_nombre",
+        F.col("fecha_factura").alias("fecha_albaran"),
+        F.col("total_factura").alias("total_albaran"),
+        "productos",
+    )
+    out = run_cotejo_inverso(albaranes, facturas, as_of=date(2025, 12, 31))
+    return (
+        out.groupBy("categoria_enlace", "metodo")
+        .agg(F.count("*").alias("pares"), F.round(F.avg("score"), 4).alias("score_medio"))
+        .orderBy("categoria_enlace", "metodo")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal stub pipeline, rows-only check: synthetic media corpus ->
     image features + audio features + video frame sampling (mapInPandas,

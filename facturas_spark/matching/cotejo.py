@@ -43,7 +43,14 @@ from pyspark.sql.window import Window
 
 from facturas_spark.matching.similarity import product_overlap_ratio_expr
 
-__all__ = ["cotejo_candidates", "categorize", "run_cotejo", "salted_join"]
+__all__ = [
+    "cotejo_candidates",
+    "cotejo_candidates_inverso",
+    "categorize",
+    "run_cotejo",
+    "run_cotejo_inverso",
+    "salted_join",
+]
 
 
 def salted_join(
@@ -218,6 +225,8 @@ def cotejo_candidates(
             F.lit("proximidad_temporal").alias("metodo"),
             F.lit(2).alias("metodo_prio"),
         )
+        # reference keeps only score > 0.7 STRICT (index.ts:1410)
+        .filter(F.col("score") > 0.7)
     )
 
     # -- Method 3: product-overlap (same proveedor, last 60 days from as_of)
@@ -300,6 +309,8 @@ def cotejo_candidates(
             F.lit("ultima_oportunidad").alias("metodo"),
             F.lit(5).alias("metodo_prio"),
         )
+        # reference keeps only score > 0.3 STRICT (index.ts:1642)
+        .filter(F.col("score") > 0.3)
     )
 
     parts = [m1, m2, m3, m5] if m4 is None else [m1, m2, m3, m4, m5]
@@ -309,10 +320,16 @@ def cotejo_candidates(
     return out
 
 
-def consolidate(candidates: DataFrame, facturas: DataFrame) -> DataFrame:
+def consolidate(
+    candidates: DataFrame, docs: DataFrame, bonus_key: str = "factura_id"
+) -> DataFrame:
     """M10-M11: keep max-score candidate per (factura, albaran) — ties keep
     the earliest method (JS Map only replaces on strictly-greater) — then
-    +0.02 bonus if the invoice has products, capped at 1."""
+    +0.02 bonus if the anchoring document has products, capped at 1.
+
+    ``bonus_key`` selects which side anchors the bonus: the invoice in the
+    forward direction (calcularScoresFinal, index.ts:1727) and the albarán
+    in the inverse one (calcularScoresFinalInverso, :2152)."""
     best = candidates.groupBy("factura_id", "albaran_id").agg(
         F.max_by(
             F.struct("score", "metodo", "metodo_prio"),
@@ -324,11 +341,11 @@ def consolidate(candidates: DataFrame, facturas: DataFrame) -> DataFrame:
         F.col("_b.score").alias("score"),
         F.col("_b.metodo").alias("metodo"),
     )
-    has_prods = facturas.select(
-        "factura_id", (F.size("productos") > 0).alias("_has_p")
+    has_prods = docs.select(
+        bonus_key, (F.size("productos") > 0).alias("_has_p")
     )
     return (
-        best.join(F.broadcast(has_prods), "factura_id", "left")
+        best.join(F.broadcast(has_prods), bonus_key, "left")
         .withColumn(
             "score",
             F.when(F.col("_has_p"), F.least(F.lit(1.0), F.col("score") + 0.02))
@@ -357,3 +374,203 @@ def run_cotejo(
     """Full pipeline: candidates -> consolidate -> categorize."""
     cands = cotejo_candidates(facturas, albaranes, as_of, patterns_dim)
     return categorize(consolidate(cands, facturas))
+
+
+_FAC_REF_PATTERNS = [
+    r"FAC[-\s]?(\d+)",
+    r"FACTURA[-\s]?(\d+)",
+    r"INVOICE[-\s]?(\d+)",
+]
+
+
+def cotejo_candidates_inverso(
+    albaranes: DataFrame,
+    facturas: DataFrame,
+    as_of: date | None = None,
+) -> DataFrame:
+    """M13 — the albarán→factura direction. NOT a mirror of the forward
+    pass: every method has its own window/filter in the reference
+    (cotejo-inteligente/index.ts:318-322 dispatch, :704-1092 bodies):
+
+    1. referencia_explicita_inverso (:704-750): FAC/FACTURA/INVOICE number
+       patterns inside albarán product lines, joined on numero_factura,
+       score 0.95.
+    2. proximidad_temporal_inverso (:766-860): facturas in
+       [fecha_albaran, fecha_albaran + 45] (FORWARD-looking window — the
+       invoice arrives after the delivery note), same 0.85-base score
+       table (pct still divides by total_factura, :1171), keep > 0.7
+       STRICT.
+    3. analisis_productos_inverso (:869-942): facturas with
+       fecha_factura <= as_of + 60 — NO lower bound (faithful quirk);
+       overlap ratio over the ALBARÁN's products (:1206-1216, reversed
+       denominator vs forward); facturas without products would score
+       0.75*0.5 (:1199) but the > 0.6 STRICT filter (:910) removes them.
+    4. patrones_temporales_inverso (:943-1017): no learned dim — a fixed
+       [fecha_albaran, fecha_albaran + 30] window; score = 0.5 + date
+       bonus (<=7: +0.3, <=15: +0.2, <=30: +0.1, no penalty else,
+       :2577-2607); the amount factor reads ``importe_total`` which does
+       not exist on the extraction tables (dead branch — omitted); keep
+       > 0.6 STRICT, so only <=15-day pairs survive.
+    5. ultima_oportunidad_inverso (:1019-1090): facturas >= as_of - 90,
+       latest 20 per albarán (vs 10 forward); the reference scores
+       0.5 + random()*0.2 — non-determinism the north rule excises; we
+       pin the distribution midpoint 0.6 (documented deviation); no
+       score filter.
+    """
+    if as_of is None:
+        as_of = albaranes.agg(F.max("fecha_albaran")).first()[0]
+        if hasattr(as_of, "date"):
+            as_of = as_of.date()
+    as_of_col = F.lit(as_of)
+
+    a = albaranes.select(
+        "albaran_id",
+        F.col("proveedor_nombre").alias("a_prov"),
+        "fecha_albaran",
+        "total_albaran",
+        F.col("productos").alias("a_productos"),
+    )
+    f = facturas.select(
+        "factura_id",
+        F.col("proveedor_nombre").alias("f_prov"),
+        "fecha_factura",
+        "total_factura",
+        "numero_factura",
+        F.col("productos").alias("f_productos"),
+    )
+
+    # -- M1 inverse: FAC-number references inside albarán product lines
+    refs = (
+        a.select(
+            "albaran_id", F.explode("a_productos").alias("_desc")
+        )
+        .select(
+            "albaran_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.regexp_extract(F.col("_desc"), f"(?i){p}", 1)
+                        for p in _FAC_REF_PATTERNS
+                    ]
+                )
+            ).alias("_num"),
+        )
+        .filter(F.col("_num") != "")
+    )
+    m1 = refs.join(f, refs._num == f.numero_factura).select(
+        "factura_id",
+        "albaran_id",
+        F.lit(0.95).alias("score"),
+        F.lit("referencia_explicita_inverso").alias("metodo"),
+        F.lit(1).alias("metodo_prio"),
+    )
+
+    # -- M2 inverse: facturas in [albaran, albaran + 45d], > 0.7 strict
+    m2 = (
+        a.join(
+            f,
+            (a.a_prov == f.f_prov)
+            & f.fecha_factura.between(
+                a.fecha_albaran, F.date_add(a.fecha_albaran, 45)
+            ),
+        )
+        .select(
+            "factura_id",
+            "albaran_id",
+            _score_m8(
+                F.col("fecha_factura"), F.col("fecha_albaran"),
+                F.col("total_factura"), F.col("total_albaran"),
+            ).alias("score"),
+            F.lit("proximidad_temporal_inverso").alias("metodo"),
+            F.lit(2).alias("metodo_prio"),
+        )
+        .filter(F.col("score") > 0.7)
+    )
+
+    # -- M3 inverse: overlap over ALBARÁN products, no lower date bound
+    overlap = product_overlap_ratio_expr(F.col("a_productos"), F.col("f_productos"))
+    score3 = F.when(
+        F.size("f_productos") == 0, F.lit(0.75 * 0.5)
+    ).otherwise(_clamp01(F.lit(0.75) * (F.lit(0.3) + overlap * 0.7)))
+    m3 = (
+        a.filter(F.size("a_productos") > 0)
+        .join(
+            f,
+            (a.a_prov == f.f_prov)
+            & (f.fecha_factura <= F.date_add(as_of_col, 60)),
+        )
+        .select(
+            "factura_id",
+            "albaran_id",
+            score3.alias("score"),
+            F.lit("analisis_productos_inverso").alias("metodo"),
+            F.lit(3).alias("metodo_prio"),
+        )
+        .filter(F.col("score") > 0.6)
+    )
+
+    # -- M4 inverse: fixed 30-day forward window, date-bonus-only score
+    dias = F.abs(F.datediff(F.col("fecha_factura"), F.col("fecha_albaran")))
+    score4 = F.lit(0.5) + (
+        F.when(dias <= 7, 0.3).when(dias <= 15, 0.2).when(dias <= 30, 0.1).otherwise(0.0)
+    )
+    m4 = (
+        a.join(
+            f,
+            (a.a_prov == f.f_prov)
+            & f.fecha_factura.between(
+                a.fecha_albaran, F.date_add(a.fecha_albaran, 30)
+            ),
+        )
+        .select(
+            "factura_id",
+            "albaran_id",
+            score4.alias("score"),
+            F.lit("patrones_temporales_inverso").alias("metodo"),
+            F.lit(4).alias("metodo_prio"),
+        )
+        .filter(F.col("score") > 0.6)
+    )
+
+    # -- M5 inverse: 90d window back from as_of, latest 20, fixed 0.6
+    w20 = Window.partitionBy("albaran_id").orderBy(
+        F.col("fecha_factura").desc(), F.col("factura_id")
+    )
+    m5 = (
+        a.join(
+            f,
+            (a.a_prov == f.f_prov)
+            & (f.fecha_factura >= F.date_sub(as_of_col, 90)),
+        )
+        .withColumn("_rn", F.row_number().over(w20))
+        .filter(F.col("_rn") <= 20)
+        .select(
+            "factura_id",
+            "albaran_id",
+            F.lit(0.6).alias("score"),
+            F.lit("ultima_oportunidad_inverso").alias("metodo"),
+            F.lit(5).alias("metodo_prio"),
+        )
+    )
+
+    out = m1
+    for part in (m2, m3, m4, m5):
+        out = out.unionByName(part)
+    return out
+
+
+def run_cotejo_inverso(
+    albaranes: DataFrame,
+    facturas: DataFrame,
+    as_of: date | None = None,
+) -> DataFrame:
+    """Full inverse pipeline; the +0.02 consolidation bonus anchors on the
+    ALBARÁN's products (calcularScoresFinalInverso, index.ts:2152)."""
+    cands = cotejo_candidates_inverso(albaranes, facturas, as_of)
+    return categorize(
+        consolidate(
+            cands,
+            albaranes.select("albaran_id", "productos"),
+            bonus_key="albaran_id",
+        )
+    )

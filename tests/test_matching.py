@@ -225,33 +225,73 @@ def test_salted_join_equivalence(spark):
 
 
 def test_inverse_cotejo_m13(spark):
-    """M13: the albarán->factura direction is the same plan with sides
-    swapped — run it and check the expected pairs appear with the same
-    score algebra."""
-    from facturas_spark.matching.cotejo import run_cotejo
+    """M13 faithful: the inverse direction has its OWN windows/filters
+    (forward-looking m2/m4 windows, albarán-denominated overlap, fixed
+    0.6 last-chance, FAC-number references in albarán lines)."""
+    from facturas_spark.matching.cotejo import run_cotejo_inverso
 
     facturas, albaranes = _mk_corpus(spark)
-    inv = run_cotejo(
-        albaranes.select(
-            F.col("albaran_id").alias("factura_id"),
-            "proveedor_nombre",
-            F.col("fecha_albaran").alias("fecha_factura"),
-            F.col("total_albaran").alias("total_factura"),
-            "productos",
+    facturas = facturas.withColumn(
+        "numero_factura",
+        F.element_at(
+            F.array(F.lit("F100"), F.lit("556"), F.lit("557")),
+            (F.substring("factura_id", 2, 1)).cast("int"),
         ),
-        facturas.select(
-            F.col("factura_id").alias("albaran_id"),
-            F.lit(None).cast("string").alias("numero_albaran"),
-            "proveedor_nombre",
-            F.col("fecha_factura").alias("fecha_albaran"),
-            F.col("total_factura").alias("total_albaran"),
-            "productos",
-        ),
-        as_of=date(2025, 3, 20),
+    )
+    # a5 carries an explicit invoice-number reference in a product line
+    extra = spark.createDataFrame(
+        [("a5", "222", "BODEGAS TORREALTA S.A.", date(2025, 1, 10), 10.0,
+          ["ver FACTURA 556"])],
+        albaranes.schema,
+    )
+    inv = run_cotejo_inverso(
+        albaranes.unionByName(extra), facturas, as_of=date(2025, 3, 20)
     )
     rows = {(r.factura_id, r.albaran_id): r for r in inv.collect()}
-    # the temporal pair exists in the inverse direction too; the inverse
-    # window is [albaran-45d, albaran], so a2 (Mar 8) does NOT see f1
-    # (Mar 10, 2 days LATER) via m2 — but the 90-day last-chance does
-    assert ("a2", "f1") in rows
-    assert rows[("a2", "f1")].score > 0
+
+    # m2 inverse: f1 (Mar 10) IS seen from a2 (Mar 8) — the window looks
+    # FORWARD [albaran, albaran+45]; 2 days + 0.8% amount -> 1.0, auto
+    r = rows[("f1", "a2")]
+    assert r.score == pytest.approx(1.0)
+    assert r.metodo == "proximidad_temporal_inverso"
+    assert r.categoria_enlace == "enlace_automatico"
+
+    # m3 inverse: a3->f2 survives only via product overlap (77 days kills
+    # m2/m4): 0.75*(0.3+0.7*1.0)=0.75 + 0.02 albarán-product bonus
+    r2 = rows[("f2", "a3")]
+    assert r2.score == pytest.approx(0.77)
+    assert r2.metodo == "analisis_productos_inverso"
+
+    # m1 inverse: FACTURA 556 inside a5's product line -> f2, 0.95 + 0.02
+    r3 = rows[("f2", "a5")]
+    assert r3.metodo == "referencia_explicita_inverso"
+    assert r3.score == pytest.approx(0.97)
+
+
+def test_inverse_cotejo_m4_window_and_gate(spark):
+    """m4-inverse: fixed 30-day forward window; score 0.5 + date bonus;
+    strict > 0.6 keeps only pairs <= 15 days apart."""
+    from facturas_spark.matching.cotejo import cotejo_candidates_inverso
+
+    albaranes = spark.createDataFrame(
+        [("b1", "1", "PROV X S.L.", date(2025, 1, 1), 100.0, [])],
+        "albaran_id string, numero_albaran string, proveedor_nombre string, "
+        "fecha_albaran date, total_albaran double, productos array<string>",
+    )
+    facturas = spark.createDataFrame(
+        [
+            ("g1", "PROV X S.L.", date(2025, 1, 11), 500.0, "901", []),  # 10d
+            ("g2", "PROV X S.L.", date(2025, 1, 21), 500.0, "902", []),  # 20d
+            ("g3", "PROV X S.L.", date(2024, 12, 30), 500.0, "903", []),  # before
+        ],
+        "factura_id string, proveedor_nombre string, fecha_factura date, "
+        "total_factura double, numero_factura string, productos array<string>",
+    )
+    cands = cotejo_candidates_inverso(albaranes, facturas, as_of=date(2025, 1, 21))
+    m4 = {
+        (r.factura_id, r.albaran_id): r.score
+        for r in cands.filter(F.col("metodo") == "patrones_temporales_inverso").collect()
+    }
+    # 10 days -> 0.5+0.2=0.7 passes; 20 days -> 0.5+0.1=0.6 FAILS strict >;
+    # g3 is before the albarán -> outside the forward window
+    assert m4 == {("g1", "b1"): pytest.approx(0.7)}
