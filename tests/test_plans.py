@@ -45,21 +45,15 @@ def test_broadcast_join_for_dims(spark):
 
 
 def test_sql_queries_have_no_python(spark):
-    """Oracle-checked analytics queries must run fully JVM-side — any
-    Python/Arrow eval node in them would be a 10-100x hot-path regression."""
+    """EVERY oracle-checked query must run fully JVM-side — any
+    Python/Arrow eval node in them would be a 10-100x hot-path regression.
+    (Rows-only pipelines are the per-doc UDF surface and are exempt.)"""
     qs = em.queries()
-    for name in (
-        "q01_daily_sales",
-        "q07_category_share",
-        "q13_rolling_price_stats",
-        "dedup_minhash_lsh",
-        "m5_product_match_pairs",
-        "txt_langid",
-        "ann_lsh_buckets",
-        "master_products",
-        "q14_resumen_anual",
-    ):
-        plan = _plan(qs[name](spark, SF))
+    oracle_backed = set(em.oracle_sql())
+    for name, fn in qs.items():
+        if name not in oracle_backed:
+            continue
+        plan = _plan(fn(spark, SF))
         assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, name
 
 
