@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from facturas_spark.extraction.udf import extract_doc_udf
 
-__all__ = ["stream_extract_pages", "stream_windowed_events"]
+__all__ = [
+    "stream_extract_pages",
+    "stream_windowed_events",
+    "stream_dedup_urls",
+]
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -49,6 +53,67 @@ def stream_extract_pages(
 
     q = (
         extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_dedup_urls(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Custom stateful operator (``applyInPandasWithState``): per-url
+    processing-state machine for streaming ingestion — the reference's
+    ``cola_procesamiento`` row states (pendiente/procesado + intentos,
+    Database_tables:375-415) kept as keyed stream state instead of row
+    mutation. Each url is emitted exactly once (first delivery, lowest
+    warc_ts wins inside a batch); re-deliveries in ANY later micro-batch
+    only bump the state's ``intentos`` counter. State persists in the
+    checkpoint, so dedup holds across restarts.
+
+    Scale shape: state is hash-partitioned by url (same key layout as the
+    storage buckets), one small struct per url; no unbounded growth beyond
+    the url universe — at crawl scale pair with state TTL or a compacted
+    Iceberg MERGE for the cold path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType.fromDDL(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    state_schema = StructType.fromDDL("intentos int")
+
+    def first_delivery_only(key, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            if seen == 0 and len(pdf) > 0:
+                first = pdf.sort_values("warc_ts", na_position="last").head(1)
+                rows.append(first)
+            seen += len(pdf)
+        state.update((seen,))
+        if rows:
+            yield pd.concat(rows)
+
+    pages = (
+        spark.readStream.schema(PAGES_DDL).format("parquet").load(input_dir)
+    )
+    deduped = pages.groupBy("url").applyInPandasWithState(
+        first_delivery_only,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        deduped.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

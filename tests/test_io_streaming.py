@@ -163,3 +163,44 @@ def test_iceberg_config_probe_requires_classpath(spark):
         assert iceberg_available(spark, "probe_cat") is False
     finally:
         spark.conf.unset("spark.sql.catalog.probe_cat")
+
+
+def test_stream_dedup_urls_stateful(spark, tmp_path):
+    """applyInPandasWithState url-dedup: first delivery wins inside a batch,
+    re-deliveries in later micro-batches are suppressed via checkpointed
+    keyed state (restart-safe)."""
+    import duckdb
+
+    from facturas_spark.streaming.stream import stream_dedup_urls
+
+    indir, outdir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    import os
+
+    os.makedirs(indir, exist_ok=True)
+    duckdb.sql(f"""
+      COPY (SELECT 'u://' || (i % 3) AS url,
+                   TIMESTAMP '2025-01-01' + INTERVAL (i) MINUTE AS warc_ts,
+                   NULL::BLOB AS html, 'doc ' || i AS text, 'es' AS lang
+            FROM range(6) t(i))
+      TO '{indir}/b1.parquet' (FORMAT PARQUET)
+    """)
+    stream_dedup_urls(spark, indir, outdir, ckpt)
+    out1 = spark.read.parquet(outdir).collect()
+    # 6 rows over 3 urls -> 3 emissions, each the EARLIEST warc_ts per url
+    assert len(out1) == 3
+    assert {r["text"] for r in out1} == {"doc 0", "doc 1", "doc 2"}
+
+    # second batch: same urls again + one new -> only the new one emits
+    duckdb.sql(f"""
+      COPY (SELECT 'u://' || i AS url,
+                   TIMESTAMP '2025-02-01' AS warc_ts,
+                   NULL::BLOB AS html, 'late ' || i AS text, 'es' AS lang
+            FROM range(4) t(i))
+      TO '{indir}/b2.parquet' (FORMAT PARQUET)
+    """)
+    stream_dedup_urls(spark, indir, outdir, ckpt)
+    out2 = spark.read.parquet(outdir).collect()
+    assert len(out2) == 4
+    assert "late 3" in {r["text"] for r in out2}
