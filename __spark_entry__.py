@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
         "txt_bpe_token_stats": D.txt_bpe_token_stats,
         "ann_lsh_buckets": D.ann_lsh_buckets,
+        "ann_ivf_topk": D.ann_ivf_topk,
         "master_products": M.master_products,
         "supplier_dim": M.supplier_dim,
         "price_history_append": M.price_history_append,
@@ -556,6 +557,39 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cent_id, embedding AS ce
+              FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+            ), scored AS (
+              SELECT e.vec_id, e.embedding, c.cent_id,
+                     list_sum(list_transform(list_zip(e.embedding, c.ce),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c.ce, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS _s
+              FROM embeddings e CROSS JOIN cents c
+            ), assigned AS (
+              SELECT vec_id, embedding, cent_id AS cell
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY _s DESC, cent_id) AS _rn
+                FROM scored
+              ) WHERE _rn = 1
+            ), q AS (
+              SELECT embedding AS qe, cell AS qcell FROM assigned WHERE vec_id = 0
+            )
+            SELECT a.vec_id, a.cell,
+                   ROUND(
+                     list_sum(list_transform(list_zip(a.embedding, q.qe),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   4) AS cos_sim
+            FROM assigned a, q
+            WHERE a.cell = q.qcell AND a.vec_id <> 0
+            ORDER BY cos_sim DESC, a.vec_id
             LIMIT 10
         """,
         "q15_datos_basicos": """

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_HASHES = 8  # MinHash signature length
 N_BANDS = 4   # LSH bands (2 rows per band)
@@ -274,6 +275,66 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("vectors"))
         .orderBy("bucket")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN scale path: K=8 coarse centroids (vectors
+    vec_id 1..8 — a deterministic stand-in for a k-means codebook), every
+    vector assigned to its max-cosine centroid (ties to the lowest
+    centroid id), then top-10 cosine search for query vec 0 runs ONLY
+    inside the query's cell — the scan shrinks O(N) -> O(N/K), and at
+    cluster scale the assignment is a write-time column so the probe is a
+    partition-pruned read. Plan: centroids broadcast (8 rows), one
+    window argmax on vec_id, TakeOrdered for the top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+
+    def cos(a: str, b: str):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        n = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return dot / (n(a) * n(b))
+
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", cos("embedding", "ce").alias("_s"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("_s").desc(), F.col("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("cell").alias("qcell")
+    )
+    return (
+        assigned.join(F.broadcast(q), assigned.cell == F.col("qcell"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cos("embedding", "qe"), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
     )
 
 
