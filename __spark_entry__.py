@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_token_stats": D.txt_bpe_token_stats,
         "ann_lsh_buckets": D.ann_lsh_buckets,
         "ann_ivf_topk": D.ann_ivf_topk,
+        "dedup_clusters": D.dedup_clusters,
         "master_products": M.master_products,
         "supplier_dim": M.supplier_dim,
         "price_history_append": M.price_history_append,
@@ -558,6 +559,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
+              FROM documents WHERE doc_id < 40
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, len(words) - 2),
+                       i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
+              FROM w WHERE len(words) >= 3
+            ), pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.01
+            ), und AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            )
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id
         """,
         "ann_ivf_topk": """
             WITH cents AS (

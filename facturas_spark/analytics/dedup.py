@@ -163,6 +163,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the
+    ngram-Jaccard pair graph via iterative min-label propagation to a
+    fixpoint (the step after pair detection a real dedup pipeline needs —
+    'keep one doc per component'). Node set = docs in >=1 near-dup pair;
+    cluster_id = the component's min doc_id.
+
+    Scale shape: each iteration is one shuffle on the node id (join +
+    min-agg); convergence in O(diameter) rounds — near-dup components are
+    shallow (dups of dups), so 3-5 rounds in practice. Results persist per
+    round so lineage stays flat. DuckDB oracle computes the same
+    components with a recursive reachability CTE."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    und = pairs.unionByName(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).toDF("src", "dst")
+    und = und.persist()
+    labels = (
+        und.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    while True:
+        neigh = (
+            und.join(labels, und.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, "doc_id")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 N_SIMHASH_BITS = 16
 
 
