@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numier_upsert_ventas": E.numier_upsert_ventas,
         "numier_dashboard_resumen": E.numier_dashboard_resumen,
         "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
+        "cotejo_decisiones": E.cotejo_decisiones,
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
@@ -776,6 +777,36 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY _batch DESC) AS _rn
               FROM merged
             ) WHERE _rn = 1 ORDER BY id_externo
+        """,
+        "cotejo_decisiones": """
+            WITH enlaces AS (
+              SELECT o_orderkey AS enlace_id, o_custkey,
+                     'sugerido' AS estado,
+                     NULL::VARCHAR AS usuario_validacion,
+                     NULL::TIMESTAMP AS fecha_validacion,
+                     'Detectado automáticamente' AS observaciones
+              FROM orders WHERE o_orderkey <= 4000
+            ), d AS (
+              SELECT o_orderkey AS enlace_id,
+                     CASE WHEN o_orderkey % 4 = 0 THEN 'confirmar' ELSE 'rechazar' END AS accion,
+                     'u1' AS usuario_id,
+                     CASE WHEN o_orderkey % 4 = 0 AND o_custkey % 2 = 0 THEN 'visto bueno' END AS obs,
+                     CASE WHEN o_orderkey % 4 = 1 AND o_custkey % 2 = 0 THEN 'importe no coincide' END AS razon
+              FROM orders WHERE o_orderkey <= 4000 AND o_orderkey % 4 <= 1
+            )
+            SELECT e.enlace_id,
+                   CASE WHEN d.accion = 'confirmar' THEN 'confirmado'
+                        WHEN d.accion = 'rechazar' THEN 'rechazado'
+                        ELSE e.estado END AS estado,
+                   CASE WHEN d.accion IN ('confirmar','rechazar') THEN d.usuario_id
+                        ELSE e.usuario_validacion END AS usuario_validacion,
+                   CASE WHEN d.accion IN ('confirmar','rechazar') THEN TIMESTAMP '2025-01-01 00:00:00'
+                        ELSE e.fecha_validacion END AS fecha_validacion,
+                   CASE WHEN d.accion = 'confirmar' THEN COALESCE(d.obs, 'Confirmado por usuario')
+                        WHEN d.accion = 'rechazar' THEN 'Rechazado: ' || COALESCE(d.razon, 'Sin razón especificada')
+                        ELSE e.observaciones END AS observaciones
+            FROM enlaces e LEFT JOIN d ON e.enlace_id = d.enlace_id
+            ORDER BY e.enlace_id
         """,
         "numier_dashboard_resumen": """
             SELECT

@@ -301,6 +301,45 @@ def numier_dashboard_resumen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cotejo_decisiones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract instance of the suggestion confirm/reject state machine
+    (matching.cotejo.apply_cotejo_decisions over a synthetic enlaces
+    model): enlaces = orders with estado 'sugerido' (enlace_id =
+    o_orderkey); decisions: keys %% 4 == 0 confirm (user 'u1', custom note
+    on even custkeys), %% 4 == 1 reject (razon only on even custkeys).
+    Verifies the exact estado/observaciones/usuario transitions against
+    the DuckDB oracle."""
+    from facturas_spark.matching.cotejo import apply_cotejo_decisions
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    enlaces = o.select(
+        F.col("o_orderkey").alias("enlace_id"),
+        F.lit("sugerido").alias("estado"),
+        F.lit(None).cast("string").alias("usuario_validacion"),
+        F.lit(None).cast("timestamp").alias("fecha_validacion"),
+        F.lit("Detectado automáticamente").alias("observaciones"),
+    )
+    decisions = (
+        o.filter(F.col("o_orderkey") % 4 <= 1)
+        .select(
+            F.col("o_orderkey").alias("enlace_id"),
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit("confirmar"))
+            .otherwise(F.lit("rechazar"))
+            .alias("accion"),
+            F.lit("u1").alias("usuario_id"),
+            F.when(
+                (F.col("o_orderkey") % 4 == 0) & (F.col("o_custkey") % 2 == 0),
+                F.lit("visto bueno"),
+            ).alias("observaciones"),
+            F.when(
+                (F.col("o_orderkey") % 4 == 1) & (F.col("o_custkey") % 2 == 0),
+                F.lit("importe no coincide"),
+            ).alias("razon_rechazo"),
+        )
+    )
+    return apply_cotejo_decisions(enlaces, decisions).orderBy("enlace_id")
+
+
 def cotejo_patron_efectividad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-pattern effectiveness rollup (gestionar-sugerencias-cotejo/
     index.ts:353-418): per (restaurante_id, metodo_deteccion) tally of

@@ -559,6 +559,58 @@ def cotejo_candidates_inverso(
     return out
 
 
+def apply_cotejo_decisions(
+    enlaces: DataFrame,
+    decisions: DataFrame,
+    as_of_ts: str = "2025-01-01 00:00:00",
+) -> DataFrame:
+    """Batch form of the suggestion-management state transitions
+    (gestionar-sugerencias-cotejo/index.ts:101-225): a decision row
+    (enlace_id, accion, usuario_id, observaciones, razon_rechazo) flips
+    the matching enlace to confirmado/rechazado with the reference's
+    exact field updates — confirm observaciones default 'Confirmado por
+    usuario', reject prefix 'Rechazado: ' + razon or 'Sin razón
+    especificada'; undecided enlaces pass through unchanged. The
+    reference stamps ``new Date()``; the deterministic ``as_of_ts``
+    replaces it (north rule). One broadcast join — decisions are tiny
+    relative to the enlaces table."""
+    d = decisions.select(
+        F.col("enlace_id").alias("_eid"),
+        "accion",
+        "usuario_id",
+        F.col("observaciones").alias("_obs"),
+        "razon_rechazo",
+    )
+    j = enlaces.join(F.broadcast(d), enlaces.enlace_id == d._eid, "left")
+    confirmar = F.col("accion") == "confirmar"
+    rechazar = F.col("accion") == "rechazar"
+    ts = F.lit(as_of_ts).cast("timestamp")
+    return j.select(
+        *[c for c in enlaces.columns if c not in ("estado", "usuario_validacion",
+                                                  "fecha_validacion", "observaciones")],
+        F.when(confirmar, F.lit("confirmado"))
+        .when(rechazar, F.lit("rechazado"))
+        .otherwise(F.col("estado"))
+        .alias("estado"),
+        F.when(confirmar | rechazar, F.col("usuario_id"))
+        .otherwise(F.col("usuario_validacion"))
+        .alias("usuario_validacion"),
+        F.when(confirmar | rechazar, ts)
+        .otherwise(F.col("fecha_validacion"))
+        .alias("fecha_validacion"),
+        F.when(confirmar, F.coalesce(F.col("_obs"), F.lit("Confirmado por usuario")))
+        .when(
+            rechazar,
+            F.concat(
+                F.lit("Rechazado: "),
+                F.coalesce(F.col("razon_rechazo"), F.lit("Sin razón especificada")),
+            ),
+        )
+        .otherwise(F.col("observaciones"))
+        .alias("observaciones"),
+    )
+
+
 def run_cotejo_inverso(
     albaranes: DataFrame,
     facturas: DataFrame,
