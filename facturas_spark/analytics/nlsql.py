@@ -384,3 +384,49 @@ def q14_productos_categoria(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_gastado").desc(), "p_type")
     )
+
+
+# --- the full hybrid cascade orchestrator (busquedaHibridaRobusta) -------
+
+_TEMPLATE_QUERIES = {
+    "última_factura": q14_ultima_factura,
+    "ultima_factura_sistema": q14_ultima_factura,  # same template; the
+    # reference's variant differs only in ordering column (fecha_extraccion,
+    # a system timestamp excised as non-deterministic — orderdate stands in)
+    "facturas_esta_semana": q14_facturas_semana,
+    "gasto_este_mes": q14_gasto_mes,
+    "proveedores_activos": q14_proveedores_activos,
+    "resumen_anual": q14_resumen_anual,
+    "top_proveedores": q14_top_proveedores,
+    "productos_por_categoria": q14_productos_categoria,
+}
+
+
+def busqueda_hibrida(
+    spark: SparkSession, sf_dir: str, pregunta: str
+) -> tuple[str, str, DataFrame]:
+    """The Q15 cascade orchestrator (busquedaHibridaRobusta,
+    ask-my-invoices/index.ts:687-846): returns ``(metodo, calidad, df)``
+    from the FIRST stage with data —
+
+    1. template SQL (detect_query_type -> canned query) -> ('sql_exitoso',
+       'alta'); types with no deterministic template (LLM-generated SQL,
+       F15 excised) fall through like the reference does on SQL errors.
+    2. semantic search -> ('semantico', 'media'); faithfully SKIPPED here:
+       without an embedding service the reference's generateEmbedding
+       returns [] and buscarSemanticamente yields no rows (:513-516) —
+       the deterministic build has no embedding for free-text preguntas.
+    3. keyword-textual -> ('textual_simple', 'baja').
+    4. datos básicos -> ('fallback_basico', 'minima') — never empty.
+
+    Driver-side emptiness probes use LIMIT 1 (cheap — TakeOrdered /
+    partial scans, not full materialization)."""
+    tipo = detect_query_type(pregunta)
+    if tipo is not None and tipo in _TEMPLATE_QUERIES:
+        df = _TEMPLATE_QUERIES[tipo](spark, sf_dir)
+        if df.limit(1).count() > 0:
+            return ("sql_exitoso", "alta", df)
+    df = busqueda_textual(spark, sf_dir, pregunta)
+    if df.limit(1).count() > 0:
+        return ("textual_simple", "baja", df)
+    return ("fallback_basico", "minima", q15_datos_basicos(spark, sf_dir))

@@ -148,3 +148,20 @@ def test_extract_keywords_m2_variant():
     ]
     # 9-word article list only ('que' is NOT in it here)
     assert extract_keywords_m2("que pasa con los tomates") == ["que", "pasa", "tomates"]
+
+
+def test_busqueda_hibrida_cascade(spark):
+    from facturas_spark.analytics.nlsql import busqueda_hibrida
+
+    SF = "/root/testdata/sf0.001"
+    # template hit -> alta
+    metodo, calidad, df = busqueda_hibrida(spark, SF, "resumen total del año")
+    assert (metodo, calidad) == ("sql_exitoso", "alta")
+    assert df.count() > 0
+    # no template, keywords match product names -> textual_simple
+    metodo2, calidad2, df2 = busqueda_hibrida(spark, SF, "necesito widget urgente")
+    assert (metodo2, calidad2) == ("textual_simple", "baja")
+    # no template, no keyword hits -> datos básicos (never empty)
+    metodo3, calidad3, df3 = busqueda_hibrida(spark, SF, "zzzzxq qqzzy")
+    assert (metodo3, calidad3) == ("fallback_basico", "minima")
+    assert df3.count() == 15
