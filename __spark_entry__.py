@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_resumen_anual": N.q14_resumen_anual,
         "q14_top_proveedores": N.q14_top_proveedores,
         "q14_productos_categoria": N.q14_productos_categoria,
+        "q14_ultima_factura_sistema": N.q14_ultima_factura_sistema,
+        "q14_facturas_recientes": N.q14_facturas_recientes,
+        "q14_productos_mas_comprados": N.q14_productos_mas_comprados,
         "q15_hybrid_textual": N.q15_hybrid_textual,
         "q15_semantic_ranked": N.q15_semantic_ranked,
         "q15_datos_basicos": N.q15_datos_basicos,
@@ -527,6 +530,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(l_shipdate AS DATE) >= a.hoy - INTERVAL 90 DAY
             GROUP BY p_type
             ORDER BY total_gastado DESC, p_type
+        """,
+        "q14_ultima_factura_sistema": """
+            WITH o AS (
+              SELECT *, CAST(o_orderdate AS DATE) + INTERVAL (CAST(o_orderkey % 5 AS INT)) DAY AS _fe
+              FROM orders
+            ), a AS (SELECT MAX(CAST(_fe AS DATE)) AS hoy FROM o)
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) AS fecha_factura,
+                   CAST(_fe AS DATE) AS fecha_extraccion,
+                   ROUND(o_totalprice, 2) AS total_factura,
+                   date_diff('day', CAST(o_orderdate AS DATE), CAST(_fe AS DATE)) AS dias_diferencia,
+                   CASE WHEN date_diff('day', CAST(_fe AS DATE), a.hoy) = 0 THEN 'Hoy'
+                        WHEN date_diff('day', CAST(_fe AS DATE), a.hoy) = 1 THEN 'Ayer'
+                        ELSE 'Hace ' || CAST(date_diff('day', CAST(_fe AS DATE), a.hoy) AS VARCHAR) || ' días'
+                   END AS tiempo_llegada
+            FROM o, a
+            ORDER BY fecha_extraccion DESC, o_orderkey DESC
+            LIMIT 1
+        """,
+        "q14_facturas_recientes": """
+            WITH o AS (
+              SELECT *, CAST(o_orderdate AS DATE) + INTERVAL (CAST(o_orderkey % 5 AS INT)) DAY AS _fe
+              FROM orders
+            ), a AS (SELECT MAX(CAST(_fe AS DATE)) AS hoy FROM o)
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) AS fecha_factura,
+                   CAST(_fe AS DATE) AS fecha_extraccion,
+                   ROUND(o_totalprice, 2) AS total_factura,
+                   CASE WHEN date_diff('day', CAST(_fe AS DATE), a.hoy) = 0 THEN 'Hoy'
+                        WHEN date_diff('day', CAST(_fe AS DATE), a.hoy) = 1 THEN 'Ayer'
+                        ELSE 'Hace ' || CAST(date_diff('day', CAST(_fe AS DATE), a.hoy) AS VARCHAR) || ' días'
+                   END AS tiempo_llegada,
+                   date_diff('day', CAST(o_orderdate AS DATE), CAST(_fe AS DATE)) AS dias_diferencia
+            FROM o, a
+            WHERE CAST(_fe AS DATE) >= a.hoy - INTERVAL 7 DAY
+            ORDER BY fecha_extraccion DESC, o_orderkey DESC
+            LIMIT 10
+        """,
+        "q14_productos_mas_comprados": """
+            WITH a AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS hoy FROM lineitem)
+            SELECT p_name,
+                   ROUND(SUM(l_quantity), 2) AS cantidad_total,
+                   COUNT(*) AS veces_comprado
+            FROM lineitem, a
+            JOIN part ON l_partkey = p_partkey
+            WHERE CAST(l_shipdate AS DATE) >= a.hoy - INTERVAL 30 DAY
+            GROUP BY p_name
+            ORDER BY cantidad_total DESC, p_name
+            LIMIT 10
         """,
         "txt_langid": """
             WITH w AS (

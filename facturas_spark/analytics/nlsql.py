@@ -365,6 +365,94 @@ def q14_top_proveedores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_extraccion(o: DataFrame) -> DataFrame:
+    """fecha_extraccion synthesized deterministically (the reference's is a
+    system insert timestamp — non-deterministic per the north rule):
+    extraction lags the invoice date by (o_orderkey %% 5) days."""
+    return o.withColumn(
+        "fecha_extraccion",
+        F.date_add(F.to_date("o_orderdate"), (F.col("o_orderkey") % 5).cast("int")),
+    )
+
+
+def _tiempo_llegada(hoy):
+    """CONSULTAS_BASICAS tiempo_llegada CASE: Hoy / Ayer / 'Hace N días'."""
+    d = F.datediff(hoy, F.col("fecha_extraccion"))
+    return (
+        F.when(d == 0, F.lit("Hoy"))
+        .when(d == 1, F.lit("Ayer"))
+        .otherwise(F.concat(F.lit("Hace "), d.cast("string"), F.lit(" días")))
+    )
+
+
+def q14_ultima_factura_sistema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'ultima_factura_sistema' template (CONSULTAS_BASICAS,
+    ask-my-invoices/index.ts:354-371): latest by EXTRACTION date (not
+    invoice date), with dias_diferencia and the tiempo_llegada label."""
+    o = _with_extraccion(_t(spark, sf_dir, "orders"))
+    hoy = o.agg(F.max("fecha_extraccion").alias("_hoy"))
+    return (
+        o.crossJoin(F.broadcast(hoy))
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("fecha_factura"),
+            "fecha_extraccion",
+            F.round("o_totalprice", 2).alias("total_factura"),
+            F.datediff("fecha_extraccion", F.to_date("o_orderdate")).alias(
+                "dias_diferencia"
+            ),
+            _tiempo_llegada(F.col("_hoy")).alias("tiempo_llegada"),
+        )
+        .orderBy(F.col("fecha_extraccion").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+    )
+
+
+def q14_facturas_recientes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'facturas_recientemente_recibidas' (index.ts:334-352): invoices whose
+    extraction date falls in the trailing 7 days, newest-extracted first,
+    top 10, with arrival labels."""
+    o = _with_extraccion(_t(spark, sf_dir, "orders"))
+    hoy = o.agg(F.max("fecha_extraccion").alias("_hoy"))
+    return (
+        o.crossJoin(F.broadcast(hoy))
+        .filter(F.col("fecha_extraccion") >= F.date_sub(F.col("_hoy"), 7))
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("fecha_factura"),
+            "fecha_extraccion",
+            F.round("o_totalprice", 2).alias("total_factura"),
+            _tiempo_llegada(F.col("_hoy")).alias("tiempo_llegada"),
+            F.datediff("fecha_extraccion", F.to_date("o_orderdate")).alias(
+                "dias_diferencia"
+            ),
+        )
+        .orderBy(F.col("fecha_extraccion").desc(), F.col("o_orderkey").desc())
+        .limit(10)
+    )
+
+
+def q14_productos_mas_comprados(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'productos_mas_comprados' (index.ts:285-293): per product, total
+    quantity + purchase count over the trailing 30 days, top 10 by
+    quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    anchor = li.agg(F.max(F.to_date("l_shipdate")).alias("_hoy"))
+    return (
+        li.crossJoin(F.broadcast(anchor))
+        .filter(F.to_date("l_shipdate") >= F.date_sub(F.col("_hoy"), 30))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("cantidad_total"),
+            F.count("*").alias("veces_comprado"),
+        )
+        .orderBy(F.col("cantidad_total").desc(), "p_name")
+        .limit(10)
+    )
+
+
 def q14_productos_categoria(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'productos_por_categoria': spend per category (p_type) in the
     trailing 90 days of the anchor."""
@@ -390,9 +478,9 @@ def q14_productos_categoria(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEMPLATE_QUERIES = {
     "última_factura": q14_ultima_factura,
-    "ultima_factura_sistema": q14_ultima_factura,  # same template; the
-    # reference's variant differs only in ordering column (fecha_extraccion,
-    # a system timestamp excised as non-deterministic — orderdate stands in)
+    "ultima_factura_sistema": q14_ultima_factura_sistema,
+    "facturas_recientemente_recibidas": q14_facturas_recientes,
+    "productos_mas_comprados": q14_productos_mas_comprados,
     "facturas_esta_semana": q14_facturas_semana,
     "gasto_este_mes": q14_gasto_mes,
     "proveedores_activos": q14_proveedores_activos,
