@@ -176,41 +176,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round so lineage stays flat. DuckDB oracle computes the same
     components with a recursive reachability CTE."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
-    und = pairs.unionByName(
-        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
-    ).toDF("src", "dst")
-    und = und.persist()
+    # the pair graph is tiny relative to the corpus (near-dups are rare):
+    # collapse to one partition and broadcast inside the loop so each
+    # round is a handful of tasks, not shuffle-partition fan-out. At true
+    # cluster scale swap coalesce(1) for hash-partitioning on the node id
+    # (the loop body is partitioning-agnostic).
+    und = (
+        pairs.unionByName(
+            pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+        )
+        .toDF("src", "dst")
+        .coalesce(1)
+        .persist()
+    )
     labels = (
         und.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .coalesce(1)
         .persist()
     )
     labels.count()
     while True:
         neigh = (
-            und.join(labels, und.dst == labels.doc_id)
+            und.join(F.broadcast(labels), und.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("_nl"))
         )
-        new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.src, "left")
+        merged = (
+            labels.join(F.broadcast(neigh), labels.doc_id == neigh.src, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
                 ).alias("label"),
             )
+            .coalesce(1)
             .persist()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "_new")
-            .join(labels, "doc_id")
-            .filter(F.col("_new") != F.col("label"))
-            .count()
-        )
+        changed = merged.filter(F.col("label") != F.col("_old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = merged.drop("_old")
         if changed == 0:
             break
     und.unpersist()
