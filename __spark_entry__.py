@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": D.ann_lsh_buckets,
         "ann_ivf_topk": D.ann_ivf_topk,
         "dedup_clusters": D.dedup_clusters,
+        "dedup_canonical_corpus": D.dedup_canonical_corpus,
         "master_products": M.master_products,
         "supplier_dim": M.supplier_dim,
         "price_history_append": M.price_history_append,
@@ -638,6 +639,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
             FROM reach GROUP BY a ORDER BY doc_id
+        """,
+        "dedup_canonical_corpus": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
+              FROM documents WHERE doc_id < 40
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, len(words) - 2),
+                       i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
+              FROM w WHERE len(words) >= 3
+            ), pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.01
+            ), und AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            ), comp AS (
+              SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+              FROM reach GROUP BY a
+            )
+            SELECT d.doc_id, d.lang, LENGTH(d.text) AS n_chars
+            FROM documents d
+            WHERE d.doc_id < 40
+              AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+            ORDER BY d.doc_id
         """,
         "ann_ivf_topk": """
             WITH cents AS (

@@ -226,6 +226,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: keep one document per near-dup component (the
+    component's min doc_id) and every untouched document — the surviving
+    corpus after cluster-based dedup. Anti-join of the doc window against
+    non-canonical cluster members; at scale the cluster map is the small
+    side (dup ratio << 1), so the anti-join broadcasts."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    clusters = dedup_clusters(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 N_SIMHASH_BITS = 16
 
 

@@ -54,6 +54,7 @@ def test_sql_queries_have_no_python(spark):
     # (driver-side convergence counts) — exempt here; its per-iteration
     # operators are plain join+min-agg built-ins.
     oracle_backed.discard("dedup_clusters")
+    oracle_backed.discard("dedup_canonical_corpus")  # builds on the loop
     for name, fn in qs.items():
         if name not in oracle_backed:
             continue
