@@ -456,13 +456,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_partkey, fecha_compra, l_orderkey, l_linenumber
         """,
         "q14_ultima_factura": """
-            WITH a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS hoy FROM orders)
+            WITH o AS (
+              SELECT *, CAST(o_orderdate AS DATE) + INTERVAL (CAST(o_orderkey % 5 AS INT)) DAY AS _fe
+              FROM orders
+            )
             SELECT o_orderkey, o_custkey,
                    CAST(o_orderdate AS DATE) AS fecha_factura,
+                   CAST(_fe AS DATE) AS fecha_extraccion,
                    ROUND(o_totalprice, 2) AS total_factura,
-                   date_diff('day', CAST(o_orderdate AS DATE), a.hoy) AS dias_diferencia
-            FROM orders, a
-            ORDER BY fecha_factura DESC, o_orderkey DESC
+                   date_diff('day', CAST(o_orderdate AS DATE), CAST(_fe AS DATE)) AS dias_diferencia
+            FROM o
+            ORDER BY fecha_extraccion DESC, fecha_factura DESC, o_orderkey DESC
             LIMIT 1
         """,
         "q14_facturas_semana": """

@@ -258,20 +258,29 @@ def q15_datos_basicos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_ultima_factura(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'última_factura' template: latest order (ties broken by key) with the
-    day gap to the corpus anchor date."""
-    orders = _t(spark, sf_dir, "orders")
-    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("_hoy"))
+    """'última_factura' (CONSULTAS_BASICAS, ask-my-invoices/index.ts:248-260
+    exact): ORDER BY fecha_extraccion DESC, fecha_factura DESC (the
+    reference's plain variant also leads with the extraction date — only
+    the selected columns differ from the sistema variant), LIMIT 1;
+    dias_diferencia = fecha_extraccion - fecha_factura. Key desc appended
+    for a deterministic tie-break."""
+    o = _with_extraccion(_t(spark, sf_dir, "orders"))
     return (
-        orders.crossJoin(F.broadcast(anchor))
-        .select(
+        o.select(
             "o_orderkey",
             "o_custkey",
             F.to_date("o_orderdate").alias("fecha_factura"),
+            "fecha_extraccion",
             F.round("o_totalprice", 2).alias("total_factura"),
-            F.datediff(F.col("_hoy"), F.to_date("o_orderdate")).alias("dias_diferencia"),
+            F.datediff("fecha_extraccion", F.to_date("o_orderdate")).alias(
+                "dias_diferencia"
+            ),
         )
-        .orderBy(F.col("fecha_factura").desc(), F.col("o_orderkey").desc())
+        .orderBy(
+            F.col("fecha_extraccion").desc(),
+            F.col("fecha_factura").desc(),
+            F.col("o_orderkey").desc(),
+        )
         .limit(1)
     )
 
