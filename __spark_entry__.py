@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numier_dashboard_resumen": E.numier_dashboard_resumen,
         "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
         "cotejo_decisiones": E.cotejo_decisiones,
+        "whatsapp_routing": E.whatsapp_routing,
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
@@ -896,6 +897,60 @@ def oracle_sql() -> dict[str, str]:
                         ELSE e.observaciones END AS observaciones
             FROM enlaces e LEFT JOIN d ON e.enlace_id = d.enlace_id
             ORDER BY e.enlace_id
+        """,
+        "whatsapp_routing": """
+            WITH ev AS (
+              SELECT event_id, user_id FROM events WHERE event_id < 3000
+            ), msgs AS (
+              SELECT event_id AS msg_id,
+                     CASE WHEN event_id % 4 = 0 THEN '34' || CAST(600000000 + user_id % 1000 AS VARCHAR)
+                          WHEN event_id % 4 = 1 THEN '+34 ' || CAST(600000000 + user_id % 1000 AS VARCHAR)
+                          WHEN event_id % 4 = 2 THEN CAST(600000000 + user_id % 1000 AS VARCHAR)
+                          ELSE '34-' || CAST(600000000 + user_id % 1000 AS VARCHAR)
+                     END AS telefono,
+                     'm' || CAST(event_id % 2500 AS VARCHAR) AS media_id
+              FROM ev
+            ), vinc AS (
+              SELECT CASE WHEN k % 3 = 0 THEN CAST(600000000 + k AS VARCHAR)
+                          WHEN k % 3 = 1 THEN '+34' || CAST(600000000 + k AS VARCHAR)
+                          ELSE '34' || CAST(600000000 + k AS VARCHAR)
+                     END AS telefono,
+                     k % 50 AS restaurante_id,
+                     (k % 5 <> 0) AS activo
+              FROM (SELECT DISTINCT user_id % 1000 AS k FROM ev)
+            ), vars AS (
+              SELECT msg_id, telefono, media_id,
+                     regexp_replace(telefono, '[\\s\\-()]', '', 'g') AS limpio
+              FROM msgs
+            ), v4 AS (
+              SELECT msg_id, telefono, media_id,
+                     [limpio,
+                      '+' || limpio,
+                      CASE WHEN limpio LIKE '34%' THEN substring(limpio, 3) ELSE limpio END,
+                      '+34' || CASE WHEN limpio LIKE '34%' THEN substring(limpio, 3) ELSE limpio END
+                     ] AS vlist
+              FROM vars
+            ), exploded AS (
+              SELECT msg_id, telefono, media_id, r.idx, vlist[r.idx] AS v
+              FROM v4, range(1, 5) r(idx)
+            ), best AS (
+              SELECT msg_id, restaurante_id FROM (
+                SELECT e.msg_id, vc.restaurante_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.msg_id ORDER BY e.idx) AS rn
+                FROM exploded e JOIN vinc vc ON e.v = vc.telefono AND vc.activo
+              ) WHERE rn = 1
+            ), routed AS (
+              SELECT m.msg_id, m.telefono, m.media_id, b.restaurante_id,
+                     CASE WHEN b.restaurante_id IS NOT NULL
+                          THEN ROW_NUMBER() OVER (PARTITION BY b.restaurante_id, m.media_id
+                                                  ORDER BY m.msg_id) END AS dup_rn
+              FROM msgs m LEFT JOIN best b ON m.msg_id = b.msg_id
+            )
+            SELECT msg_id, telefono, media_id, restaurante_id,
+                   CASE WHEN restaurante_id IS NULL THEN 'no_vinculado'
+                        WHEN dup_rn > 1 THEN 'duplicado'
+                        ELSE 'aceptado' END AS estado
+            FROM routed ORDER BY msg_id
         """,
         "numier_dashboard_resumen": """
             SELECT

@@ -301,6 +301,46 @@ def numier_dashboard_resumen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def whatsapp_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract instance of the WhatsApp tenant router
+    (sources.whatsapp.route_whatsapp): messages synthesized from events
+    (phone digits from user_id %% 1000, four incoming formats keyed
+    event_id %% 4 — '34'-prefixed, '+34 '-spaced, local, '34-'-dashed;
+    media_id = event_id %% 2500 so ~1 in 6 re-deliver), vinculaciones dim
+    from the distinct phone keys (stored form keyed k %% 3, activo
+    unless k %% 5 == 0, restaurante_id = k %% 50)."""
+    from facturas_spark.sources.whatsapp import route_whatsapp
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    d = (F.lit(600000000) + F.col("user_id") % 1000).cast("string")
+    telefono = (
+        F.when(F.col("event_id") % 4 == 0, F.concat(F.lit("34"), d))
+        .when(F.col("event_id") % 4 == 1, F.concat(F.lit("+34 "), d))
+        .when(F.col("event_id") % 4 == 2, d)
+        .otherwise(F.concat(F.lit("34-"), d))
+    )
+    messages = ev.select(
+        F.col("event_id").alias("msg_id"),
+        telefono.alias("telefono"),
+        F.concat(F.lit("m"), (F.col("event_id") % 2500)).alias("media_id"),
+    )
+    k = F.col("k")
+    dk = (F.lit(600000000) + k).cast("string")
+    vinculaciones = (
+        ev.select((F.col("user_id") % 1000).alias("k"))
+        .distinct()
+        .select(
+            F.when(k % 3 == 0, dk)
+            .when(k % 3 == 1, F.concat(F.lit("+34"), dk))
+            .otherwise(F.concat(F.lit("34"), dk))
+            .alias("telefono"),
+            (k % 50).alias("restaurante_id"),
+            (k % 5 != 0).alias("activo"),
+        )
+    )
+    return route_whatsapp(messages, vinculaciones).orderBy("msg_id")
+
+
 def cotejo_decisiones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract instance of the suggestion confirm/reject state machine
     (matching.cotejo.apply_cotejo_decisions over a synthetic enlaces

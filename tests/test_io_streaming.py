@@ -204,3 +204,45 @@ def test_stream_dedup_urls_stateful(spark, tmp_path):
     out2 = spark.read.parquet(outdir).collect()
     assert len(out2) == 4
     assert "late 3" in {r["text"] for r in out2}
+
+
+def test_whatsapp_phone_variations_and_routing(spark):
+    """webhook-whatsapp:55-145 exact rules: 4 ordered variations,
+    first-match-wins, activo gate, media idempotence per restaurante."""
+    from facturas_spark.sources.whatsapp import phone_variations, route_whatsapp
+
+    vs = (
+        spark.range(1)
+        .select(phone_variations(F.lit("+34 622-902(777)")).alias("v"))
+        .first()["v"]
+    )
+    # limpio='+34622902777' does NOT start with '34' (the '+' survives the
+    # strip) -> sin-34 == limpio — faithful quirk of the reference's order
+    assert vs == [
+        "+34622902777", "++34622902777", "+34622902777", "+34+34622902777",
+    ]
+    vs2 = (
+        spark.range(1)
+        .select(phone_variations(F.lit("34 622 902 777")).alias("v"))
+        .first()["v"]
+    )
+    assert vs2 == ["34622902777", "+34622902777", "622902777", "+34622902777"]
+
+    msgs = spark.createDataFrame(
+        [
+            (1, "34 622902777", "mA"),   # matches stored '622902777' via v3
+            (2, "622902777", "mA"),      # same restaurante + same media -> dup
+            (3, "622000000", "mB"),      # inactive vinculación -> no_vinculado
+            (4, "699999999", "mC"),      # unknown -> no_vinculado
+        ],
+        "msg_id int, telefono string, media_id string",
+    )
+    vinc = spark.createDataFrame(
+        [("622902777", 7, True), ("622000000", 9, False)],
+        "telefono string, restaurante_id int, activo boolean",
+    )
+    out = {r["msg_id"]: r for r in route_whatsapp(msgs, vinc).collect()}
+    assert out[1]["estado"] == "aceptado" and out[1]["restaurante_id"] == 7
+    assert out[2]["estado"] == "duplicado"
+    assert out[3]["estado"] == "no_vinculado"
+    assert out[4]["estado"] == "no_vinculado"
