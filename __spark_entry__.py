@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
         "cotejo_decisiones": E.cotejo_decisiones,
         "whatsapp_routing": E.whatsapp_routing,
+        "mailgun_routing": E.mailgun_routing,
         # rows-only (non-SQL-expressible per-doc sequential pipelines)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
@@ -951,6 +952,40 @@ def oracle_sql() -> dict[str, str]:
                         WHEN dup_rn > 1 THEN 'duplicado'
                         ELSE 'aceptado' END AS estado
             FROM routed ORDER BY msg_id
+        """,
+        "mailgun_routing": """
+            WITH ev AS (
+              SELECT event_id, user_id FROM events WHERE event_id < 2000
+            ), emails AS (
+              SELECT event_id AS msg_id,
+                     CASE WHEN event_id % 5 = 0 THEN 'facturas.rest' || CAST(user_id % 50 AS VARCHAR) || '@facturas-restaurantes.brainstormersagency.com'
+                          WHEN event_id % 5 = 1 THEN 'nodots@facturas-restaurantes.brainstormersagency.com'
+                          WHEN event_id % 5 = 2 THEN 'facturas.zz' || CAST(user_id % 50 AS VARCHAR) || '@facturas-restaurantes.brainstormersagency.com'
+                          WHEN event_id % 5 = 3 THEN 'someone.rest1@gmail.com'
+                          ELSE 'facturas.rest' || CAST(user_id % 50 AS VARCHAR) || '@facturas-restaurantes.brainstormersagency.com'
+                     END AS recipient,
+                     CASE WHEN event_id % 5 = 4 THEN 0
+                          ELSE CAST(event_id % 3 + 1 AS INT) END AS n_attachments
+              FROM ev
+            ), restaurantes AS (
+              SELECT 'rest' || CAST(k AS VARCHAR) AS unique_id, k AS restaurante_id
+              FROM (SELECT DISTINCT user_id % 50 AS k FROM ev)
+            ), parsed AS (
+              SELECT e.*,
+                     contains(recipient, '@facturas-restaurantes.brainstormersagency.com') AS _dom,
+                     len(string_split(string_split(recipient, '@')[1], '.')) >= 2 AS _fmt,
+                     list_extract(string_split(string_split(recipient, '@')[1], '.'), -1) AS _uid
+              FROM emails e
+            )
+            SELECT p.msg_id, p.recipient, p.n_attachments,
+                   CASE WHEN p._dom AND p._fmt THEN r.restaurante_id END AS restaurante_id,
+                   CASE WHEN NOT p._dom THEN 'destinatario_invalido'
+                        WHEN NOT p._fmt THEN 'formato_invalido'
+                        WHEN r.restaurante_id IS NULL THEN 'restaurante_no_encontrado'
+                        WHEN p.n_attachments = 0 THEN 'sin_adjuntos'
+                        ELSE 'aceptado' END AS estado
+            FROM parsed p LEFT JOIN restaurantes r ON p._uid = r.unique_id
+            ORDER BY p.msg_id
         """,
         "numier_dashboard_resumen": """
             SELECT

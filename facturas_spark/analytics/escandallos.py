@@ -341,6 +341,41 @@ def whatsapp_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_whatsapp(messages, vinculaciones).orderBy("msg_id")
 
 
+def mailgun_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract instance of the Mailgun email router
+    (sources.whatsapp.route_mailgun): emails synthesized from events
+    covering all five estados — valid tenant, dot-less local part, unknown
+    unique_id, foreign domain, and zero attachments."""
+    from facturas_spark.sources.whatsapp import MAILGUN_DOMAIN, route_mailgun
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    rid = (F.col("user_id") % 50).cast("string")
+    m = F.col("event_id") % 5
+    recipient = (
+        F.when(m == 0, F.concat(F.lit("facturas.rest"), rid, F.lit(MAILGUN_DOMAIN)))
+        .when(m == 1, F.concat(F.lit("nodots"), F.lit(MAILGUN_DOMAIN)))
+        .when(m == 2, F.concat(F.lit("facturas.zz"), rid, F.lit(MAILGUN_DOMAIN)))
+        .when(m == 3, F.lit("someone.rest1@gmail.com"))
+        .otherwise(F.concat(F.lit("facturas.rest"), rid, F.lit(MAILGUN_DOMAIN)))
+    )
+    emails = ev.select(
+        F.col("event_id").alias("msg_id"),
+        recipient.alias("recipient"),
+        F.when(m == 4, F.lit(0))
+        .otherwise((F.col("event_id") % 3 + 1).cast("int"))
+        .alias("n_attachments"),
+    )
+    restaurantes = (
+        ev.select((F.col("user_id") % 50).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("rest"), F.col("k").cast("string")).alias("unique_id"),
+            F.col("k").alias("restaurante_id"),
+        )
+    )
+    return route_mailgun(emails, restaurantes).orderBy("msg_id")
+
+
 def cotejo_decisiones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract instance of the suggestion confirm/reject state machine
     (matching.cotejo.apply_cotejo_decisions over a synthetic enlaces

@@ -18,7 +18,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["phone_variations", "route_whatsapp"]
+__all__ = ["phone_variations", "route_whatsapp", "route_mailgun"]
+
+MAILGUN_DOMAIN = "@facturas-restaurantes.brainstormersagency.com"
 
 
 def phone_variations(tel: Column) -> Column:
@@ -77,6 +79,48 @@ def route_whatsapp(messages: DataFrame, vinculaciones: DataFrame) -> DataFrame:
             "restaurante_id",
             F.when(F.col("restaurante_id").isNull(), F.lit("no_vinculado"))
             .when(F.col("_dup") > 1, F.lit("duplicado"))
+            .otherwise(F.lit("aceptado"))
+            .alias("estado"),
+        )
+    )
+
+
+def route_mailgun(emails: DataFrame, restaurantes: DataFrame) -> DataFrame:
+    """Email-ingestion tenant routing (weebhook-mailgun/index.ts:180-205),
+    exact gate order: recipient must CONTAIN the service domain (substring,
+    not suffix — faithful); the local part splits on '.' and needs >= 2
+    segments; the tenant key is the LAST segment, looked up against
+    restaurantes.unique_id; then zero attachments short-circuit.
+
+    emails: (msg_id, recipient, n_attachments); adds restaurante_id +
+    estado in the reference's check order: 'destinatario_invalido' |
+    'formato_invalido' | 'restaurante_no_encontrado' | 'sin_adjuntos' |
+    'aceptado'."""
+    prefix = F.split(F.col("recipient"), "@").getItem(0)
+    parts = F.split(prefix, r"\.")
+    unique_id = F.element_at(parts, -1)
+    e = emails.select(
+        "*",
+        F.col("recipient").contains(MAILGUN_DOMAIN).alias("_dom"),
+        (F.size(parts) >= 2).alias("_fmt"),
+        unique_id.alias("_uid"),
+    )
+    r = restaurantes.select(
+        F.col("unique_id").alias("_ruid"), "restaurante_id"
+    )
+    return (
+        e.join(F.broadcast(r), e._uid == r._ruid, "left")
+        .select(
+            "msg_id",
+            "recipient",
+            "n_attachments",
+            F.when(F.col("_dom") & F.col("_fmt"), F.col("restaurante_id")).alias(
+                "restaurante_id"
+            ),
+            F.when(~F.col("_dom"), F.lit("destinatario_invalido"))
+            .when(~F.col("_fmt"), F.lit("formato_invalido"))
+            .when(F.col("restaurante_id").isNull(), F.lit("restaurante_no_encontrado"))
+            .when(F.col("n_attachments") == 0, F.lit("sin_adjuntos"))
             .otherwise(F.lit("aceptado"))
             .alias("estado"),
         )

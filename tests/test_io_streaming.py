@@ -246,3 +246,29 @@ def test_whatsapp_phone_variations_and_routing(spark):
     assert out[2]["estado"] == "duplicado"
     assert out[3]["estado"] == "no_vinculado"
     assert out[4]["estado"] == "no_vinculado"
+
+
+def test_mailgun_routing_gate_order(spark):
+    """weebhook-mailgun:180-205: domain substring gate fires BEFORE the
+    format/lookup gates; unique_id is the LAST dot segment."""
+    from facturas_spark.sources.whatsapp import MAILGUN_DOMAIN, route_mailgun
+
+    emails = spark.createDataFrame(
+        [
+            (1, f"facturas.r7{MAILGUN_DOMAIN}", 2),      # aceptado
+            (2, f"a.b.r7{MAILGUN_DOMAIN}", 1),           # last segment wins
+            (3, f"nodots{MAILGUN_DOMAIN}", 1),           # formato_invalido
+            (4, "facturas.r7@gmail.com", 1),             # wrong domain first
+            (5, f"facturas.zz{MAILGUN_DOMAIN}", 1),      # unknown tenant
+            (6, f"facturas.r7{MAILGUN_DOMAIN}", 0),      # sin_adjuntos
+        ],
+        "msg_id int, recipient string, n_attachments int",
+    )
+    rest = spark.createDataFrame([("r7", 7)], "unique_id string, restaurante_id int")
+    out = {r["msg_id"]: r for r in route_mailgun(emails, rest).collect()}
+    assert out[1]["estado"] == "aceptado" and out[1]["restaurante_id"] == 7
+    assert out[2]["estado"] == "aceptado"
+    assert out[3]["estado"] == "formato_invalido"
+    assert out[4]["estado"] == "destinatario_invalido"
+    assert out[5]["estado"] == "restaurante_no_encontrado"
+    assert out[6]["estado"] == "sin_adjuntos"
