@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_productos_top": E.v_productos_top,
         "numier_upsert_ventas": E.numier_upsert_ventas,
         "numier_dashboard_resumen": E.numier_dashboard_resumen,
+        "numier_upsert_catalogo": E.numier_upsert_catalogo,
         "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
         "cotejo_decisiones": E.cotejo_decisiones,
         "whatsapp_routing": E.whatsapp_routing,
@@ -998,6 +999,34 @@ def oracle_sql() -> dict[str, str]:
               SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) AS total_tickets,
               FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_anterior
             FROM orders
+        """,
+        "numier_upsert_catalogo": """
+            WITH existing AS (
+              SELECT p_partkey % 40 AS restaurante_id,
+                     'numier' AS sistema_origen,
+                     'PRD-' || p_partkey AS producto_id_externo,
+                     p_name AS nombre,
+                     p_type AS categoria_nombre,
+                     FLOOR((p_retailprice) * 100 + 0.5) / 100 AS precio_base,
+                     TRUE AS activo,
+                     1 AS _batch
+              FROM part
+            ), incoming AS (
+              SELECT p_partkey % 40, 'numier', 'PRD-' || p_partkey,
+                     p_name, p_type,
+                     FLOOR((p_retailprice * 0.95) * 100 + 0.5) / 100,
+                     (p_partkey % 8 = 0), 2
+              FROM part WHERE p_partkey % 4 = 0
+            ), merged AS (
+              SELECT * FROM existing UNION ALL SELECT * FROM incoming
+            )
+            SELECT restaurante_id, sistema_origen, producto_id_externo,
+                   nombre, categoria_nombre, precio_base, activo
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY restaurante_id, sistema_origen, producto_id_externo
+                                           ORDER BY _batch DESC) AS _rn
+              FROM merged
+            ) WHERE _rn = 1 ORDER BY producto_id_externo
         """,
         "cotejo_patron_efectividad": """
             WITH ev AS (

@@ -258,6 +258,45 @@ def numier_upsert_ventas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def numier_upsert_catalogo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-product upsert (sync-numier-data/index.ts:416-470): key
+    (restaurante_id, sistema_origen, producto_id_externo); each POS page
+    re-delivers the full product row, so last write wins — batch 2
+    re-syncs every fourth product with a changed base price and active
+    flag. precio_base uses the parseFloat(price1 || 0) fallback; the
+    four-price struct is flattened to columns (the reference nests them
+    in a JSON blob). Same MERGE shape as numier_upsert_ventas — one
+    exchange on the key."""
+    part = _t(spark, sf_dir, "part")
+    row = lambda batch_df, batch, price, active: batch_df.select(  # noqa: E731
+        (F.col("p_partkey") % 40).alias("restaurante_id"),
+        F.lit("numier").alias("sistema_origen"),
+        F.concat(F.lit("PRD-"), F.col("p_partkey")).alias("producto_id_externo"),
+        F.col("p_name").alias("nombre"),
+        F.col("p_type").alias("categoria_nombre"),
+        _r(price).alias("precio_base"),
+        active.alias("activo"),
+        F.lit(batch).alias("_batch"),
+    )
+    existing = row(part, 1, F.col("p_retailprice"), F.lit(True))
+    incoming = row(
+        part.filter(F.col("p_partkey") % 4 == 0),
+        2,
+        F.col("p_retailprice") * 0.95,
+        F.col("p_partkey") % 8 == 0,
+    )
+    merged = existing.unionByName(incoming)
+    w = Window.partitionBy(
+        "restaurante_id", "sistema_origen", "producto_id_externo"
+    ).orderBy(F.col("_batch").desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch")
+        .orderBy("producto_id_externo")
+    )
+
+
 def numier_dashboard_resumen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sales-dashboard resumen (get-dashboard-data/index.ts:71-121): six
     measures summed over the period's unified sales — bruto, neto,
