@@ -221,7 +221,7 @@ def oracle_sql() -> dict[str, str]:
                      length(text) AS n_len
               FROM documents
             )
-            SELECT lang, COUNT(*) AS docs, SUM(n_tokens) AS total_tokens,
+            SELECT lang, COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                    ROUND(AVG(n_tokens), 2) AS avg_tokens, MAX(n_len) AS max_len
             FROM t GROUP BY lang ORDER BY lang
         """,
@@ -243,8 +243,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "txt_amount_shapes": """
             SELECT lang,
-                   SUM(len(regexp_extract_all(text, '(\\d+[,\\.]\\d{2})', 1))) AS amount_tokens,
-                   SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS date_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '(\\d+[,\\.]\\d{2})', 1))) AS BIGINT) AS amount_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -255,8 +255,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY 1
             )
             SELECT COUNT(*) AS unique_docs,
-                   SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS dup_groups,
-                   SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS docs_in_dup_groups,
+                   CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+                   CAST(SUM(CASE WHEN copies > 1 THEN copies ELSE 0 END) AS BIGINT) AS docs_in_dup_groups,
                    MAX(copies) AS max_copies
             FROM g
         """,
@@ -327,7 +327,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT band, key, COUNT(*) AS members FROM bands GROUP BY 1, 2
             )
             SELECT band, COUNT(*) AS collision_groups,
-                   SUM(members) AS docs_in_collisions,
+                   CAST(SUM(members) AS BIGINT) AS docs_in_collisions,
                    MAX(members) AS max_group
             FROM groups WHERE members > 1
             GROUP BY band ORDER BY band
@@ -399,7 +399,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "txt_bpe_token_stats": """
             SELECT lang,
-                   SUM(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))) AS total_tokens,
+                   CAST(SUM(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))) AS BIGINT) AS total_tokens,
                    ROUND(AVG(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))), 2) AS avg_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
@@ -796,11 +796,11 @@ def oracle_sql() -> dict[str, str]:
               FROM base
             )
             SELECT COUNT(*) AS platos_analizados,
-                   SUM(CASE WHEN pvp_bruto IS NOT NULL AND pvp_bruto > 0 THEN 1 ELSE 0 END) AS platos_con_pvp,
-                   SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct < 40 THEN 1 ELSE 0 END) AS rentables,
-                   SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct >= 40 AND pct < 50 THEN 1 ELSE 0 END) AS en_limite,
-                   SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct >= 50 THEN 1 ELSE 0 END) AS poco_rentables,
-                   SUM(CASE WHEN pvp_bruto IS NULL OR pvp_bruto <= 0 THEN 1 ELSE 0 END) AS sin_precio,
+                   CAST(SUM(CASE WHEN pvp_bruto IS NOT NULL AND pvp_bruto > 0 THEN 1 ELSE 0 END) AS BIGINT) AS platos_con_pvp,
+                   CAST(SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct < 40 THEN 1 ELSE 0 END) AS BIGINT) AS rentables,
+                   CAST(SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct >= 40 AND pct < 50 THEN 1 ELSE 0 END) AS BIGINT) AS en_limite,
+                   CAST(SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS poco_rentables,
+                   CAST(SUM(CASE WHEN pvp_bruto IS NULL OR pvp_bruto <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS sin_precio,
                    FLOOR((SUM(food_cost_total)) * 100 + 0.5) / 100 AS costo_total_ingredientes,
                    FLOOR((AVG(pct)) * 100 + 0.5) / 100 AS food_cost_promedio
             FROM p
@@ -819,10 +819,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_orderkey AS plato_id,
                    COUNT(*) AS total,
-                   SUM(CASE WHEN _found THEN 1 ELSE 0 END) AS encontrados,
-                   SUM(CASE WHEN _found AND _aprendido THEN 1 ELSE 0 END) AS ia_aprendida,
-                   SUM(CASE WHEN _found AND NOT _aprendido THEN 1 ELSE 0 END) AS semantica,
-                   SUM(CASE WHEN NOT _found THEN 1 ELSE 0 END) AS no_encontrados,
+                   CAST(SUM(CASE WHEN _found THEN 1 ELSE 0 END) AS BIGINT) AS encontrados,
+                   CAST(SUM(CASE WHEN _found AND _aprendido THEN 1 ELSE 0 END) AS BIGINT) AS ia_aprendida,
+                   CAST(SUM(CASE WHEN _found AND NOT _aprendido THEN 1 ELSE 0 END) AS BIGINT) AS semantica,
+                   CAST(SUM(CASE WHEN NOT _found THEN 1 ELSE 0 END) AS BIGINT) AS no_encontrados,
                    CAST(FLOOR(SUM(CASE WHEN _found THEN 1 ELSE 0 END) * 100.0 / COUNT(*) + 0.5) AS BIGINT) AS success_rate
             FROM ing WHERE _rn = 1
             GROUP BY l_orderkey ORDER BY plato_id
@@ -832,7 +832,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS total_tickets,
                    FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total_ventas,
                    FLOOR((AVG(o_totalprice)) * 100 + 0.5) / 100 AS ticket_promedio,
-                   SUM(o_custkey % 8 + 1) AS total_comensales
+                   CAST(SUM(o_custkey % 8 + 1) AS BIGINT) AS total_comensales
             FROM orders WHERE o_orderstatus = 'F'
             GROUP BY 1 ORDER BY fecha DESC
         """,
@@ -993,10 +993,10 @@ def oracle_sql() -> dict[str, str]:
               FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_bruto,
               FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_neto,
               FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice - o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_impuestos,
-              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_orderkey % 5 ELSE 0 END) AS total_descuentos,
-              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 7 ELSE 0 END) AS total_propinas,
-              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 8 + 1 ELSE 0 END) AS total_comensales,
-              SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) AS total_tickets,
+              CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_orderkey % 5 ELSE 0 END) AS BIGINT) AS total_descuentos,
+              CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 7 ELSE 0 END) AS BIGINT) AS total_propinas,
+              CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 8 + 1 ELSE 0 END) AS BIGINT) AS total_comensales,
+              CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) AS BIGINT) AS total_tickets,
               FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_anterior
             FROM orders
         """,
@@ -1037,8 +1037,8 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderkey <= 5000
             )
             SELECT restaurante_id, metodo_deteccion,
-                   SUM(_conf) AS confirmaciones,
-                   SUM(1 - _conf) AS rechazos,
+                   CAST(SUM(_conf) AS BIGINT) AS confirmaciones,
+                   CAST(SUM(1 - _conf) AS BIGINT) AS rechazos,
                    COUNT(*) AS total_evaluaciones,
                    FLOOR((SUM(_conf) * 1.0 / COUNT(*)) * 10000 + 0.5) / 10000 AS porcentaje_efectividad
             FROM ev GROUP BY 1, 2 ORDER BY restaurante_id, metodo_deteccion
