@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": D.ann_ivf_topk,
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
+        "dedup_lsh_clusters": D.dedup_lsh_clusters,
+        "dedup_embedding_lsh": D.dedup_embedding_lsh,
         "master_products": M.master_products,
         "supplier_dim": M.supplier_dim,
         "price_history_append": M.price_history_append,
@@ -678,6 +680,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id < 40
               AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
             ORDER BY d.doc_id
+        """,
+        "dedup_lsh_clusters": f"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
+              FROM documents
+              WHERE trim(COALESCE(text, '')) <> ''
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, len(words) - 2),
+                       i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
+              FROM w WHERE len(words) >= 3
+            ), sig AS (
+              SELECT doc_id,
+                     {", ".join(f"list_min(list_transform(s, t -> md5(t || ':{i}'))) AS h{i}" for i in range(8))}
+              FROM sh
+            ), bands AS (
+              {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS key FROM sig" for j in range(4))}
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), pairs AS (
+              SELECT id1, id2
+              FROM cand JOIN sh a ON id1 = a.doc_id JOIN sh b ON id2 = b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+            ), und AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION ALL SELECT id2, id1 FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+            )
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))} AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+                   ROUND(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   4) AS cos_sim
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ROUND(
+                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                  4) >= 0.2
+            ORDER BY id1, id2
         """,
         "ann_ivf_topk": """
             WITH cents AS (

@@ -62,6 +62,39 @@ def test_sql_queries_have_no_python(spark):
         assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_m5_pair_generation_no_theta_join(spark):
+    """m5_product_match_pairs must source candidates from the M2 keyword
+    equi-join, not a bounded cartesian: no nested-loop/cartesian node in
+    the plan (the property that lets the same query run on an unbounded
+    catalog)."""
+    plan = _plan(em.queries()["m5_product_match_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_pairs_no_theta_join(spark):
+    """dedup_embedding_lsh candidates come from the sign-bucket equi-join;
+    the only inequality (id1 < id2) must be a post-join filter, not a
+    nested-loop join condition."""
+    plan = _plan(em.queries()["dedup_embedding_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_cluster_chain_no_theta_join(spark):
+    """The end-to-end dedup chain's candidate generation (band-key
+    equi-join) and verify must plan without any cartesian; the component
+    labels it returns are a persisted scan."""
+    from facturas_spark.analytics import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = D._shingle_table(docs)
+    plan = _plan(sh)
+    assert "CartesianProduct" not in plan
+    labels = em.queries()["dedup_lsh_clusters"](spark, SF)
+    assert labels.columns == ["doc_id", "cluster_id"]
+
+
 def test_partial_aggregation_map_side(spark):
     """Aggregations must do map-side partial aggregation (partial_count /
     partial_sum before the exchange) — the combiner that keeps the shuffle
