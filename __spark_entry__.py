@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numier_dashboard_resumen": E.numier_dashboard_resumen,
         "numier_upsert_catalogo": E.numier_upsert_catalogo,
         "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
+        "cotejo_scores": E.cotejo_scores,
         "cotejo_decisiones": E.cotejo_decisiones,
         "whatsapp_routing": E.whatsapp_routing,
         "mailgun_routing": E.mailgun_routing,
@@ -1087,6 +1088,46 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY _batch DESC) AS _rn
               FROM merged
             ) WHERE _rn = 1 ORDER BY producto_id_externo
+        """,
+        "cotejo_scores": """
+            WITH c AS (
+              SELECT o_orderkey AS factura_id,
+                     CAST(o_orderdate AS DATE) AS f_fecha,
+                     CASE WHEN o_orderkey % 13 <> 0
+                          THEN CAST(o_orderdate AS DATE) - CAST(o_orderkey % 80 AS INT) END AS a_fecha,
+                     o_totalprice AS f_total,
+                     CASE WHEN o_custkey % 11 = 0 THEN CAST(0.0 AS DOUBLE)
+                          ELSE o_totalprice * (1 + (o_custkey % 30 - 10) / CAST(100 AS DOUBLE)) END AS a_total
+              FROM orders WHERE o_orderkey <= 5000
+            ), s AS (
+              SELECT factura_id, f_fecha, a_fecha, f_total, a_total,
+                     date_diff('day', a_fecha, f_fecha) AS dias_diferencia,
+                     abs(date_diff('day', a_fecha, f_fecha)) AS dias,
+                     abs(f_total - a_total) / f_total * 100 AS pct
+              FROM c
+            )
+            SELECT factura_id, dias_diferencia,
+                   GREATEST(0.0, LEAST(1.0,
+                     CAST(0.85 AS DOUBLE)
+                     + (CASE WHEN f_fecha IS NOT NULL AND a_fecha IS NOT NULL THEN
+                          CASE WHEN dias <= 7 THEN 0.1 WHEN dias <= 15 THEN 0.05
+                               WHEN dias <= 30 THEN 0.02 ELSE -0.1 END
+                        ELSE 0.0 END)
+                     + (CASE WHEN f_total IS NOT NULL AND f_total <> 0
+                              AND a_total IS NOT NULL AND a_total <> 0 THEN
+                          CASE WHEN pct <= 5 THEN 0.1 WHEN pct <= 10 THEN 0.05
+                               WHEN pct <= 20 THEN 0.02 ELSE -0.15 END
+                        ELSE 0.0 END))) AS score_temporal,
+                   GREATEST(0.0, LEAST(1.0,
+                     CAST(0.4 AS DOUBLE)
+                     + (CASE WHEN f_fecha IS NOT NULL AND a_fecha IS NOT NULL THEN
+                          CASE WHEN dias <= 30 THEN 0.1 WHEN dias <= 60 THEN 0.05 ELSE -0.1 END
+                        ELSE 0.0 END)
+                     + (CASE WHEN f_total IS NOT NULL AND f_total <> 0
+                              AND a_total IS NOT NULL AND a_total <> 0 THEN
+                          CASE WHEN pct <= 10 THEN 0.1 WHEN pct <= 25 THEN 0.05 ELSE -0.15 END
+                        ELSE 0.0 END))) AS score_ultima_oportunidad
+            FROM s ORDER BY factura_id
         """,
         "cotejo_patron_efectividad": """
             WITH ev AS (

@@ -454,6 +454,49 @@ def cotejo_decisiones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cotejo_decisions(enlaces, decisions).orderBy("enlace_id")
 
 
+def cotejo_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M8/M9 cotejo score algebra itself, oracle-hashed (before this
+    query the scores were only rows-only-checked through the pipelines).
+
+    Drives matching.cotejo._score_m8 (temporal-proximity: base 0.85, date
+    delta brackets 7/15/30, amount-pct brackets 5/10/20, clamp [0,1] —
+    cotejo-inteligente/index.ts:549-577) and _score_m9 (last-chance: base
+    0.4, brackets 30/60 and 10/25 — index.ts:646-672) over a synthesized
+    deterministic candidate set that exercises every bracket and both
+    missing-value guards: albaran date NULL every 13th key (date adj -> 0),
+    albaran total 0.0 every 11th key (amount adj -> 0), day gap =
+    o_orderkey %% 80, amount drift = (o_custkey %% 30 - 10)%%."""
+    from facturas_spark.matching.cotejo import _score_m8, _score_m9
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    f_fecha = F.to_date("o_orderdate")
+    a_fecha = F.when(
+        F.col("o_orderkey") % 13 != 0,
+        F.date_sub(f_fecha, (F.col("o_orderkey") % 80).cast("int")),
+    )
+    f_total = F.col("o_totalprice")
+    a_total = F.when(F.col("o_custkey") % 11 == 0, F.lit(0.0)).otherwise(
+        f_total * (1 + (F.col("o_custkey") % 30 - 10) / 100.0)
+    )
+    cand = o.select(
+        F.col("o_orderkey").alias("factura_id"),
+        f_fecha.alias("f_fecha"),
+        a_fecha.alias("a_fecha"),
+        f_total.alias("f_total"),
+        a_total.alias("a_total"),
+    )
+    return cand.select(
+        "factura_id",
+        F.datediff("f_fecha", "a_fecha").alias("dias_diferencia"),
+        _score_m8(
+            F.col("f_fecha"), F.col("a_fecha"), F.col("f_total"), F.col("a_total")
+        ).alias("score_temporal"),
+        _score_m9(
+            F.col("f_fecha"), F.col("a_fecha"), F.col("f_total"), F.col("a_total")
+        ).alias("score_ultima_oportunidad"),
+    ).orderBy("factura_id")
+
+
 def cotejo_patron_efectividad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-pattern effectiveness rollup (gestionar-sugerencias-cotejo/
     index.ts:353-418): per (restaurante_id, metodo_deteccion) tally of

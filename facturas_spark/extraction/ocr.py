@@ -77,15 +77,30 @@ def walk_layout(text: str, pages: list[dict]) -> list[dict]:
     return elements
 
 
-_HDR_CANTIDAD = re.compile(r"cant|uds|unid", re.IGNORECASE)
-_HDR_DESC = re.compile(r"desc|concepto|art[ií]culo|producto", re.IGNORECASE)
-_HDR_PRECIO = re.compile(r"precio|importe|total", re.IGNORECASE)
-_HDR_CODIGO = re.compile(r"c[oó]d|ref|sku", re.IGNORECASE)
+# exact header banks of extractProductsFromFormParser
+# (process-invoice/index.ts:2066-2077)
+_HDR_CANTIDAD = re.compile(r"cantidad|uds?|unidades?|qty", re.IGNORECASE)
+_HDR_DESC = re.compile(r"descripci[oó]n|concepto|art[ií]culo|producto|item", re.IGNORECASE)
+_HDR_PRECIO = re.compile(r"precio|importe|total|euros?|€", re.IGNORECASE)
+_HDR_CODIGO = re.compile(r"c[oó]digo|ref|referencia|sku", re.IGNORECASE)
+
+
+def _find_index(headers: list[str], pattern: re.Pattern) -> int | None:
+    for idx, h in enumerate(headers):
+        if pattern.search(h):
+            return idx
+    return None
 
 
 def extract_table_products(text: str, pages: list[dict]) -> list[dict]:
     """P1: per table — bind columns by fuzzy header regex, emit one product
-    per body row when description len > 2 and price > 0; confidence 0.9."""
+    per body row when description len > 2 and price > 0; confidence 0.9.
+
+    Column binding is INDEPENDENT per column (reference findIndex at
+    index.ts:2066-2077): one merged header cell can bind several columns —
+    real Document-AI tables merge headers (JSON_MUESTRA's line-item table
+    has 'Pedido/Fecha/Artículo/Cantidad' in one cell), and the reference
+    still binds desc and cantidad to it."""
     productos: list[dict] = []
     for page in pages or []:
         for table in page.get("tables") or []:
@@ -93,16 +108,10 @@ def extract_table_products(text: str, pages: list[dict]) -> list[dict]:
                 text_from_segments(text, [(c.get("start"), c.get("end"))])
                 for c in (table.get("header_cells") or [])
             ]
-            col_cantidad = col_desc = col_precio = col_codigo = None
-            for idx, h in enumerate(headers):
-                if col_cantidad is None and _HDR_CANTIDAD.search(h):
-                    col_cantidad = idx
-                elif col_desc is None and _HDR_DESC.search(h):
-                    col_desc = idx
-                elif col_precio is None and _HDR_PRECIO.search(h):
-                    col_precio = idx
-                elif col_codigo is None and _HDR_CODIGO.search(h):
-                    col_codigo = idx
+            col_cantidad = _find_index(headers, _HDR_CANTIDAD)
+            col_desc = _find_index(headers, _HDR_DESC)
+            col_precio = _find_index(headers, _HDR_PRECIO)
+            col_codigo = _find_index(headers, _HDR_CODIGO)
             if col_desc is None:
                 continue
             for row in table.get("body_rows") or []:
