@@ -996,11 +996,16 @@ def oracle_sql() -> dict[str, str]:
             ), exploded AS (
               SELECT msg_id, telefono, media_id, r.idx, vlist[r.idx] AS v
               FROM v4, range(1, 5) r(idx)
+            ), per_variation AS (
+              -- .single() semantics: a variation matching >1 active row is skipped
+              SELECT e.msg_id, e.idx, COUNT(*) AS cnt, MIN(vc.restaurante_id) AS restaurante_id
+              FROM exploded e JOIN vinc vc ON e.v = vc.telefono AND vc.activo
+              GROUP BY e.msg_id, e.idx
             ), best AS (
               SELECT msg_id, restaurante_id FROM (
-                SELECT e.msg_id, vc.restaurante_id,
-                       ROW_NUMBER() OVER (PARTITION BY e.msg_id ORDER BY e.idx) AS rn
-                FROM exploded e JOIN vinc vc ON e.v = vc.telefono AND vc.activo
+                SELECT msg_id, restaurante_id,
+                       ROW_NUMBER() OVER (PARTITION BY msg_id ORDER BY idx) AS rn
+                FROM per_variation WHERE cnt = 1
               ) WHERE rn = 1
             ), routed AS (
               SELECT m.msg_id, m.telefono, m.media_id, b.restaurante_id,

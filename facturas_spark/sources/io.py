@@ -122,9 +122,15 @@ def run_with_resume(
         .parquet(os.path.join(out_dir, "extracted"))
     )
 
-    # per-bucket stats from what we just wrote -> manifest commits
+    # per-bucket stats from what we just wrote -> manifest commits.
+    # Scan ONLY this run's buckets (partition-pruned read): digesting the
+    # long-committed buckets too would make resume cost grow with total
+    # corpus size instead of with the pending work.
+    stats_src = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    if done:
+        stats_src = stats_src.filter(~F.col("bucket").isin(*done))
     stats = (
-        spark.read.parquet(os.path.join(out_dir, "extracted"))
+        stats_src
         .groupBy("bucket")
         .agg(
             F.count("*").alias("rows"),

@@ -47,7 +47,14 @@ def route_whatsapp(messages: DataFrame, vinculaciones: DataFrame) -> DataFrame:
     Output adds ``restaurante_id`` and ``estado``: 'aceptado' |
     'duplicado' (media already seen for that restaurante — earliest msg_id
     wins, the webhook's documentos-lookup idempotence) | 'no_vinculado'
-    (no active vinculación matches any variation)."""
+    (no active vinculación matches any variation).
+
+    A variation matching MORE than one active vinculación is skipped
+    entirely — the reference's ``.single()`` (index.ts:104) errors on
+    duplicate phone-book rows and the loop falls through to the next
+    variation; an arbitrary pick here would be nondeterministic AND
+    unfaithful. Both aggregations share the msg_id key prefix, so this
+    stays one exchange."""
     exploded = messages.select(
         "msg_id",
         F.posexplode(phone_variations(F.col("telefono"))).alias("_idx", "_v"),
@@ -55,14 +62,18 @@ def route_whatsapp(messages: DataFrame, vinculaciones: DataFrame) -> DataFrame:
     vinc = vinculaciones.filter(F.col("activo")).select(
         F.col("telefono").alias("_stored"), "restaurante_id"
     )
-    best = (
+    per_variation = (
         exploded.join(F.broadcast(vinc), exploded._v == vinc._stored)
-        .withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("msg_id").orderBy("_idx")),
+        .groupBy("msg_id", "_idx")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min("restaurante_id").alias("restaurante_id"),
         )
-        .filter(F.col("_rn") == 1)
-        .select("msg_id", "restaurante_id")
+    )
+    best = (
+        per_variation.filter(F.col("_cnt") == 1)  # .single(): ambiguous -> skip
+        .groupBy("msg_id")
+        .agg(F.min_by("restaurante_id", "_idx").alias("restaurante_id"))
     )
     routed = messages.join(best, "msg_id", "left")
     dup_rn = F.row_number().over(

@@ -91,16 +91,28 @@ def stream_dedup_urls(
     state_schema = StructType.fromDDL("intentos int")
 
     def first_delivery_only(key, pdfs, state: GroupState):
+        # `pdfs` is an ITERATOR of pandas chunks for the key: Arrow may
+        # split one key's batch across several chunks, so the min-warc_ts
+        # row must be tracked across ALL chunks before emitting — taking
+        # the first chunk's min would silently drop a lower-warc_ts row
+        # arriving in a later chunk.
         seen = state.get[0] if state.exists else 0
-        rows = []
+        best = None
+        total = 0
         for pdf in pdfs:
+            total += len(pdf)
             if seen == 0 and len(pdf) > 0:
-                first = pdf.sort_values("warc_ts", na_position="last").head(1)
-                rows.append(first)
-            seen += len(pdf)
-        state.update((seen,))
-        if rows:
-            yield pd.concat(rows)
+                cand = pdf.sort_values("warc_ts", na_position="last").head(1)
+                best = (
+                    cand
+                    if best is None
+                    else pd.concat([best, cand])
+                    .sort_values("warc_ts", na_position="last")
+                    .head(1)
+                )
+        state.update((seen + total,))
+        if seen == 0 and best is not None:
+            yield best
 
     pages = (
         spark.readStream.schema(PAGES_DDL).format("parquet").load(input_dir)

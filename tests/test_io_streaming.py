@@ -248,6 +248,40 @@ def test_whatsapp_phone_variations_and_routing(spark):
     assert out[4]["estado"] == "no_vinculado"
 
 
+def test_whatsapp_single_semantics_on_duplicate_vinculaciones(spark):
+    """webhook-whatsapp:104 uses .single(): a variation matching >1 active
+    vinculación ERRORS and is skipped — the router must fall through to
+    the next variation (or no_vinculado), never pick one arbitrarily."""
+    from facturas_spark.sources.whatsapp import route_whatsapp
+
+    msgs = spark.createDataFrame(
+        [
+            # v1 '34622902777' is ambiguous (2 active rows) but v3
+            # '622902777' matches exactly one -> routes via v3
+            (1, "34 622902777", "mA"),
+            # every variation of this number is ambiguous -> no_vinculado
+            (2, "34 622111222", "mB"),
+        ],
+        "msg_id int, telefono string, media_id string",
+    )
+    vinc = spark.createDataFrame(
+        [
+            ("34622902777", 1, True),
+            ("34622902777", 2, True),
+            ("622902777", 7, True),
+            ("622111222", 3, True),
+            ("622111222", 4, True),
+            ("34622111222", 5, True),
+            ("34622111222", 6, True),
+        ],
+        "telefono string, restaurante_id int, activo boolean",
+    )
+    out = {r["msg_id"]: r for r in route_whatsapp(msgs, vinc).collect()}
+    assert out[1]["estado"] == "aceptado" and out[1]["restaurante_id"] == 7
+    assert out[2]["estado"] == "no_vinculado"
+    assert out[2]["restaurante_id"] is None
+
+
 def test_mailgun_routing_gate_order(spark):
     """weebhook-mailgun:180-205: domain substring gate fires BEFORE the
     format/lookup gates; unique_id is the LAST dot segment."""
