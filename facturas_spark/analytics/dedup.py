@@ -218,12 +218,15 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
 
     Scale shape: each iteration is one shuffle on the node id (join +
     min-agg); convergence in O(diameter) rounds — near-dup components are
-    shallow (dups of dups), so 3-5 rounds in practice. Results persist per
-    round so lineage stays flat. The pair graph is tiny relative to the
-    corpus (near-dups are rare): collapse to one partition and broadcast
-    inside the loop so each round is a handful of tasks, not
-    shuffle-partition fan-out. At true cluster scale swap coalesce(1) for
-    hash-partitioning on the node id (the loop body is
+    shallow (dups of dups), so 3-5 rounds in practice. Each round is
+    ``localCheckpoint``ed, which BOTH materializes the round and truncates
+    the logical plan — with persist() alone the plan nests one AQE subtree
+    per round and Catalyst re-analyzes the whole stack on every later
+    action (measured: 3-36 s to collect a 24-row cached result). The pair
+    graph is tiny relative to the corpus (near-dups are rare): collapse to
+    one partition so each round is a handful of tasks. At true cluster
+    scale swap coalesce(1) for hash-partitioning on the node id and
+    localCheckpoint for reliable checkpoint() (the loop body is
     partitioning-agnostic)."""
     und = (
         pairs.unionByName(
@@ -231,16 +234,15 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         )
         .toDF("src", "dst")
         .coalesce(1)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         und.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .coalesce(1)
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     while True:
         neigh = (
             und.join(F.broadcast(labels), und.dst == labels.doc_id)
@@ -257,14 +259,12 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 ).alias("label"),
             )
             .coalesce(1)
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("label") != F.col("_old")).count()
-        labels.unpersist()
         labels = merged.drop("_old")
         if changed == 0:
             break
-    und.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -278,8 +278,9 @@ _CLUSTER_CACHE: dict[tuple, DataFrame] = {}
 def _cached_components(spark: SparkSession, sf_dir: str, kind: str, make) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _CLUSTER_CACHE:
-        _CLUSTER_CACHE[key] = make().persist()
-        _CLUSTER_CACHE[key].count()
+        # localCheckpoint: materialized AND plan-truncated (a persist here
+        # would keep the loop's whole nested plan alive for re-analysis)
+        _CLUSTER_CACHE[key] = make().localCheckpoint(eager=True)
     return _CLUSTER_CACHE[key]
 
 
