@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numier_upsert_catalogo": E.numier_upsert_catalogo,
         "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
         "cotejo_scores": E.cotejo_scores,
+        "cola_procesamiento": E.cola_procesamiento,
         "cotejo_decisiones": E.cotejo_decisiones,
         "whatsapp_routing": E.whatsapp_routing,
         "mailgun_routing": E.mailgun_routing,
@@ -1093,6 +1094,38 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY _batch DESC) AS _rn
               FROM merged
             ) WHERE _rn = 1 ORDER BY producto_id_externo
+        """,
+        "cola_procesamiento": """
+            WITH q AS (
+              SELECT o_orderkey AS documento_id,
+                     o_custkey % 50 AS restaurante_id,
+                     CAST(o_orderkey % 5 + 1 AS INT) AS prioridad,
+                     'pendiente' AS estado,
+                     CAST(o_custkey % 3 AS INT) AS intentos,
+                     CAST(3 AS INT) AS max_intentos,
+                     CAST(o_orderdate AS DATE) AS fecha_programada,
+                     NULL::VARCHAR AS ultimo_error
+              FROM orders WHERE o_orderkey <= 6000
+            ), batch AS (
+              SELECT * FROM q
+              WHERE estado = 'pendiente' AND intentos < max_intentos
+              ORDER BY prioridad, fecha_programada, documento_id
+              LIMIT 500
+            ), res AS (
+              SELECT documento_id, documento_id % 4 <> 0 AS exito,
+                     CASE WHEN documento_id % 4 = 0 THEN 'OCR_TIMEOUT' END AS error
+              FROM batch
+            )
+            SELECT b.documento_id, b.restaurante_id, b.prioridad,
+                   b.fecha_programada, b.max_intentos,
+                   CASE WHEN r.exito THEN 'completado'
+                        WHEN NOT r.exito AND b.intentos + 1 >= b.max_intentos THEN 'error'
+                        WHEN NOT r.exito THEN 'pendiente'
+                        ELSE b.estado END AS estado,
+                   CASE WHEN NOT r.exito THEN b.intentos + 1 ELSE b.intentos END AS intentos,
+                   CASE WHEN NOT r.exito THEN r.error ELSE b.ultimo_error END AS ultimo_error
+            FROM batch b LEFT JOIN res r USING (documento_id)
+            ORDER BY b.documento_id
         """,
         "cotejo_scores": """
             WITH c AS (

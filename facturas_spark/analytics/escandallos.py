@@ -454,6 +454,36 @@ def cotejo_decisiones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cotejo_decisions(enlaces, decisions).orderBy("enlace_id")
 
 
+def cola_procesamiento(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract instance of the processing queue (Database_tables:375-415)
+    via sources.queue: synthesize a pending queue from orders (prioridad =
+    o_orderkey %% 5 + 1, pre-existing intentos = o_custkey %% 3, max 3),
+    pull the top-500 batch by (prioridad, fecha_programada), apply
+    deterministic outcomes (every 4th documento fails with OCR_TIMEOUT),
+    and return the folded batch — retries re-queued, exhausted rows parked
+    in estado='error'."""
+    from facturas_spark.sources.queue import cola_apply_results, cola_next_batch
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000)
+    queue = o.select(
+        F.col("o_orderkey").alias("documento_id"),
+        (F.col("o_custkey") % 50).alias("restaurante_id"),
+        (F.col("o_orderkey") % 5 + 1).cast("int").alias("prioridad"),
+        F.lit("pendiente").alias("estado"),
+        (F.col("o_custkey") % 3).cast("int").alias("intentos"),
+        F.lit(3).cast("int").alias("max_intentos"),
+        F.to_date("o_orderdate").alias("fecha_programada"),
+        F.lit(None).cast("string").alias("ultimo_error"),
+    )
+    batch = cola_next_batch(queue, 500)
+    results = batch.select(
+        "documento_id",
+        (F.col("documento_id") % 4 != 0).alias("exito"),
+        F.when(F.col("documento_id") % 4 == 0, F.lit("OCR_TIMEOUT")).alias("error"),
+    )
+    return cola_apply_results(batch, results).orderBy("documento_id")
+
+
 def cotejo_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The M8/M9 cotejo score algebra itself, oracle-hashed (before this
     query the scores were only rows-only-checked through the pipelines).

@@ -206,6 +206,55 @@ def test_stream_dedup_urls_stateful(spark, tmp_path):
     assert "late 3" in {r["text"] for r in out2}
 
 
+def test_cola_procesamiento_retry_state_machine(spark):
+    """Queue semantics (Database_tables:375-415): priority-ordered pull,
+    retry bump on failure, re-queue under max_intentos, terminal 'error'
+    at the cap, untouched rows stay pending for the next pull."""
+    from datetime import date
+
+    from facturas_spark.sources.queue import cola_apply_results, cola_next_batch
+
+    queue = spark.createDataFrame(
+        [
+            # (doc, rest, prioridad, estado, intentos, max, fecha, error)
+            (1, 1, 3, "pendiente", 0, 3, date(2025, 1, 2), None),
+            (2, 1, 1, "pendiente", 2, 3, date(2025, 1, 3), "prev"),  # last try
+            (3, 1, 1, "pendiente", 0, 3, date(2025, 1, 1), None),
+            (4, 1, 2, "pendiente", 3, 3, date(2025, 1, 1), None),  # exhausted
+            (5, 1, 1, "completado", 0, 3, date(2025, 1, 1), None),  # done
+        ],
+        "documento_id int, restaurante_id int, prioridad int, estado string, "
+        "intentos int, max_intentos int, fecha_programada date, ultimo_error string",
+    )
+    batch = cola_next_batch(queue, 2).collect()
+    # eligibility excludes 4 (exhausted) and 5 (done); priority 1 beats 3;
+    # within priority 1, older fecha first -> [3, 2]
+    assert [r["documento_id"] for r in batch] == [3, 2]
+
+    results = spark.createDataFrame(
+        [(3, True, None), (2, False, "OCR_TIMEOUT")],
+        "documento_id int, exito boolean, error string",
+    )
+    out = {
+        r["documento_id"]: r
+        for r in cola_apply_results(
+            cola_next_batch(queue, 2), results
+        ).collect()
+    }
+    assert out[3]["estado"] == "completado" and out[3]["intentos"] == 0
+    # failure on the last attempt -> intentos hits max, parked terminal
+    assert out[2]["estado"] == "error" and out[2]["intentos"] == 3
+    assert out[2]["ultimo_error"] == "OCR_TIMEOUT"
+
+    # failure UNDER the cap re-queues as pendiente
+    results2 = spark.createDataFrame(
+        [(3, False, "BAD_PDF")], "documento_id int, exito boolean, error string"
+    )
+    out2 = cola_apply_results(cola_next_batch(queue, 1), results2).collect()[0]
+    assert out2["estado"] == "pendiente" and out2["intentos"] == 1
+    assert out2["ultimo_error"] == "BAD_PDF"
+
+
 def test_whatsapp_phone_variations_and_routing(spark):
     """webhook-whatsapp:55-145 exact rules: 4 ordered variations,
     first-match-wins, activo gate, media idempotence per restaurante."""
