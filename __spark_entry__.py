@@ -182,7 +182,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             )
             SELECT l_partkey,
-                   ROUND(AVG(gap), 2) AS gap_medio_dias,
+                   ((200 * SUM(gap) + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS gap_medio_dias,
                    MAX(gap) AS gap_max_dias,
                    COUNT(*) AS num_gaps
             FROM gaps WHERE gap IS NOT NULL
@@ -226,7 +226,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT lang, COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-                   ROUND(AVG(n_tokens), 2) AS avg_tokens, MAX(n_len) AS max_len
+                   ((200 * SUM(n_tokens) + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS avg_tokens,
+                   MAX(n_len) AS max_len
             FROM t GROUP BY lang ORDER BY lang
         """,
         "txt_quality_score": """
@@ -404,7 +405,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_bpe_token_stats": """
             SELECT lang,
                    CAST(SUM(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))) AS BIGINT) AS total_tokens,
-                   ROUND(AVG(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))), 2) AS avg_tokens,
+                   ((200 * SUM(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))) + COUNT(*))
+                    // (2 * COUNT(*))) / 100.0 AS avg_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -854,8 +856,17 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY o_orderkey, o_totalprice
             ), p AS (
               SELECT pvp_bruto, food_cost_total,
-                     food_cost_total / (pvp_bruto / 1.1) * 100 AS pct
+                     food_cost_total / (pvp_bruto / 1.1) * 100 AS pct,
+                     CAST(food_cost_total * 100 AS BIGINT) AS fc,
+                     CAST(pvp_bruto * 100 AS BIGINT) AS pvpc
               FROM base
+            ), p6 AS (
+              -- per-row 1e-6 fixed-point pct (integer half-up), summation
+              -- then order-independent
+              SELECT *,
+                     CASE WHEN pct IS NOT NULL AND pct <> 0
+                          THEN (2 * fc * 110 * 1000000 + pvpc) // (2 * pvpc) END AS pct6
+              FROM p
             )
             SELECT COUNT(*) AS platos_analizados,
                    CAST(SUM(CASE WHEN pvp_bruto IS NOT NULL AND pvp_bruto > 0 THEN 1 ELSE 0 END) AS BIGINT) AS platos_con_pvp,
@@ -863,9 +874,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct >= 40 AND pct < 50 THEN 1 ELSE 0 END) AS BIGINT) AS en_limite,
                    CAST(SUM(CASE WHEN pct IS NOT NULL AND pct <> 0 AND pct >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS poco_rentables,
                    CAST(SUM(CASE WHEN pvp_bruto IS NULL OR pvp_bruto <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS sin_precio,
-                   FLOOR((SUM(food_cost_total)) * 100 + 0.5) / 100 AS costo_total_ingredientes,
-                   FLOOR((AVG(pct)) * 100 + 0.5) / 100 AS food_cost_promedio
-            FROM p
+                   CAST(SUM(fc) AS BIGINT) / 100.0 AS costo_total_ingredientes,
+                   ((2 * SUM(pct6) + COUNT(pct6) * 10000)
+                    // (2 * COUNT(pct6) * 10000)) / 100.0 AS food_cost_promedio
+            FROM p6
         """,
         "esc_ingredientes_stats": """
             WITH ing AS (
@@ -892,8 +904,9 @@ def oracle_sql() -> dict[str, str]:
         "v_ventas_diarias": """
             SELECT CAST(o_orderdate AS DATE) AS fecha,
                    COUNT(*) AS total_tickets,
-                   FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS total_ventas,
-                   FLOOR((AVG(o_totalprice)) * 100 + 0.5) / 100 AS ticket_promedio,
+                   CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_ventas,
+                   ((2 * SUM(CAST(o_totalprice * 100 AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*))) / 100.0 AS ticket_promedio,
                    CAST(SUM(o_custkey % 8 + 1) AS BIGINT) AS total_comensales
             FROM orders WHERE o_orderstatus = 'F'
             GROUP BY 1 ORDER BY fecha DESC

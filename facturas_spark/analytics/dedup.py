@@ -528,9 +528,14 @@ def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             F.sum(toks).alias("total_tokens"),
-            F.round(F.avg(toks), 2).alias("avg_tokens"),
             F.count("*").alias("docs"),
         )
+        # integer-exact 2dp average (q13 technique) — see txt_token_stats
+        .withColumn(
+            "avg_tokens",
+            F.expr("CAST((200 * total_tokens + docs) div (2 * docs) AS DOUBLE) / 100.0"),
+        )
+        .select("lang", "total_tokens", "avg_tokens", "docs")
         .orderBy("lang")
     )
 

@@ -129,15 +129,54 @@ def esc_resumen_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = F.col("food_cost_total") / (F.col("pvp_bruto") / 1.1) * 100
     has_pct = pct.isNotNull() & (pct != 0)
     con_pvp = F.col("pvp_bruto").isNotNull() & (F.col("pvp_bruto") > 0)
-    return base.agg(
-        F.count("*").alias("platos_analizados"),
-        F.sum(con_pvp.cast("int")).alias("platos_con_pvp"),
-        F.sum((has_pct & (pct < 40)).cast("int")).alias("rentables"),
-        F.sum((has_pct & (pct >= 40) & (pct < 50)).cast("int")).alias("en_limite"),
-        F.sum((has_pct & (pct >= 50)).cast("int")).alias("poco_rentables"),
-        F.sum((~con_pvp).cast("int")).alias("sin_precio"),
-        _r(F.sum("food_cost_total")).alias("costo_total_ingredientes"),
-        _r(F.avg(pct)).alias("food_cost_promedio"),
+    # integer-exact aggregates (q13 technique): both inputs are 2dp-rounded
+    # doubles, so their cent values are exact BIGINTs. pct is fixed-pointed
+    # at 6 decimals PER ROW (pct = fc*110/pvp as a rational of cent values,
+    # rounded half-up by integer division), making the global sum — and
+    # therefore the rounded mean — independent of partitioning; a float
+    # SUM/AVG over 15k doubles is summation-order-dependent.
+    fc_cents = (F.col("food_cost_total").cast("decimal(18,2)") * 100).cast("long")
+    pvp_cents = (F.col("pvp_bruto").cast("decimal(18,2)") * 100).cast("long")
+    withc = base.select(
+        con_pvp.cast("int").alias("_con_pvp"),
+        (has_pct & (pct < 40)).cast("int").alias("_rent"),
+        (has_pct & (pct >= 40) & (pct < 50)).cast("int").alias("_lim"),
+        (has_pct & (pct >= 50)).cast("int").alias("_poco"),
+        (~con_pvp).cast("int").alias("_sin"),
+        fc_cents.alias("_fc"),
+        has_pct.alias("_has_pct"),
+        pvp_cents.alias("_pvpc"),
+    ).withColumn(
+        # half-up at 1e-6 via INTEGER division (a double divide would lose
+        # precision: the numerator can exceed 2^53)
+        "_p6",
+        F.expr(
+            "CASE WHEN _has_pct THEN"
+            " (2 * _fc * 110 * 1000000 + _pvpc) div (2 * _pvpc) END"
+        ),
+    )
+    return (
+        withc.agg(
+            F.count("*").alias("platos_analizados"),
+            F.sum("_con_pvp").alias("platos_con_pvp"),
+            F.sum("_rent").alias("rentables"),
+            F.sum("_lim").alias("en_limite"),
+            F.sum("_poco").alias("poco_rentables"),
+            F.sum("_sin").alias("sin_precio"),
+            F.sum("_fc").alias("_fc_sum"),
+            F.sum("_p6").alias("_p6_sum"),
+            F.count("_p6").alias("_p6_n"),
+        )
+        .withColumn(
+            "costo_total_ingredientes", F.expr("CAST(_fc_sum AS DOUBLE) / 100.0")
+        )
+        .withColumn(
+            "food_cost_promedio",
+            F.expr(
+                "CAST((2 * _p6_sum + _p6_n * 10000) div (2 * _p6_n * 10000) AS DOUBLE) / 100.0"
+            ),
+        )
+        .drop("_fc_sum", "_p6_sum", "_p6_n")
     )
 
 
@@ -193,13 +232,27 @@ def v_ventas_diarias(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sale = order; estado completada = o_orderstatus 'F'; comensales
     synthesized deterministically as o_custkey %% 8 + 1."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # integer-cents aggregation (q13 technique): prices are 2dp, so sum
+    # exact cents as BIGINT and round the average half-up via integer
+    # division — float SUM/AVG order varies with partitioning
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     return (
         o.groupBy(F.to_date("o_orderdate").alias("fecha"))
         .agg(
             F.count("*").alias("total_tickets"),
-            _r(F.sum("o_totalprice")).alias("total_ventas"),
-            _r(F.avg("o_totalprice")).alias("ticket_promedio"),
+            F.sum(cents).alias("_c"),
             F.sum(F.col("o_custkey") % 8 + 1).alias("total_comensales"),
+        )
+        .withColumn("total_ventas", F.expr("CAST(_c AS DOUBLE) / 100.0"))
+        .withColumn(
+            "ticket_promedio",
+            F.expr(
+                "CAST((2 * _c + total_tickets) div (2 * total_tickets) AS DOUBLE) / 100.0"
+            ),
+        )
+        .select(
+            "fecha", "total_tickets", "total_ventas", "ticket_promedio",
+            "total_comensales",
         )
         .orderBy(F.col("fecha").desc())
     )

@@ -162,10 +162,16 @@ def q10_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.filter(F.col("gap").isNotNull())
         .groupBy("l_partkey")
         .agg(
-            F.round(F.avg("gap"), 2).alias("gap_medio_dias"),
+            F.sum("gap").alias("_sg"),
             F.max("gap").alias("gap_max_dias"),
             F.count("*").alias("num_gaps"),
         )
+        # integer-exact 2dp average over exact int day-gaps (q13 technique)
+        .withColumn(
+            "gap_medio_dias",
+            F.expr("CAST((200 * _sg + num_gaps) div (2 * num_gaps) AS DOUBLE) / 100.0"),
+        )
+        .select("l_partkey", "gap_medio_dias", "gap_max_dias", "num_gaps")
         .orderBy("l_partkey")
         .limit(100)
     )
@@ -492,9 +498,17 @@ def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
             F.max("n_len").alias("max_len"),
         )
+        # integer-exact 2dp average (q13 technique): token counts are exact
+        # ints, so half-up rounding via integer division is identical in
+        # every engine at every partitioning — float AVG is
+        # summation-order-dependent
+        .withColumn(
+            "avg_tokens",
+            F.expr("CAST((200 * total_tokens + docs) div (2 * docs) AS DOUBLE) / 100.0"),
+        )
+        .select("lang", "docs", "total_tokens", "avg_tokens", "max_len")
         .orderBy("lang")
     )
 
