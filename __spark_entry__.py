@@ -118,14 +118,16 @@ def oracle_sql() -> dict[str, str]:
         "q01_daily_sales": """
             SELECT CAST(ts AS DATE) AS fecha,
                    COUNT(*) AS num_eventos,
-                   ROUND(SUM(value), 2) AS total_valor,
-                   ROUND(AVG(value), 2) AS valor_medio
+                   CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_valor,
+                   ((2 * SUM(CAST(value * 100 AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*))) / 100.0 AS valor_medio
             FROM events GROUP BY 1 ORDER BY fecha DESC
         """,
         "q02_top_products": """
             SELECT p_name,
                    ROUND(SUM(l_quantity), 2) AS total_cantidad,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_importe,
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT))) + 100)
+                    // 200) / 100.0 AS total_importe,
                    COUNT(DISTINCT l_orderkey) AS num_pedidos
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_name
@@ -133,33 +135,40 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "q03_dashboard_resumen": """
-            SELECT
-              ROUND(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice END), 2) AS ventas_periodo,
-              COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 END) AS pedidos_periodo,
-              ROUND(AVG(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice END), 2) AS ticket_medio,
-              ROUND(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice END), 2) AS ventas_anterior,
-              ROUND((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice END)
-                   - SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice END))
-                   / SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice END) * 100, 2) AS crecimiento_pct
-            FROM orders
+            WITH s AS (
+              SELECT
+                SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+                         THEN CAST(o_totalprice * 100 AS BIGINT) END) AS s1,
+                COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 END) AS n1,
+                SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+                         THEN CAST(o_totalprice * 100 AS BIGINT) END) AS s2
+              FROM orders
+            )
+            SELECT CAST(s1 AS BIGINT) / 100.0 AS ventas_periodo,
+                   n1 AS pedidos_periodo,
+                   ((2 * s1 + n1) // (2 * n1)) / 100.0 AS ticket_medio,
+                   CAST(s2 AS BIGINT) / 100.0 AS ventas_anterior,
+                   FLOOR(CAST(s1 - s2 AS DOUBLE) / CAST(s2 AS DOUBLE) * 100 * 100 + 0.5) / 100 AS crecimiento_pct
+            FROM s
         """,
         "q04_payment_pivot": """
             SELECT CASE WHEN event_type IN ('purchase','refund') THEN 'monetario'
                         WHEN event_type IN ('signup','login') THEN 'cuenta'
                         ELSE 'otro' END AS categoria,
                    COUNT(*) AS eventos,
-                   ROUND(SUM(value), 2) AS total_valor
+                   CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_valor
             FROM events GROUP BY 1 ORDER BY categoria
         """,
         "q07_category_share": """
             WITH agg AS (
-              SELECT p_type, SUM(l_extendedprice * (1 - l_discount)) AS _imp
+              SELECT p_type,
+                     SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT))) AS _imp
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY p_type
             )
             SELECT p_type,
-                   ROUND(_imp, 2) AS importe,
-                   ROUND(_imp / SUM(_imp) OVER () * 100, 2) AS pct_total
+                   ((2 * _imp + 100) // 200) / 100.0 AS importe,
+                   FLOOR(CAST(_imp AS DOUBLE) / CAST(SUM(_imp) OVER () AS DOUBLE) * 100 * 100 + 0.5) / 100 AS pct_total
             FROM agg ORDER BY importe DESC, p_type
         """,
         "q09_purchase_frequency": """
@@ -194,7 +203,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_extendedprice) AS num_precios,
                    ROUND(MIN(l_extendedprice), 2) AS precio_min,
                    ROUND(MAX(l_extendedprice), 2) AS precio_max,
-                   ROUND(AVG(l_extendedprice), 2) AS precio_medio
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*))) / 100.0 AS precio_medio
             FROM lineitem GROUP BY l_partkey
             HAVING COUNT(DISTINCT l_extendedprice) > 1
             ORDER BY num_precios DESC, l_partkey
@@ -279,8 +289,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_spend_per_product": """
             SELECT p_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS gasto_total,
-                   ROUND(AVG(l_extendedprice), 2) AS precio_medio,
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT))) + 100)
+                    // 200) / 100.0 AS gasto_total,
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT)) + COUNT(*))
+                    // (2 * COUNT(*))) / 100.0 AS precio_medio,
                    COUNT(*) AS num_lineas
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_name
@@ -433,7 +445,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_partkey,
                      ROUND(MIN(l_extendedprice), 2) AS precio_minimo_historico,
                      ROUND(MAX(l_extendedprice), 2) AS precio_maximo_historico,
-                     ROUND(AVG(l_extendedprice), 2) AS precio_promedio,
+                     ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT)) + COUNT(*))
+                      // (2 * COUNT(*))) / 100.0 AS precio_promedio,
                      COUNT(*) AS numero_compras
               FROM lineitem WHERE l_partkey <= 500 GROUP BY l_partkey
             )
@@ -444,7 +457,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_dim": """
             SELECT s_suppkey, s_name, n_name,
                    COUNT(*) AS num_lineas,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS facturacion,
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT))) + 100)
+                    // 200) / 100.0 AS facturacion,
                    CAST(MIN(l_shipdate) AS DATE) AS primera_venta,
                    CAST(MAX(l_shipdate) AS DATE) AS ultima_venta
             FROM lineitem
@@ -481,13 +495,13 @@ def oracle_sql() -> dict[str, str]:
         "q14_facturas_semana": """
             WITH a AS (SELECT date_trunc('week', MAX(o_orderdate)) AS semana FROM orders)
             SELECT COUNT(*) AS total_facturas,
-                   ROUND(SUM(o_totalprice), 2) AS total_gastado
+                   CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_gastado
             FROM orders, a
             WHERE o_orderdate >= a.semana
         """,
         "q14_gasto_mes": """
             WITH a AS (SELECT date_trunc('month', MAX(o_orderdate)) AS mes FROM orders)
-            SELECT ROUND(SUM(o_totalprice), 2) AS total_mes
+            SELECT CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_mes
             FROM orders, a
             WHERE date_trunc('month', o_orderdate) = a.mes
         """,
@@ -495,7 +509,8 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS hoy FROM lineitem)
             SELECT s_name,
                    COUNT(*) AS num_facturas,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_gastado
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT))) + 100)
+                    // 200) / 100.0 AS total_gastado
             FROM lineitem, a
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE CAST(l_shipdate AS DATE) >= a.hoy - INTERVAL 30 DAY
@@ -505,7 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_resumen_anual": """
             SELECT EXTRACT(YEAR FROM o_orderdate) AS anio,
                    COUNT(*) AS total_facturas,
-                   ROUND(SUM(o_totalprice), 2) AS total_gastado,
+                   CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_gastado,
                    ((2 * SUM(CAST(o_totalprice * 100 AS BIGINT)) + COUNT(*))
                     // (2 * COUNT(*))) / 100.0 AS promedio_factura
             FROM orders
@@ -514,7 +529,8 @@ def oracle_sql() -> dict[str, str]:
         "q14_top_proveedores": """
             SELECT s_name,
                    COUNT(*) AS num_facturas,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_gastado
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT))) + 100)
+                    // 200) / 100.0 AS total_gastado
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
             ORDER BY total_gastado DESC, s_name
@@ -523,7 +539,8 @@ def oracle_sql() -> dict[str, str]:
         "q15_hybrid_textual": """
             SELECT p_name,
                    COUNT(*) AS num_compras,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS gasto
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT))) + 100)
+                    // 200) / 100.0 AS gasto
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             WHERE lower(p_name) LIKE '%comprado%'
@@ -538,7 +555,8 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS hoy FROM lineitem)
             SELECT p_type,
                    COUNT(*) AS num_productos,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_gastado
+                   ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT))) + 100)
+                    // 200) / 100.0 AS total_gastado
             FROM lineitem, a
             JOIN part ON l_partkey = p_partkey
             WHERE CAST(l_shipdate AS DATE) >= a.hoy - INTERVAL 90 DAY
@@ -824,8 +842,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'PLATO-' || o_orderkey AS plato,
                      CASE WHEN o_orderkey % 10 <> 0
                           THEN FLOOR((o_totalprice / 100) * 100 + 0.5) / 100 END AS pvp_bruto,
-                     FLOOR((SUM(l_extendedprice * (1 - l_discount))
-                           * (1 + o_orderkey % 6) / 10) * 100 + 0.5) / 100 AS food_cost_total
+                     ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT)))
+                         * (1 + o_orderkey % 6) + 1000) // 2000) / 100.0 AS food_cost_total
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               GROUP BY o_orderkey, o_totalprice
             )
@@ -850,8 +868,8 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT CASE WHEN o_orderkey % 10 <> 0
                           THEN FLOOR((o_totalprice / 100) * 100 + 0.5) / 100 END AS pvp_bruto,
-                     FLOOR((SUM(l_extendedprice * (1 - l_discount))
-                           * (1 + o_orderkey % 6) / 10) * 100 + 0.5) / 100 AS food_cost_total
+                     ((2 * SUM(CAST(l_extendedprice * 100 AS BIGINT) * (100 - CAST(l_discount * 100 AS BIGINT)))
+                         * (1 + o_orderkey % 6) + 1000) // 2000) / 100.0 AS food_cost_total
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               GROUP BY o_orderkey, o_totalprice
             ), p AS (
@@ -914,7 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "v_productos_top": """
             SELECT p_partkey, p_name, p_type,
                    FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS cantidad_total,
-                   FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS importe_total,
+                   CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) / 100.0 AS importe_total,
                    COUNT(DISTINCT l_orderkey) AS veces_vendido
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
@@ -1069,16 +1087,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p.msg_id
         """,
         "numier_dashboard_resumen": """
-            SELECT
-              FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_bruto,
-              FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_neto,
-              FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_totalprice - o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_impuestos,
-              CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_orderkey % 5 ELSE 0 END) AS BIGINT) AS total_descuentos,
-              CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 7 ELSE 0 END) AS BIGINT) AS total_propinas,
-              CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 8 + 1 ELSE 0 END) AS BIGINT) AS total_comensales,
-              CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) AS BIGINT) AS total_tickets,
-              FLOOR((SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01' THEN o_totalprice / 1.1 ELSE 0.0 END)) * 100 + 0.5) / 100 AS total_ventas_anterior
-            FROM orders
+            WITH s AS (
+              SELECT
+                SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+                         THEN CAST(o_totalprice * 100 AS BIGINT) ELSE 0 END) AS c1,
+                CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_orderkey % 5 ELSE 0 END) AS BIGINT) AS total_descuentos,
+                CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 7 ELSE 0 END) AS BIGINT) AS total_propinas,
+                CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN o_custkey % 8 + 1 ELSE 0 END) AS BIGINT) AS total_comensales,
+                CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) AS BIGINT) AS total_tickets,
+                SUM(CASE WHEN o_orderdate >= TIMESTAMP '1994-07-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+                         THEN CAST(o_totalprice * 100 AS BIGINT) ELSE 0 END) AS c2
+              FROM orders
+            )
+            SELECT CAST(c1 AS BIGINT) / 100.0 AS total_ventas_bruto,
+                   ((200 * c1 + 110) // 220) / 100.0 AS total_ventas_neto,
+                   ((200 * c1 + 1100) // 2200) / 100.0 AS total_impuestos,
+                   total_descuentos, total_propinas, total_comensales, total_tickets,
+                   ((200 * c2 + 110) // 220) / 100.0 AS total_ventas_anterior
+            FROM s
         """,
         "numier_upsert_catalogo": """
             WITH existing AS (

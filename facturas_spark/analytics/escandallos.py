@@ -63,11 +63,14 @@ def _platos_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     'SIN PRECIO' class); food_cost_total = the order's net line spend
     scaled by a deterministic per-order factor (1 + o_orderkey % 6) / 10
     so the food-cost %% spread exercises every rentability bucket."""
+    from facturas_spark.analytics.queries import _rev_e4
+
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_net")
-    )
+    # net line spend summed as exact 1e-4-euro BIGINTs (order-independent;
+    # see queries._rev_e4); food_cost = net*(1+k)/10 rounded half-up at 2dp
+    # via integer division on the exact rational
+    cost = li.groupBy("l_orderkey").agg(F.sum(_rev_e4()).alias("_net4"))
     return (
         orders.join(cost, orders.o_orderkey == cost.l_orderkey, "inner")
         .select(
@@ -75,7 +78,8 @@ def _platos_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("o_orderkey") % 10 != 0, _r(F.col("o_totalprice") / 100, 2)
             ).alias("pvp_bruto"),
-            _r(F.col("_net") * (1 + F.col("o_orderkey") % 6) / 10
+            F.expr(
+                "CAST((2 * _net4 * (1 + o_orderkey % 6) + 1000) div 2000 AS DOUBLE) / 100.0"
             ).alias("food_cost_total"),
         )
     )
@@ -273,8 +277,16 @@ def v_productos_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name", "p_type")
         .agg(
             _r(F.sum("l_quantity")).alias("cantidad_total"),
-            _r(F.sum("l_extendedprice")).alias("importe_total"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("_c"),
             F.countDistinct("l_orderkey").alias("veces_vendido"),
+        )
+        # exact-cent revenue sum (order-independent)
+        .withColumn("importe_total", F.expr("CAST(_c AS DOUBLE) / 100.0"))
+        .select(
+            "p_partkey", "p_name", "p_type", "cantidad_total", "importe_total",
+            "veces_vendido",
         )
         .orderBy(F.col("importe_total").desc(), "p_partkey")
         .limit(100)
@@ -363,6 +375,8 @@ def numier_dashboard_resumen(spark: SparkSession, sf_dir: str) -> DataFrame:
     neto = bruto/1.1, impuestos = bruto - neto, descuentos = o_orderkey%%5,
     propinas = o_custkey%%7, comensales = o_custkey%%8+1; period = 1995H1,
     anterior = 1994H2 (the corpus's densest halves, matching Q3)."""
+    from facturas_spark.analytics.queries import _cents
+
     o = _t(spark, sf_dir, "orders")
     in_per = (F.col("o_orderdate") >= F.lit("1995-01-01")) & (
         F.col("o_orderdate") < F.lit("1995-07-01")
@@ -370,26 +384,43 @@ def numier_dashboard_resumen(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_prev = (F.col("o_orderdate") >= F.lit("1994-07-01")) & (
         F.col("o_orderdate") < F.lit("1995-01-01")
     )
-    bruto = F.col("o_totalprice")
-    neto = bruto / 1.1
-    per = lambda c: F.sum(F.when(in_per, c).otherwise(0.0))  # noqa: E731
-    return o.agg(
-        _r(per(bruto)).alias("total_ventas_bruto"),
-        _r(per(neto)).alias("total_ventas_neto"),
-        _r(per(bruto - neto)).alias("total_impuestos"),
-        F.sum(F.when(in_per, F.col("o_orderkey") % 5).otherwise(0)).alias(
-            "total_descuentos"
-        ),
-        F.sum(F.when(in_per, F.col("o_custkey") % 7).otherwise(0)).alias(
-            "total_propinas"
-        ),
-        F.sum(F.when(in_per, F.col("o_custkey") % 8 + 1).otherwise(0)).alias(
-            "total_comensales"
-        ),
-        F.sum(in_per.cast("int")).alias("total_tickets"),
-        _r(F.sum(F.when(in_prev, neto).otherwise(0.0))).alias(
-            "total_ventas_anterior"
-        ),
+    # exact-cents period sums (order-independent). neto = bruto/1.1 per row,
+    # so SUM(neto) = SUM(cents)/110 and SUM(bruto-neto) = SUM(cents)/1100
+    # EXACTLY — rounded half-up via integer division on those rationals.
+    cents = _cents(F.col("o_totalprice"))
+    return (
+        o.agg(
+            F.sum(F.when(in_per, cents).otherwise(0)).alias("_c1"),
+            F.sum(F.when(in_per, F.col("o_orderkey") % 5).otherwise(0)).alias(
+                "total_descuentos"
+            ),
+            F.sum(F.when(in_per, F.col("o_custkey") % 7).otherwise(0)).alias(
+                "total_propinas"
+            ),
+            F.sum(F.when(in_per, F.col("o_custkey") % 8 + 1).otherwise(0)).alias(
+                "total_comensales"
+            ),
+            F.sum(in_per.cast("int")).alias("total_tickets"),
+            F.sum(F.when(in_prev, cents).otherwise(0)).alias("_c2"),
+        )
+        .withColumn("total_ventas_bruto", F.expr("CAST(_c1 AS DOUBLE) / 100.0"))
+        .withColumn(
+            "total_ventas_neto",
+            F.expr("CAST((200 * _c1 + 110) div 220 AS DOUBLE) / 100.0"),
+        )
+        .withColumn(
+            "total_impuestos",
+            F.expr("CAST((200 * _c1 + 1100) div 2200 AS DOUBLE) / 100.0"),
+        )
+        .withColumn(
+            "total_ventas_anterior",
+            F.expr("CAST((200 * _c2 + 110) div 220 AS DOUBLE) / 100.0"),
+        )
+        .select(
+            "total_ventas_bruto", "total_ventas_neto", "total_impuestos",
+            "total_descuentos", "total_propinas", "total_comensales",
+            "total_tickets", "total_ventas_anterior",
+        )
     )
 
 

@@ -50,11 +50,27 @@ def master_products(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") - F.col("_prev")) / F.col("_prev") * 100, 2
         ).alias("variacion_pct"),
     )
-    hist = li.groupBy("l_partkey").agg(
-        F.round(F.min("l_extendedprice"), 2).alias("precio_minimo_historico"),
-        F.round(F.max("l_extendedprice"), 2).alias("precio_maximo_historico"),
-        F.round(F.avg("l_extendedprice"), 2).alias("precio_promedio"),
-        F.count("*").alias("numero_compras"),
+    from facturas_spark.analytics.queries import _cents
+
+    hist = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("precio_minimo_historico"),
+            F.round(F.max("l_extendedprice"), 2).alias("precio_maximo_historico"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("_c"),
+            F.count("*").alias("numero_compras"),
+        )
+        # integer-exact half-up average (order-independent; see queries._cents)
+        .withColumn(
+            "precio_promedio",
+            F.expr(
+                "CAST((2 * _c + numero_compras) div (2 * numero_compras) AS DOUBLE) / 100.0"
+            ),
+        )
+        .select(
+            "l_partkey", "precio_minimo_historico", "precio_maximo_historico",
+            "precio_promedio", "numero_compras",
+        )
     )
     return (
         hist.join(last, "l_partkey")
@@ -68,17 +84,24 @@ def supplier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
+    from facturas_spark.analytics.queries import _rev_e4
+
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("s_suppkey", "s_name", "n_name")
         .agg(
             F.count("*").alias("num_lineas"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "facturacion"
-            ),
+            F.sum(_rev_e4()).alias("_r4"),
             F.to_date(F.min("l_shipdate")).alias("primera_venta"),
             F.to_date(F.max("l_shipdate")).alias("ultima_venta"),
+        )
+        .withColumn(
+            "facturacion", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0")
+        )
+        .select(
+            "s_suppkey", "s_name", "n_name", "num_lineas", "facturacion",
+            "primera_venta", "ultima_venta",
         )
         .orderBy(F.col("facturacion").desc(), "s_suppkey")
         .limit(50)

@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 __all__ = ["detect_query_type", "is_sql_safe"]
 
 
+def _cents_ot():
+    """Exact cents of o_totalprice (see queries._cents)."""
+    from facturas_spark.analytics.queries import _cents
+
+    return _cents(F.col("o_totalprice"))
+
+
+def _rev4():
+    """Exact 1e-4-euro net line revenue (see queries._rev_e4)."""
+    from facturas_spark.analytics.queries import _rev_e4
+
+    return _rev_e4()
+
+
 def detect_query_type(pregunta: str) -> str | None:
     """Keyword router, exact reference rule order."""
     p = pregunta.lower()
@@ -138,15 +152,18 @@ def busqueda_textual(
     for k in kws:
         c = F.lower(F.col("p_name")).contains(k)
         cond = c if cond is None else (cond | c)
+    from facturas_spark.analytics.queries import _rev_e4
+
     return (
         li.join(F.broadcast(part.filter(cond)), li.l_partkey == part.p_partkey)
         .groupBy("p_name")
         .agg(
             F.count("*").alias("num_compras"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "gasto"
-            ),
+            F.sum(_rev_e4()).alias("_r4"),
         )
+        # integer-exact half-up 2dp (order-independent; see queries._rev_e4)
+        .withColumn("gasto", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0"))
+        .select("p_name", "num_compras", "gasto")
         .orderBy(F.col("gasto").desc(), "p_name")
         .limit(20)
     )
@@ -297,8 +314,10 @@ def q14_facturas_semana(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.col("_semana"))
         .agg(
             F.count("*").alias("total_facturas"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_gastado"),
+            F.sum(_cents_ot()).alias("_c"),
         )
+        .withColumn("total_gastado", F.expr("CAST(_c AS DOUBLE) / 100.0"))
+        .select("total_facturas", "total_gastado")
     )
 
 
@@ -311,7 +330,8 @@ def q14_gasto_mes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.crossJoin(F.broadcast(anchor))
         .filter(F.date_trunc("month", F.col("o_orderdate")) == F.col("_mes"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_mes"))
+        .agg(F.sum(_cents_ot()).alias("_c"))
+        .select(F.expr("CAST(_c AS DOUBLE) / 100.0").alias("total_mes"))
     )
 
 
@@ -328,10 +348,12 @@ def q14_proveedores_activos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(
             F.count("*").alias("num_facturas"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_gastado"
-            ),
+            F.sum(_rev4()).alias("_r4"),
         )
+        .withColumn(
+            "total_gastado", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0")
+        )
+        .select("s_name", "num_facturas", "total_gastado")
         .orderBy(F.col("total_gastado").desc(), "s_name")
     )
 
@@ -344,14 +366,17 @@ def q14_resumen_anual(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.year("o_orderdate").alias("anio"))
         .agg(
             F.count("*").alias("total_facturas"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_gastado"),
-            # decimal cast first: Spark's double->BIGINT truncates while
-            # DuckDB rounds; DECIMAL(18,2)*100 is exact in both
-            F.expr(
-                "CAST((2 * sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) + count(*))"
-                " div (2 * count(*)) AS DOUBLE) / CAST(100 AS DOUBLE)"
-            ).alias("promedio_factura"),
+            F.sum(_cents_ot()).alias("_c"),
         )
+        .withColumn("total_gastado", F.expr("CAST(_c AS DOUBLE) / 100.0"))
+        .withColumn(
+            "promedio_factura",
+            F.expr(
+                "CAST((2 * _c + total_facturas) div (2 * total_facturas) AS DOUBLE)"
+                " / CAST(100 AS DOUBLE)"
+            ),
+        )
+        .select("anio", "total_facturas", "total_gastado", "promedio_factura")
         .orderBy(F.col("anio").desc())
     )
 
@@ -365,10 +390,12 @@ def q14_top_proveedores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(
             F.count("*").alias("num_facturas"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_gastado"
-            ),
+            F.sum(_rev4()).alias("_r4"),
         )
+        .withColumn(
+            "total_gastado", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0")
+        )
+        .select("s_name", "num_facturas", "total_gastado")
         .orderBy(F.col("total_gastado").desc(), "s_name")
         .limit(5)
     )
@@ -475,10 +502,12 @@ def q14_productos_categoria(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(
             F.count("*").alias("num_productos"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_gastado"
-            ),
+            F.sum(_rev4()).alias("_r4"),
         )
+        .withColumn(
+            "total_gastado", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0")
+        )
+        .select("p_type", "num_productos", "total_gastado")
         .orderBy(F.col("total_gastado").desc(), "p_type")
     )
 

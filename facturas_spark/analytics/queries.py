@@ -21,6 +21,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _cents(c) -> "F.Column":
+    """Exact cent value (BIGINT) of a 2dp-money-as-double column. Every
+    money column in the corpus is a 2dp value stored as double (max
+    representation error ~4e-9 cents), so decimal(18,2) half-up recovers
+    the exact cents — the foundation of order-independent aggregation:
+    float SUM/AVG depend on summation order (partitioning), integer sums
+    don't. DuckDB twin: CAST(x * 100 AS BIGINT) (round-to-nearest)."""
+    return (c.cast("decimal(18,2)") * 100).cast("long")
+
+
+def _rev_e4():
+    """Net line revenue in exact 1e-4-euro units: price_cents x
+    (100 - discount_pct). l_discount is a 2dp fraction, so the revenue
+    l_extendedprice*(1-l_discount) is an exact rational with denominator
+    10^4 — summable as BIGINT with zero error."""
+    return _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )
+
+
 # ---------------------------------------------------------------- Q1 ----
 def q01_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily sales view (ref migrations/2024_01_01_init_sales_dashboard.sql:77-87):
@@ -30,9 +50,14 @@ def q01_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.to_date("ts").alias("fecha"))
         .agg(
             F.count("*").alias("num_eventos"),
-            F.round(F.sum("value"), 2).alias("total_valor"),
-            F.round(F.avg("value"), 2).alias("valor_medio"),
+            F.sum(_cents(F.col("value"))).alias("_c"),
         )
+        .withColumn("total_valor", F.expr("CAST(_c AS DOUBLE) / 100.0"))
+        .withColumn(
+            "valor_medio",
+            F.expr("CAST((2 * _c + num_eventos) div (2 * num_eventos) AS DOUBLE) / 100.0"),
+        )
+        .select("fecha", "num_eventos", "total_valor", "valor_medio")
         .orderBy(F.col("fecha").desc())
     )
 
@@ -49,11 +74,14 @@ def q02_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_cantidad"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_importe"
-            ),
+            F.sum(_rev_e4()).alias("_r4"),
             F.countDistinct("l_orderkey").alias("num_pedidos"),
         )
+        # exact half-up 2dp of the 1e-4-unit revenue sum (order-independent)
+        .withColumn(
+            "total_importe", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0")
+        )
+        .select("p_name", "total_cantidad", "total_importe", "num_pedidos")
         .orderBy(F.col("total_importe").desc(), F.col("p_name"))
         .limit(10)
     )
@@ -68,16 +96,34 @@ def q03_dashboard_resumen(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cur = (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
     prev = (F.col("o_orderdate") >= "1994-07-01") & (F.col("o_orderdate") < "1995-01-01")
-    return orders.agg(
-        F.round(F.sum(F.when(cur, F.col("o_totalprice"))), 2).alias("ventas_periodo"),
-        F.count(F.when(cur, 1)).alias("pedidos_periodo"),
-        F.round(F.avg(F.when(cur, F.col("o_totalprice"))), 2).alias("ticket_medio"),
-        F.round(F.sum(F.when(prev, F.col("o_totalprice"))), 2).alias("ventas_anterior"),
-        F.round(
-            (F.sum(F.when(cur, F.col("o_totalprice"))) - F.sum(F.when(prev, F.col("o_totalprice"))))
-            / F.sum(F.when(prev, F.col("o_totalprice"))) * 100,
-            2,
-        ).alias("crecimiento_pct"),
+    cents = _cents(F.col("o_totalprice"))
+    return (
+        orders.agg(
+            F.sum(F.when(cur, cents)).alias("_s1"),
+            F.count(F.when(cur, 1)).alias("pedidos_periodo"),
+            F.sum(F.when(prev, cents)).alias("_s2"),
+        )
+        .withColumn("ventas_periodo", F.expr("CAST(_s1 AS DOUBLE) / 100.0"))
+        .withColumn(
+            "ticket_medio",
+            F.expr(
+                "CAST((2 * _s1 + pedidos_periodo) div (2 * pedidos_periodo) AS DOUBLE) / 100.0"
+            ),
+        )
+        .withColumn("ventas_anterior", F.expr("CAST(_s2 AS DOUBLE) / 100.0"))
+        # growth can be negative: JS-round (floor(x*100+0.5)) of a double
+        # derived from the two EXACT sums — both engines compute the
+        # identical double, so the floor is identical too
+        .withColumn(
+            "crecimiento_pct",
+            F.expr(
+                "FLOOR(CAST(_s1 - _s2 AS DOUBLE) / CAST(_s2 AS DOUBLE) * 100 * 100 + 0.5) / 100"
+            ),
+        )
+        .select(
+            "ventas_periodo", "pedidos_periodo", "ticket_medio",
+            "ventas_anterior", "crecimiento_pct",
+        )
     )
 
 
@@ -95,8 +141,10 @@ def q04_payment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(bucket.alias("categoria"))
         .agg(
             F.count("*").alias("eventos"),
-            F.round(F.sum("value"), 2).alias("total_valor"),
+            F.sum(_cents(F.col("value"))).alias("_c"),
         )
+        .withColumn("total_valor", F.expr("CAST(_c AS DOUBLE) / 100.0"))
+        .select("categoria", "eventos", "total_valor")
         .orderBy("categoria")
     )
 
@@ -114,15 +162,18 @@ def q07_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_type")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_imp"))
+        .agg(F.sum(_rev_e4()).alias("_imp"))
     )
     total = agg.agg(F.sum("_imp").alias("_tot"))
     return (
         agg.crossJoin(F.broadcast(total))
         .select(
             "p_type",
-            F.round("_imp", 2).alias("importe"),
-            F.round(F.col("_imp") / F.col("_tot") * 100, 2).alias("pct_total"),
+            F.expr("CAST((2 * _imp + 100) div 200 AS DOUBLE) / 100.0").alias("importe"),
+            # share of exact integer sums -> identical double both engines
+            F.expr(
+                "FLOOR(CAST(_imp AS DOUBLE) / CAST(_tot AS DOUBLE) * 100 * 100 + 0.5) / 100"
+            ).alias("pct_total"),
         )
         .orderBy(F.col("importe").desc(), "p_type")
     )
@@ -188,8 +239,14 @@ def q12_multi_price_products(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_extendedprice").alias("num_precios"),
             F.round(F.min("l_extendedprice"), 2).alias("precio_min"),
             F.round(F.max("l_extendedprice"), 2).alias("precio_max"),
-            F.round(F.avg("l_extendedprice"), 2).alias("precio_medio"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("_c"),
+            F.count("*").alias("_n"),
         )
+        .withColumn(
+            "precio_medio",
+            F.expr("CAST((2 * _c + _n) div (2 * _n) AS DOUBLE) / 100.0"),
+        )
+        .select("l_partkey", "num_precios", "precio_min", "precio_max", "precio_medio")
         .filter(F.col("num_precios") > 1)
         .orderBy(F.col("num_precios").desc(), "l_partkey")
         .limit(100)
@@ -269,12 +326,18 @@ def q11_spend_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "gasto_total"
-            ),
-            F.round(F.avg("l_extendedprice"), 2).alias("precio_medio"),
+            F.sum(_rev_e4()).alias("_r4"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("_c"),
             F.count("*").alias("num_lineas"),
         )
+        .withColumn(
+            "gasto_total", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0")
+        )
+        .withColumn(
+            "precio_medio",
+            F.expr("CAST((2 * _c + num_lineas) div (2 * num_lineas) AS DOUBLE) / 100.0"),
+        )
+        .select("p_name", "gasto_total", "precio_medio", "num_lineas")
         .orderBy(F.col("gasto_total").desc(), "p_name")
         .limit(50)
     )
