@@ -166,20 +166,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_table(docs: DataFrame) -> DataFrame:
     """Per-doc distinct word-3-gram shingle sets: (doc_id, sh array<string>).
-    Docs with <3 words have no shingles and are dropped (Jaccard undefined)."""
+    Docs with <3 words have no shingles and are dropped (Jaccard undefined).
+
+    The tokenization is LET-BOUND via a 1-element transform: referencing
+    the ``words`` split expression directly inside the per-shingle lambda
+    re-evaluates the whole split once per element_at per position (no CSE
+    across higher-order functions — measured 3.5x slower at sf0.1);
+    binding it to a lambda variable evaluates it once per row."""
     words = _words(F.col("text"))
-    # valid shingle starts: i in [0, w-3] (1-based element_at below)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-            ),
+
+    def shingles_of(w):
+        # valid shingle starts: i in [0, |w|-3] (1-based element_at below)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                ),
+            )
         )
-    )
+
+    shingles = F.element_at(F.transform(F.array(words), shingles_of), 1)
     return (
         docs.select("doc_id", F.size(words).alias("_w"), shingles.alias("sh"))
         .filter(F.col("_w") >= 3)

@@ -1,0 +1,71 @@
+"""By-construction tests for the end-to-end dedup chain operators.
+
+The oracle gate checks cross-engine agreement; these tests pin the
+SEMANTICS on a corpus whose ground-truth clusters are known by
+construction: exact copies, near-copies (one word changed), and
+unrelated documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus_dir(spark, tmp_path_factory):
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word30", "changed")      # ~95% shingle overlap
+    docs = [
+        (0, base, "en"),
+        (1, base, "en"),                          # exact dup of 0
+        (2, near, "en"),                          # near-dup of 0/1
+        (3, " ".join(f"other{i}" for i in range(60)), "en"),  # unrelated
+        (4, "tiny", "en"),                        # <3 words: no shingles
+        (5, base + " tail1 tail2", "en"),         # still >0.5 jaccard
+    ]
+    out = str(tmp_path_factory.mktemp("dedup") / "documents.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        out
+    )
+    return out.rsplit("/documents.parquet", 1)[0]
+
+
+def test_lsh_chain_finds_known_clusters(spark, tiny_corpus_dir):
+    """Exact and near duplicates land in one cluster labeled by the min
+    doc_id; unrelated and shingle-less docs stay out of the node set."""
+    from facturas_spark.analytics.dedup import dedup_lsh_clusters
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_lsh_clusters(spark, tiny_corpus_dir).collect()
+    }
+    assert labels[0] == 0 and labels[1] == 0 and labels[2] == 0
+    assert labels[5] == 0
+    assert 3 not in labels  # unrelated: never a candidate pair survivor
+    assert 4 not in labels  # no shingles -> excluded from the chain
+
+
+def test_embedding_lsh_same_bucket_only(spark, tmp_path):
+    """Candidates come only from sign-bucket collisions: opposite-sign
+    vectors never pair even at cosine 1 with themselves; same-bucket
+    near-identical vectors do."""
+    from facturas_spark.analytics import dedup as D
+
+    vecs = [
+        (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 1.1, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),   # same bucket, cos~1
+        (2, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),  # bucket 0
+        (3, [-0.9, -1.1, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),  # bucket 0
+    ]
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).write.parquet(out)
+    rows = D.dedup_embedding_lsh(spark, str(tmp_path)).collect()
+    pairs = {(r["id1"], r["id2"]) for r in rows}
+    # 0-1 share bucket 255, 2-3 share bucket 0; cross-bucket pairs absent
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert (0, 2) not in pairs and (1, 3) not in pairs
+    by_pair = {(r["id1"], r["id2"]): r["cos_sim"] for r in rows}
+    assert by_pair[(0, 1)] > 0.99
+    assert by_pair[(2, 3)] > 0.99  # negatives of each other: cos still ~1
