@@ -125,16 +125,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = _words(F.col("text"))
 
-    def _sig(i: int):
+    def _sig(ws, i: int):
         # NB: a 2-arg lambda to F.transform receives (element, index) — a
         # default-arg capture of i would be shadowed by the array index
         suffix = f":{i}"
         return F.array_min(
-            F.transform(words, lambda w: F.md5(F.concat(w, F.lit(suffix))))
-        ).alias(f"h{i}")
+            F.transform(ws, lambda w: F.md5(F.concat(w, F.lit(suffix))))
+        )
 
-    sigs = [_sig(i) for i in range(N_HASHES)]
-    sig_df = docs.select("doc_id", *sigs)
+    # let-bind the tokenization once per row (see _shingle_table): feeding
+    # `words` to all 8 transforms directly would re-split the text 8x
+    sig_struct = F.element_at(
+        F.transform(
+            F.array(words),
+            lambda ws: F.struct(
+                *[_sig(ws, i).alias(f"h{i}") for i in range(N_HASHES)]
+            ),
+        ),
+        1,
+    )
+    sig_df = docs.select("doc_id", sig_struct.alias("_s")).select(
+        "doc_id", *[F.col(f"_s.h{i}").alias(f"h{i}") for i in range(N_HASHES)]
+    )
     bands = sig_df.select(
         "doc_id",
         F.explode(
@@ -416,19 +428,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     words = _words(F.col("text"))
-    hashes = F.transform(words, lambda w: F.md5(w))
-    n = F.size(hashes)
-    bits = []
-    for k in range(N_SIMHASH_BITS):
-        pos = k + 1
-        votes = F.size(
-            F.filter(
-                hashes,
-                lambda h: F.substring(h, pos, 1).isin(*"89abcdef"),
+
+    def simhash_of(hashes):
+        # hashes is a let-bound lambda variable: the md5-per-word array is
+        # computed ONCE per row; referencing the raw expression in all 16
+        # bit filters would recompute split+md5 17x (see _shingle_table)
+        n = F.size(hashes)
+        bits = []
+        for k in range(N_SIMHASH_BITS):
+            pos = k + 1
+            votes = F.size(
+                F.filter(
+                    hashes,
+                    lambda h: F.substring(h, pos, 1).isin(*"89abcdef"),
+                )
             )
-        )
-        bits.append(F.when(votes * 2 > n, F.lit(1 << k)).otherwise(F.lit(0)))
-    simhash = sum(bits[1:], bits[0])
+            bits.append(F.when(votes * 2 > n, F.lit(1 << k)).otherwise(F.lit(0)))
+        return sum(bits[1:], bits[0])
+
+    simhash = F.element_at(
+        F.transform(
+            F.array(F.transform(words, lambda w: F.md5(w))),
+            simhash_of,
+        ),
+        1,
+    )
     return (
         docs.select("doc_id", simhash.alias("simhash"))
         .filter(F.size(words) > 0)
