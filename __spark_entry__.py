@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_stats": Q.txt_token_stats,
         "txt_quality_score": Q.txt_quality_score,
         "txt_amount_shapes": Q.txt_amount_shapes,
+        "txt_content_lines": Q.txt_content_lines,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -262,6 +263,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "txt_content_lines": """
+            WITH seg AS (
+              SELECT lang,
+                     regexp_replace(s, '^\\s+|\\s+$', '', 'g') AS cand
+              FROM documents,
+                   unnest(string_split_regex(COALESCE(text, ''), '\\.\\s+')) AS t(s)
+            ), k AS (
+              SELECT lang,
+                     CASE WHEN length(cand) >= 5 AND length(cand) <= 120
+                           AND NOT regexp_matches(cand, '^\\d+$')
+                           AND NOT regexp_matches(cand, '^\\d{1,2}[\\/\\-\\.]\\d{1,2}[\\/\\-\\.]\\d{2,4}$')
+                           AND NOT regexp_matches(cand, '(?i)^(factura|invoice|fecha|date|cliente|customer)')
+                           AND length(regexp_replace(cand, '[^a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]', '', 'g')) >= 4
+                           AND length(regexp_replace(cand, '[^a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]', '', 'g')) >= length(cand) * 0.3
+                          THEN 1 ELSE 0 END AS _k
+              FROM seg
+            )
+            SELECT lang, COUNT(*) AS segmentos,
+                   CAST(SUM(_k) AS BIGINT) AS contenido,
+                   ((2 * SUM(_k) * 10000 + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS pct_contenido
+            FROM k GROUP BY lang ORDER BY lang
         """,
         "dedup_exact": """
             WITH g AS (

@@ -619,6 +619,48 @@ def txt_amount_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_content_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 line-level content filter as an oracle-checked columnar query
+    (ref process-invoice/index.ts:1493-1510, the rules of
+    boilerplate.line_content_mask): segment each document at sentence
+    boundaries, keep 'name-like' content segments — length 5..120,
+    >=4 letters and letter-ratio >= 0.3, not pure numbers/dates/labels —
+    and report per-lang keep-rates. Pure built-ins; the trim is an
+    explicit regexp so Spark and DuckDB agree on whitespace classes."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "lang",
+        F.explode(F.split(F.coalesce("text", F.lit("")), r"\.\s+")).alias("raw"),
+    )
+    cand = F.regexp_replace("raw", r"^\s+|\s+$", "")
+    n = F.length(cand)
+    letters = F.length(
+        F.regexp_replace(cand, "[^a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]", "")
+    )
+    keep = (
+        (n >= 5)
+        & (n <= 120)
+        & ~cand.rlike(r"^\d+$")
+        & ~cand.rlike(r"^\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4}$")
+        & ~cand.rlike(r"(?i)^(factura|invoice|fecha|date|cliente|customer)")
+        & (letters >= 4)
+        & (letters >= n * 0.3)
+    )
+    return (
+        lines.select("lang", keep.cast("int").alias("_k"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("segmentos"), F.sum("_k").alias("contenido"))
+        .withColumn(
+            "pct_contenido",
+            F.expr(
+                "CAST((2 * contenido * 10000 + segmentos) div (2 * segmentos) AS DOUBLE) / 100.0"
+            ),
+        )
+        .select("lang", "segmentos", "contenido", "pct_contenido")
+        .orderBy("lang")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

@@ -123,3 +123,39 @@ def test_cluster_rows_by_y():
 
 def test_cluster_rows_empty():
     assert cluster_rows([]) == []
+
+
+def test_columnar_content_mask_matches_kernel(spark):
+    """txt_content_lines' columnar T4 mask must agree with the Python
+    kernel line_content_mask on every segment of the real corpus (the
+    regex dialects and length/letter rules are meant to be the same
+    operator in two execution forms)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from facturas_spark.extraction.boilerplate import line_content_mask
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    segs = [
+        r["s"]
+        for r in docs.select(
+            F.explode(F.split(F.coalesce("text", F.lit("")), r"\.\s+")).alias("s")
+        ).collect()
+    ]
+    cand = F.regexp_replace("raw", r"^\s+|\s+$", "")
+    n = F.length(cand)
+    letters = F.length(F.regexp_replace(cand, "[^a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]", ""))
+    keep = (
+        (n >= 5) & (n <= 120)
+        & ~cand.rlike(r"^\d+$")
+        & ~cand.rlike(r"^\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4}$")
+        & ~cand.rlike(r"(?i)^(factura|invoice|fecha|date|cliente|customer)")
+        & (letters >= 4) & (letters >= n * 0.3)
+    )
+    sdf = spark.createDataFrame([(s,) for s in segs], "raw string").select(
+        "raw", keep.alias("k")
+    )
+    got = {r["raw"]: r["k"] for r in sdf.collect()}
+    for s in segs:
+        assert got[s] == line_content_mask(s), repr(s)
