@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality_score": Q.txt_quality_score,
         "txt_amount_shapes": Q.txt_amount_shapes,
         "txt_content_lines": Q.txt_content_lines,
+        "c1_classify_documents": Q.c1_classify_documents,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -263,6 +264,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "c1_classify_documents": """
+            WITH c AS (
+              SELECT lang,
+                     length(COALESCE(text, '')) < 10 AS short,
+                     (contains(lower(COALESCE(text,'')), 'albarán') OR contains(lower(COALESCE(text,'')), 'albaran')
+                      OR contains(lower(COALESCE(text,'')), 'delivery note') OR contains(lower(COALESCE(text,'')), 'nota de entrega')
+                      OR contains(lower(COALESCE(text,'')), 'entrega') OR contains(lower(COALESCE(text,'')), 'entregado')
+                      OR contains(lower(COALESCE(text,'')), 'recepción') OR contains(lower(COALESCE(text,'')), 'recibido')) AS has_alb,
+                     (contains(lower(COALESCE(text,'')), 'factura') OR contains(lower(COALESCE(text,'')), 'invoice')
+                      OR contains(lower(COALESCE(text,'')), 'total factura') OR contains(lower(COALESCE(text,'')), 'base imponible')
+                      OR contains(lower(COALESCE(text,'')), 'cuota iva') OR contains(lower(COALESCE(text,'')), 'vencimiento')
+                      OR contains(lower(COALESCE(text,'')), 'pagar')) AS has_fac,
+                     len(regexp_extract_all(lower(COALESCE(text,'')), '(\\d+[,\\.]\\d{2}\\s*€)', 1)) AS precios,
+                     (CAST(contains(lower(COALESCE(text,'')), 'transportista') AS INT)
+                      + CAST(contains(lower(COALESCE(text,'')), 'conductor') AS INT)
+                      + CAST(contains(lower(COALESCE(text,'')), 'matrícula') AS INT)
+                      + CAST(contains(lower(COALESCE(text,'')), 'conformidad') AS INT)
+                      + CAST(contains(lower(COALESCE(text,'')), 'firma') AS INT)
+                      + CAST(contains(lower(COALESCE(text,'')), 'estado entrega') AS INT)) AS entrega
+              FROM documents
+            ), k AS (
+              SELECT lang,
+                     CASE WHEN short THEN 'factura'
+                          WHEN has_alb AND NOT has_fac THEN 'albaran'
+                          WHEN has_fac AND NOT has_alb THEN 'factura'
+                          WHEN has_alb AND has_fac THEN 'factura'
+                          WHEN precios > 3 THEN 'factura'
+                          WHEN entrega > 1 THEN 'albaran'
+                          ELSE 'factura' END AS tipo_documento,
+                     CAST(CASE WHEN short THEN 0.3
+                          WHEN has_alb OR has_fac THEN 0.95
+                          WHEN precios > 3 THEN 0.7
+                          WHEN entrega > 1 THEN 0.6
+                          ELSE 0.5 END AS DOUBLE) AS confianza,
+                     CASE WHEN short THEN 'texto_insuficiente'
+                          WHEN has_alb AND NOT has_fac THEN 'albaran_sin_factura'
+                          WHEN has_fac AND NOT has_alb THEN 'factura_sin_albaran'
+                          WHEN has_alb AND has_fac THEN 'factura_con_ref_albaran'
+                          WHEN precios > 3 THEN 'precios'
+                          WHEN entrega > 1 THEN 'indicadores_entrega'
+                          ELSE 'default' END AS razonamiento
+              FROM c
+            )
+            SELECT lang, tipo_documento, confianza, razonamiento, COUNT(*) AS docs
+            FROM k GROUP BY 1, 2, 3, 4
+            ORDER BY lang, tipo_documento, confianza, razonamiento
         """,
         "txt_content_lines": """
             WITH seg AS (

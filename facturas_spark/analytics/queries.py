@@ -661,6 +661,76 @@ def txt_content_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c1_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 classifyDocument as a columnar rollup over the documents table
+    (ref process-invoice/index.ts:3982-4116, same rules as
+    textparse.classify_document): keyword gates -> price-shape count ->
+    delivery indicators -> default, grouped per (lang, tipo, confianza,
+    razonamiento-tag). The fused-UDF kernel is the hot path; this is the
+    same operator in its SQL-surface form, oracle-gated."""
+    from facturas_spark.extraction.textparse import (
+        _ALBARAN_KEYWORDS,
+        _ENTREGA_INDICATORS,
+        _FACTURA_KEYWORDS,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce("text", F.lit(""))
+    low = F.lower(txt)
+    short = F.length(txt) < 10
+
+    def any_kw(kws):
+        cond = None
+        for k in kws:
+            c = low.contains(k)
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    has_alb = any_kw(_ALBARAN_KEYWORDS)
+    has_fac = any_kw(_FACTURA_KEYWORDS)
+    precios = F.size(F.regexp_extract_all(low, F.lit(r"(\d+[,\.]\d{2}\s*€)"), 1))
+    entrega = None
+    for k in _ENTREGA_INDICATORS:
+        c = low.contains(k).cast("int")
+        entrega = c if entrega is None else (entrega + c)
+    tipo = (
+        F.when(short, "factura")
+        .when(has_alb & ~has_fac, "albaran")
+        .when(has_fac & ~has_alb, "factura")
+        .when(has_alb & has_fac, "factura")
+        .when(precios > 3, "factura")
+        .when(entrega > 1, "albaran")
+        .otherwise("factura")
+    )
+    conf = (
+        F.when(short, 0.3)
+        .when(has_alb | has_fac, 0.95)
+        .when(precios > 3, 0.7)
+        .when(entrega > 1, 0.6)
+        .otherwise(0.5)
+    )
+    razon = (
+        F.when(short, "texto_insuficiente")
+        .when(has_alb & ~has_fac, "albaran_sin_factura")
+        .when(has_fac & ~has_alb, "factura_sin_albaran")
+        .when(has_alb & has_fac, "factura_con_ref_albaran")
+        .when(precios > 3, "precios")
+        .when(entrega > 1, "indicadores_entrega")
+        .otherwise("default")
+    )
+    return (
+        docs.select(
+            "lang",
+            tipo.alias("tipo_documento"),
+            conf.alias("confianza"),
+            razon.alias("razonamiento"),
+        )
+        .groupBy("lang", "tipo_documento", "confianza", "razonamiento")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("lang", "tipo_documento", "confianza", "razonamiento")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

@@ -159,3 +159,27 @@ def test_columnar_content_mask_matches_kernel(spark):
     got = {r["raw"]: r["k"] for r in sdf.collect()}
     for s in segs:
         assert got[s] == line_content_mask(s), repr(s)
+
+
+def test_columnar_classifier_matches_kernel(spark):
+    """c1_classify_documents' columnar cascade must agree with the Python
+    kernel classify_document per document on the real corpus (same
+    operator, two execution forms)."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.analytics.queries import c1_classify_documents
+    from facturas_spark.extraction.textparse import classify_document
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("lang", "text").collect()
+    expected = {}
+    for r in docs:
+        tipo, conf, razon = classify_document(r["text"])
+        razon_tag = razon.split("=")[0]  # counts live in the tag suffix
+        key = (r["lang"], tipo, conf, razon_tag)
+        expected[key] = expected.get(key, 0) + 1
+    got = {
+        (r["lang"], r["tipo_documento"], r["confianza"], r["razonamiento"]): r["docs"]
+        for r in c1_classify_documents(spark, sf).collect()
+    }
+    assert got == expected
