@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_amount_shapes": Q.txt_amount_shapes,
         "txt_content_lines": Q.txt_content_lines,
         "c1_classify_documents": Q.c1_classify_documents,
+        "txt_field_extraction": Q.txt_field_extraction,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -264,6 +265,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "txt_field_extraction": """
+            WITH aug AS (
+              SELECT lang,
+                     COALESCE(text, '')
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN ' C.I.F. B' || lpad(CAST((doc_id * 37) % 100000000 AS VARCHAR), 8, '0')
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 <> 0
+                             THEN ' FECHA ' || CAST(doc_id % 28 + 1 AS VARCHAR)
+                                  || '/' || CAST(doc_id % 14 + 1 AS VARCHAR)
+                                  || '/' || CAST(2020 + doc_id % 6 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 <> 0
+                             THEN ' TOTAL ' || CAST((doc_id * 7) % 900 + 100 AS VARCHAR)
+                                  || (CASE WHEN doc_id % 2 = 0 THEN ',' ELSE '.' END)
+                                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                                  || ' BASE ' || CAST((doc_id * 3) % 900 + 100 AS VARCHAR)
+                                  || (CASE WHEN doc_id % 2 = 0 THEN ',' ELSE '.' END)
+                                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                             ELSE '' END AS text
+              FROM documents
+            ), d AS (
+              SELECT lang,
+                     regexp_extract_all(text,
+                       '(\\b[A-Z]\\d{8}\\b|\\b[A-Z]\\d{7}[A-Z]\\b|\\b\\d{8}[A-Z]\\b)', 1) AS cifs,
+                     list_transform(regexp_extract_all(text, '(\\d+[,\\.]\\d{2})', 1),
+                                    s -> CAST(replace(s, ',', '.') AS DOUBLE)) AS amts,
+                     list_filter(
+                       list_transform(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{4})', 1),
+                                      s -> CAST(try_strptime(s, '%-d/%-m/%Y') AS DATE)),
+                       dd -> dd IS NOT NULL AND dd >= DATE '1990-01-01' AND dd <= DATE '2030-12-31') AS fechas
+              FROM aug
+            )
+            SELECT lang, COUNT(*) AS docs,
+                   CAST(SUM(CASE WHEN len(cifs) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cif_hits,
+                   CAST(SUM(CASE WHEN len(fechas) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fecha_hits,
+                   CAST(SUM(CASE WHEN len(amts) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS amount_hits,
+                   CAST(SUM(CASE WHEN len(amts) > 0
+                            THEN CAST(list_max(amts) * 100 AS BIGINT) END) AS BIGINT) / 100.0 AS total_amount_max
+            FROM d GROUP BY lang ORDER BY lang
         """,
         "c1_classify_documents": """
             WITH c AS (

@@ -731,6 +731,97 @@ def c1_classify_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible field-extraction layer, per doc then rolled up
+    per lang: first in-text CIF (F10's scan bank,
+    process-invoice/index.ts:286-287), max parsed amount of the
+    amount-shaped tokens (F4 pick-max + F7 comma-as-decimal on the
+    \\d+[,.]\\d{2} shape), and first VALID date as dd/MM/yyyy within a
+    fixed plausible-year gate (F3). The webtext corpus is digit-free, so
+    invoice-shaped fields are synthesized deterministically per doc_id —
+    CIF on even ids, a date on ids %% 3 != 0 (month = id %% 14 + 1, so
+    ~2/14 are invalid and must be REJECTED by the validity gate), and two
+    amounts on ids %% 5 != 0 (',' or '.' decimal by parity; the max must
+    win). Amounts aggregate exactly as cents."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    cif_part = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" C.I.F. B"),
+            F.lpad(((did * 37) % 100000000).cast("string"), 8, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    fecha_part = F.when(
+        did % 3 != 0,
+        F.concat(
+            F.lit(" FECHA "),
+            (did % 28 + 1).cast("string"),
+            F.lit("/"),
+            (did % 14 + 1).cast("string"),  # 13/14 -> invalid month
+            F.lit("/"),
+            (2020 + did % 6).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    sep = F.when(did % 2 == 0, F.lit(",")).otherwise(F.lit("."))
+    amt = lambda mult: F.concat(  # noqa: E731
+        ((did * mult) % 900 + 100).cast("string"), sep,
+        F.lpad((did % 100).cast("string"), 2, "0"),
+    )
+    amount_part = F.when(
+        did % 5 != 0,
+        F.concat(F.lit(" TOTAL "), amt(7), F.lit(" BASE "), amt(3)),
+    ).otherwise(F.lit(""))
+    txt = F.concat(F.coalesce("text", F.lit("")), cif_part, fecha_part, amount_part)
+    cif = F.try_element_at(
+        F.regexp_extract_all(
+            txt, F.lit(r"(\b[A-Z]\d{8}\b|\b[A-Z]\d{7}[A-Z]\b|\b\d{8}[A-Z]\b)"), 1
+        ),
+        F.lit(1),
+    )
+    amounts = F.transform(
+        F.regexp_extract_all(txt, F.lit(r"(\d+[,\.]\d{2})"), 1),
+        lambda s: F.translate(s, ",", ".").cast("double"),
+    )
+    max_amount = F.array_max(amounts)
+    dates = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                txt, F.lit(r"(\d{1,2}/\d{1,2}/\d{4})"), 1
+            ),
+            lambda s: F.try_to_date(s, "d/M/yyyy"),
+        ),
+        lambda d: d.isNotNull()
+        & (d >= F.lit("1990-01-01").cast("date"))
+        & (d <= F.lit("2030-12-31").cast("date")),
+    )
+    first_date = F.try_element_at(dates, F.lit(1))
+    per_doc = docs.select(
+        "lang",
+        cif.alias("_cif"),
+        max_amount.alias("_amt"),
+        first_date.alias("_fecha"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.count("_cif").alias("cif_hits"),
+            F.count("_fecha").alias("fecha_hits"),
+            F.count("_amt").alias("amount_hits"),
+            F.sum((F.col("_amt").cast("decimal(18,2)") * 100).cast("long")).alias(
+                "_c"
+            ),
+        )
+        .withColumn("total_amount_max", F.expr("CAST(_c AS DOUBLE) / 100.0"))
+        .select(
+            "lang", "docs", "cif_hits", "fecha_hits", "amount_hits",
+            "total_amount_max",
+        )
+        .orderBy("lang")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document
