@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_content_lines": Q.txt_content_lines,
         "c1_classify_documents": Q.c1_classify_documents,
         "txt_field_extraction": Q.txt_field_extraction,
+        "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -265,6 +266,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "f11_fiscal_reconciliation": """
+            WITH base AS (
+              SELECT o_orderkey,
+                     o_orderkey % 6 AS escenario,
+                     ([4, 10, 21])[CAST(o_custkey % 3 AS INT) + 1] AS tipo,
+                     CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice
+                          WHEN o_orderkey % 6 = 3 THEN FLOOR(o_totalprice * CAST(1.21 AS DOUBLE) * 100 + 0.5) / 100
+                          WHEN o_orderkey % 6 = 4 THEN FLOOR(o_totalprice * CAST(1.21 AS DOUBLE) * 100 + 0.5) / 100 + 5
+                          WHEN o_orderkey % 6 = 5 THEN o_totalprice + FLOOR(o_totalprice * CAST(0.21 AS DOUBLE) * 100 + 0.5) / 100
+                          ELSE CAST(0.0 AS DOUBLE) END AS _t,
+                     CASE WHEN o_orderkey % 6 = 0 THEN CAST(0.0 AS DOUBLE) ELSE o_totalprice END AS _b,
+                     CASE WHEN o_orderkey % 6 = 2 THEN FLOOR(o_totalprice * CAST(0.1 AS DOUBLE) * 100 + 0.5) / 100
+                          WHEN o_orderkey % 6 IN (4, 5) THEN FLOOR(o_totalprice * CAST(0.21 AS DOUBLE) * 100 + 0.5) / 100
+                          ELSE CAST(0.0 AS DOUBLE) END AS _c
+              FROM orders WHERE o_orderkey <= 6000
+            ), br AS (
+              SELECT *,
+                     CASE WHEN _t > 0 AND _b = 0 AND tipo > 0 THEN 1
+                          WHEN _b > 0 AND _c = 0 AND tipo > 0 THEN 2
+                          WHEN _b > 0 AND _c > 0 AND _t = 0 THEN 3
+                          WHEN _b > 0 AND _t > 0 AND _c = 0 THEN 4
+                          ELSE 0 END AS _br
+              FROM base
+            ), filled AS (
+              SELECT *,
+                     CASE WHEN _br = 1 THEN _t / (1 + tipo / 100) ELSE _b END AS _fb,
+                     CASE WHEN _br = 1 THEN _t - _t / (1 + tipo / 100)
+                          WHEN _br = 2 THEN _b * (tipo / 100)
+                          WHEN _br = 4 THEN _t - _b
+                          ELSE _c END AS _fc,
+                     CASE WHEN _br = 2 THEN _b + _b * (tipo / 100)
+                          WHEN _br = 3 THEN _b + _c
+                          ELSE _t END AS _ft
+              FROM br
+            )
+            SELECT o_orderkey, escenario, tipo,
+                   FLOOR(_fb * 100 + 0.5) / 100 AS base_imponible,
+                   FLOOR(_fc * 100 + 0.5) / 100 AS cuota_iva,
+                   FLOOR((CASE WHEN _fb > 0 AND _fc > 0 AND _ft > 0
+                                AND ABS(_ft - (_fb + _fc)) > 0.01
+                               THEN _fb + _fc ELSE _ft END) * 100 + 0.5) / 100 AS total_factura
+            FROM filled ORDER BY o_orderkey
         """,
         "txt_field_extraction": """
             WITH aug AS (

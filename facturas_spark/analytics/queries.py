@@ -822,6 +822,86 @@ def txt_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f11_fiscal_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 fiscal reconciliation oracle-hashed directly (the 'total/IVA
+    amount reconciliation' named by the north star; exact branch order of
+    process-invoice/index.ts:1646-1688 + the coherence overwrite at
+    :1670-1688 and JS 2dp rounding): fill any one missing member of
+    {total, base, cuota} from the other two + tipo, then overwrite total
+    when |total-(base+cuota)| > 0.01. Scenarios synthesized from orders
+    cover every branch: total-only, base-only, base+cuota, base+total,
+    incoherent triple (overwrite fires), coherent triple (untouched).
+    Per-row double algebra — identical in both engines."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000)
+    s = F.col("o_orderkey") % 6
+    v = F.col("o_totalprice")
+    tp = F.element_at(
+        F.array(F.lit(4), F.lit(10), F.lit(21)), (F.col("o_custkey") % 3 + 1).cast("int")
+    )
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    t0 = (
+        F.when(s == 0, v)
+        .when(s == 3, r2(v * 1.21))
+        .when(s == 4, r2(v * 1.21) + 5)
+        .when(s == 5, v + r2(v * 0.21))
+        .otherwise(F.lit(0.0))
+    )
+    b0 = F.when(s == 0, F.lit(0.0)).otherwise(v)
+    c0 = (
+        F.when(s == 2, r2(v * 0.1))
+        .when((s == 4) | (s == 5), r2(v * 0.21))
+        .otherwise(F.lit(0.0))
+    )
+    base = o.select(
+        "o_orderkey",
+        s.alias("escenario"),
+        tp.alias("tipo"),
+        t0.alias("_t"),
+        b0.alias("_b"),
+        c0.alias("_c"),
+    )
+    br = (
+        F.when((F.col("_t") > 0) & (F.col("_b") == 0) & (F.col("tipo") > 0), 1)
+        .when((F.col("_b") > 0) & (F.col("_c") == 0) & (F.col("tipo") > 0), 2)
+        .when((F.col("_b") > 0) & (F.col("_c") > 0) & (F.col("_t") == 0), 3)
+        .when((F.col("_b") > 0) & (F.col("_t") > 0) & (F.col("_c") == 0), 4)
+        .otherwise(0)
+    )
+    d = base.withColumn("_br", br)
+    fill_base = F.when(
+        F.col("_br") == 1, F.col("_t") / (1 + F.col("tipo") / 100)
+    ).otherwise(F.col("_b"))
+    fill_cuota = (
+        F.when(F.col("_br") == 1, F.col("_t") - F.col("_t") / (1 + F.col("tipo") / 100))
+        .when(F.col("_br") == 2, F.col("_b") * (F.col("tipo") / 100))
+        .when(F.col("_br") == 4, F.col("_t") - F.col("_b"))
+        .otherwise(F.col("_c"))
+    )
+    fill_total = (
+        F.when(F.col("_br") == 2, F.col("_b") + F.col("_b") * (F.col("tipo") / 100))
+        .when(F.col("_br") == 3, F.col("_b") + F.col("_c"))
+        .otherwise(F.col("_t"))
+    )
+    d = d.withColumn("_fb", fill_base).withColumn("_fc", fill_cuota).withColumn(
+        "_ft", fill_total
+    )
+    coherent_total = F.when(
+        (F.col("_fb") > 0)
+        & (F.col("_fc") > 0)
+        & (F.col("_ft") > 0)
+        & (F.abs(F.col("_ft") - (F.col("_fb") + F.col("_fc"))) > 0.01),
+        F.col("_fb") + F.col("_fc"),
+    ).otherwise(F.col("_ft"))
+    return d.select(
+        "o_orderkey",
+        "escenario",
+        "tipo",
+        r2(F.col("_fb")).alias("base_imponible"),
+        r2(F.col("_fc")).alias("cuota_iva"),
+        r2(coherent_total).alias("total_factura"),
+    ).orderBy("o_orderkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document
