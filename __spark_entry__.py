@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_classify_documents": Q.c1_classify_documents,
         "txt_field_extraction": Q.txt_field_extraction,
         "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
+        "f8_date_variants": Q.f8_date_variants,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -266,6 +267,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "f8_date_variants": """
+            SELECT o_orderkey,
+                   CAST(o_orderkey % 28 + 1 AS VARCHAR) || '/' ||
+                   CAST(o_orderkey % 12 + 1 AS VARCHAR) || '/' ||
+                   lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0') AS texto,
+                   make_date(CAST(CASE WHEN o_custkey % 100 < 50 THEN 2000 + o_custkey % 100
+                                       ELSE 1900 + o_custkey % 100 END AS INT),
+                             CAST(o_orderkey % 12 + 1 AS INT),
+                             CAST(o_orderkey % 28 + 1 AS INT)) AS fecha_fallback,
+                   make_date(CAST(2000 + o_custkey % 100 AS INT),
+                             CAST(o_orderkey % 12 + 1 AS INT),
+                             CAST(o_orderkey % 28 + 1 AS INT)) AS fecha_estricta,
+                   o_custkey % 100 < 50 AS coinciden
+            FROM orders WHERE o_orderkey <= 6000
+            ORDER BY o_orderkey
         """,
         "f11_fiscal_reconciliation": """
             WITH base AS (

@@ -902,6 +902,28 @@ def f11_fiscal_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def f8_date_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8's two 2-digit-year rules oracle-hashed side by side (SURVEY §7
+    hard part 1 — the reference's converters DISAGREE: convertToISODate
+    applies <50 -> 20xx else 19xx at index.ts:1444 while parseSpanishDate
+    always adds 2000 at :2893-2895; each extraction site binds its exact
+    variant). Synthesized dd/mm/yy tokens from orders; the two parsed
+    dates plus the agreement flag per row."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000)
+    d = (F.col("o_orderkey") % 28 + 1).cast("int")
+    m = (F.col("o_orderkey") % 12 + 1).cast("int")
+    yy = (F.col("o_custkey") % 100).cast("int")
+    year_fallback = F.when(yy < 50, 2000 + yy).otherwise(1900 + yy)
+    year_strict = 2000 + yy
+    return o.select(
+        "o_orderkey",
+        F.concat_ws("/", d, m, F.lpad(yy.cast("string"), 2, "0")).alias("texto"),
+        F.make_date(year_fallback, m, d).alias("fecha_fallback"),
+        F.make_date(year_strict, m, d).alias("fecha_estricta"),
+        (yy < 50).alias("coinciden"),
+    ).orderBy("o_orderkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

@@ -183,3 +183,21 @@ def test_columnar_classifier_matches_kernel(spark):
         for r in c1_classify_documents(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_f8_columnar_variants_match_kernels(spark):
+    """f8_date_variants' two year rules must equal the Python kernels
+    (convert_to_iso_date: <50 -> 20xx else 19xx; parse_spanish_date:
+    always +2000) on every synthesized token."""
+    from facturas_spark.analytics.queries import f8_date_variants
+    from facturas_spark.extraction.textparse import (
+        convert_to_iso_date,
+        parse_spanish_date,
+    )
+
+    rows = f8_date_variants(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert convert_to_iso_date(r["texto"]) == r["fecha_fallback"], r["texto"]
+        assert parse_spanish_date(r["texto"]) == r["fecha_estricta"], r["texto"]
+        assert r["coinciden"] == (r["fecha_fallback"] == r["fecha_estricta"])
