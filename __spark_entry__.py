@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_field_extraction": Q.txt_field_extraction,
         "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
         "f8_date_variants": Q.f8_date_variants,
+        "f7_amount_variants": Q.f7_amount_variants,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -267,6 +268,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "f7_amount_variants": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderkey % 8 AS escenario,
+                     CAST(o_orderkey % 900 + 100 AS VARCHAR) AS d3,
+                     lpad(CAST(o_custkey % 100 AS VARCHAR), 2, '0') AS d2,
+                     CAST(o_custkey % 10 AS VARCHAR) AS d1
+              FROM orders WHERE o_orderkey <= 6000
+            ), t AS (
+              SELECT o_orderkey, escenario,
+                     CASE escenario WHEN 0 THEN d3 || '.234,' || d2
+                                    WHEN 1 THEN d3 || ',234.' || d2
+                                    WHEN 2 THEN d3 || ',234'
+                                    WHEN 3 THEN d3 || ',' || d1
+                                    WHEN 4 THEN d3 || '.234'
+                                    WHEN 5 THEN d3 || '.' || d2
+                                    WHEN 6 THEN d3
+                                    ELSE d3 || ' 345,' || d2 || ' €' END AS token
+              FROM base
+            ), p AS (
+              SELECT *, regexp_replace(token, '[€$£¥\\s]', '', 'g') AS cl FROM t
+            ), q AS (
+              SELECT *,
+                     contains(cl, ',') AS has_c, contains(cl, '.') AS has_d,
+                     length(cl) - position(',' IN reverse(cl)) + 1 AS last_c,
+                     length(cl) - position('.' IN reverse(cl)) + 1 AS last_d,
+                     string_split(cl, ',') AS pc, string_split(cl, '.') AS pd
+              FROM p
+            ), f AS (
+              SELECT *,
+                CASE WHEN has_c AND has_d AND last_c > last_d THEN replace(replace(cl, '.', ''), ',', '.')
+                     WHEN has_c AND has_d THEN replace(cl, ',', '')
+                     WHEN has_c AND len(pc) = 2 AND length(pc[2]) <= 2 THEN replace(cl, ',', '.')
+                     WHEN has_c THEN replace(cl, ',', '')
+                     WHEN has_d AND len(pd) = 2 AND length(pd[2]) <= 2 THEN cl
+                     WHEN has_d THEN replace(cl, '.', '')
+                     ELSE cl END AS fb,
+                CASE WHEN has_c AND has_d THEN replace(replace(cl, '.', ''), ',', '.')
+                     WHEN has_c THEN replace(cl, ',', '.')
+                     ELSE cl END AS st
+              FROM q
+            )
+            SELECT o_orderkey, escenario, token,
+                   FLOOR(TRY_CAST(fb AS DOUBLE) * 100 + 0.5) / 100 AS importe_fallback,
+                   TRY_CAST(st AS DOUBLE) AS importe_estricto,
+                   FLOOR(TRY_CAST(fb AS DOUBLE) * 100 + 0.5) / 100 = TRY_CAST(st AS DOUBLE) AS coinciden
+            FROM f ORDER BY o_orderkey
         """,
         "f8_date_variants": """
             SELECT o_orderkey,

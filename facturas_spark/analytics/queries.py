@@ -924,6 +924,79 @@ def f8_date_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def f7_amount_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7's two amount parsers oracle-hashed side by side (SURVEY §7 hard
+    part 1): the fallback parseImporte disambiguates by LAST-separator
+    position and treats a lone separator as decimal only with <=2 trailing
+    digits (index.ts:1380-1432, rounds half-up 2dp), while the strict
+    parseSpanishAmount treats a lone comma as ALWAYS decimal
+    (:1812-1847, no rounding) — so '1,234' parses 1234.0 vs 1.234.
+    Synthesized tokens cover ES/EN thousand+decimal, both lone-separator
+    shapes on each side of the 2-trailing-digit rule, plain integers, and
+    currency/space stripping. Columnar rules are defined over
+    single-comma/single-dot tokens (replace-all == replace-first there);
+    kernel parity per token is pinned in pytest."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000)
+    s = F.col("o_orderkey") % 8
+    d3 = (F.col("o_orderkey") % 900 + 100).cast("string")
+    d2 = F.lpad((F.col("o_custkey") % 100).cast("string"), 2, "0")
+    d1 = (F.col("o_custkey") % 10).cast("string")
+    tok = (
+        F.when(s == 0, F.concat(d3, F.lit("."), F.lit("234,"), d2))
+        .when(s == 1, F.concat(d3, F.lit(","), F.lit("234."), d2))
+        .when(s == 2, F.concat(d3, F.lit(","), F.lit("234")))
+        .when(s == 3, F.concat(d3, F.lit(","), d1))
+        .when(s == 4, F.concat(d3, F.lit("."), F.lit("234")))
+        .when(s == 5, F.concat(d3, F.lit("."), d2))
+        .when(s == 6, d3)
+        .otherwise(F.concat(d3, F.lit(" "), F.lit("345,"), d2, F.lit(" €")))
+    )
+    base = o.select("o_orderkey", s.alias("escenario"), tok.alias("token"))
+    c = F.regexp_replace(F.col("token"), r"[€$£¥\s]", "")
+    has_c = c.contains(",")
+    has_d = c.contains(".")
+    parts_c = F.split(c, ",")
+    parts_d = F.split(c, r"\.")
+    # last-separator positions via reverse+locate (0 when absent)
+    last_c = F.length(c) - F.expr("locate(',', reverse(_c))") + 1
+    last_d = F.length(c) - F.expr("locate('.', reverse(_c))") + 1
+    lone_c_dec = (F.size(parts_c) == 2) & (
+        F.length(F.element_at(parts_c, 2)) <= 2
+    )
+    lone_d_dec = (F.size(parts_d) == 2) & (
+        F.length(F.element_at(parts_d, 2)) <= 2
+    )
+    fallback_clean = (
+        F.when(
+            has_c & has_d & (last_c > last_d),
+            F.translate(F.regexp_replace(c, r"\.", ""), ",", "."),
+        )
+        .when(has_c & has_d, F.regexp_replace(c, ",", ""))
+        .when(has_c & lone_c_dec, F.translate(c, ",", "."))
+        .when(has_c, F.regexp_replace(c, ",", ""))
+        .when(has_d & lone_d_dec, c)
+        .when(has_d, F.regexp_replace(c, r"\.", ""))
+        .otherwise(c)
+    )
+    strict_clean = (
+        F.when(has_c & has_d, F.translate(F.regexp_replace(c, r"\.", ""), ",", "."))
+        .when(has_c, F.translate(c, ",", "."))
+        .otherwise(c)
+    )
+    withc = base.withColumn("_c", c)
+    return withc.select(
+        "o_orderkey",
+        "escenario",
+        "token",
+        (
+            F.floor(fallback_clean.try_cast("double") * 100 + F.lit(0.5)) / 100
+        ).alias("importe_fallback"),
+        strict_clean.try_cast("double").alias("importe_estricto"),
+    ).withColumn(
+        "coinciden", F.col("importe_fallback") == F.col("importe_estricto")
+    ).orderBy("o_orderkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

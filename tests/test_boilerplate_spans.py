@@ -201,3 +201,25 @@ def test_f8_columnar_variants_match_kernels(spark):
         assert convert_to_iso_date(r["texto"]) == r["fecha_fallback"], r["texto"]
         assert parse_spanish_date(r["texto"]) == r["fecha_estricta"], r["texto"]
         assert r["coinciden"] == (r["fecha_fallback"] == r["fecha_estricta"])
+
+
+def test_f7_columnar_variants_match_kernels(spark):
+    """f7_amount_variants' columnar cascades must equal the Python kernels
+    (parse_importe fallback with half-up 2dp; parse_spanish_amount strict,
+    unrounded) on every synthesized token — including the '1,234'-shape
+    disagreement row where the variants intentionally differ."""
+    from facturas_spark.analytics.queries import f7_amount_variants
+    from facturas_spark.extraction.textparse import (
+        parse_importe,
+        parse_spanish_amount,
+    )
+
+    rows = f7_amount_variants(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    saw_disagreement = False
+    for r in rows:
+        assert parse_importe(r["token"]) == r["importe_fallback"], r["token"]
+        assert parse_spanish_amount(r["token"]) == r["importe_estricto"], r["token"]
+        if not r["coinciden"]:
+            saw_disagreement = True
+    assert saw_disagreement  # the '1,234' / '1.234' shapes must split
