@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_spend_per_product": Q.q11_spend_per_product,
         "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
         "m5_product_match_pairs": D.m5_product_match_pairs,
+        "m4_similarity_pairs": D.m4_similarity_pairs,
         "m14_duplicate_orders": D.m14_duplicate_orders,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -541,6 +542,34 @@ def oracle_sql() -> dict[str, str]:
                                         x -> length(x) > 2 AND list_contains(string_split(b.n, ' '), x))) AS DOUBLE)
                    / len(string_split(a.n, ' '))) > 0.6
             ORDER BY k1, k2
+        """,
+        "m4_similarity_pairs": """
+            WITH p AS (
+              SELECT p_partkey AS k,
+                     list_filter(string_split(trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+                                 x -> length(x) > 2) AS ws
+              FROM part WHERE p_partkey <= 150
+            ), m AS (
+              SELECT a.k AS k1, b.k AS k2, a.ws AS w1s, b.ws AS w2s,
+                     list_transform(a.ws, w1 ->
+                       (list_filter(b.ws, w2 ->
+                          w1 = w2
+                          OR (length(w1) > 3 AND length(w2) > 3 AND (contains(w2, w1) OR contains(w1, w2)))
+                          OR (abs(length(w1) - length(w2)) <= 2
+                              AND ((CASE WHEN length(w1) > length(w2) THEN contains(w1, w2) ELSE contains(w2, w1) END)
+                                   OR levenshtein(w1, w2) <= 2))))[1]) AS firsts
+              FROM p a JOIN p b ON a.k + 1 = b.k
+            )
+            SELECT k1, k2,
+                   FLOOR((CASE WHEN len(w1s) = 0 OR len(w2s) = 0 THEN CAST(0.0 AS DOUBLE)
+                          ELSE list_sum(list_transform(list_zip(w1s, firsts), z ->
+                                 CAST(CASE WHEN z[2] IS NULL THEN 0.0
+                                      WHEN z[1] = z[2] THEN 1.0
+                                      WHEN length(z[1]) > 3 AND length(z[2]) > 3
+                                           AND (contains(z[2], z[1]) OR contains(z[1], z[2])) THEN 0.8
+                                      ELSE 0.6 END AS DOUBLE)))
+                               / greatest(len(w1s), len(w2s)) END) * 10000 + 0.5) / 10000 AS similitud
+            FROM m ORDER BY k1
         """,
         "m14_duplicate_orders": """
             SELECT o_custkey, CAST(o_orderdate AS DATE) AS fecha,

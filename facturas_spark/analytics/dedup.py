@@ -99,6 +99,101 @@ def m5_product_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m4_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 calculateStringSimilarity oracle-hashed (exact reference rule
+    order, process-invoice/index.ts:2526-2561): per word1 the FIRST word2
+    (in array order) matching ANY rule contributes that pair's rule value
+    evaluated in rule order — exact=1; containment with both len>3=0.8;
+    |Δlen|<=2 and (containment or lev<=2)=0.6 — and the scan breaks.
+    Score = sum(matches) / max(|w1|,|w2|) over len>2 words. Consecutive
+    part-name pairs (key<=150); JVM higher-order functions + built-in
+    levenshtein, same shape in the DuckDB twin."""
+    from facturas_spark.matching.similarity import norm_desc_expr
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 150)
+    a = part.select(F.col("p_partkey").alias("k1"), F.col("p_name").alias("n1"))
+    b = part.select(F.col("p_partkey").alias("k2"), F.col("p_name").alias("n2"))
+    pairs = a.join(b, a.k1 + 1 == b.k2)
+    w = lambda c: F.filter(  # noqa: E731
+        F.split(norm_desc_expr(F.col(c)), " "), lambda x: F.length(x) > 2
+    )
+
+    def rule_match(w1, w2):
+        contain = (
+            (F.length(w1) > 3) & (F.length(w2) > 3)
+            & (w2.contains(w1) | w1.contains(w2))
+        )
+        near = (
+            (F.abs(F.length(w1) - F.length(w2)) <= 2)
+            & (
+                F.when(
+                    F.length(w1) > F.length(w2), w1.contains(w2)
+                ).otherwise(w2.contains(w1))
+                | (F.levenshtein(w1, w2) <= 2)
+            )
+        )
+        return (w1 == w2) | contain | near
+
+    def rule_value(w1, w2):
+        contain = (
+            (F.length(w1) > 3) & (F.length(w2) > 3)
+            & (w2.contains(w1) | w1.contains(w2))
+        )
+        return (
+            F.when(w1 == w2, F.lit(1.0))
+            .when(contain, F.lit(0.8))
+            .otherwise(F.lit(0.6))
+        )
+
+    def score(c1, c2):
+        # let-bind both word arrays (evaluated once per row each)
+        return F.try_element_at(
+            F.zip_with(
+                F.array(w(c1)),
+                F.array(w(c2)),
+                lambda ws1, ws2: F.when(
+                    (F.size(ws1) == 0) | (F.size(ws2) == 0), F.lit(0.0)
+                ).otherwise(
+                    F.aggregate(
+                        ws1,
+                        F.lit(0.0),
+                        lambda acc, w1: acc
+                        + F.coalesce(
+                            rule_value(
+                                w1,
+                                F.try_element_at(
+                                    F.filter(ws2, lambda w2: rule_match(w1, w2)),
+                                    F.lit(1),
+                                ),
+                            )
+                            * F.when(
+                                F.try_element_at(
+                                    F.filter(ws2, lambda w2: rule_match(w1, w2)),
+                                    F.lit(1),
+                                ).isNotNull(),
+                                F.lit(1.0),
+                            ),
+                            F.lit(0.0),
+                        ),
+                    )
+                    / F.greatest(F.size(ws1), F.size(ws2))
+                ),
+            ),
+            F.lit(1),
+        )
+
+    return (
+        pairs.select(
+            "k1",
+            "k2",
+            (F.floor(score("n1", "n2") * 10000 + F.lit(0.5)) / 10000).alias(
+                "similitud"
+            ),
+        )
+        .orderBy("k1")
+    )
+
+
 def m14_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14 duplicate detection: same (custkey, orderdate) seen >1 time —
     the reference's CIF+numero_factura equality check shape."""

@@ -295,3 +295,35 @@ def test_inverse_cotejo_m4_window_and_gate(spark):
     # 10 days -> 0.5+0.2=0.7 passes; 20 days -> 0.5+0.1=0.6 FAILS strict >;
     # g3 is before the albarán -> outside the forward window
     assert m4 == {("g1", "b1"): pytest.approx(0.7)}
+
+
+def test_m4_columnar_matches_kernel(spark):
+    """m4_similarity_pairs' higher-order-function cascade must equal the
+    Python kernel string_similarity_py on every corpus pair (same first-
+    matching-word2 + rule-order semantics, two execution forms)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from facturas_spark.analytics.dedup import m4_similarity_pairs
+    from facturas_spark.matching.similarity import (
+        norm_desc_expr,
+        string_similarity_py,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    part = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .filter(F.col("p_partkey") <= 150)
+        .select("p_partkey", norm_desc_expr(F.col("p_name")).alias("n"))
+        .collect()
+    )
+    names = {r["p_partkey"]: r["n"] for r in part}
+    got = {
+        (r["k1"], r["k2"]): r["similitud"]
+        for r in m4_similarity_pairs(spark, sf).collect()
+    }
+    assert got
+    for (k1, k2), sim in got.items():
+        exp = string_similarity_py(names[k1], names[k2])
+        assert math.floor(exp * 10000 + 0.5) / 10000 == sim, (k1, k2)
