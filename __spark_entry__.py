@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from facturas_spark.analytics import dedup as D
+from facturas_spark.extraction.products import _CATEGORIES as _P15_CATEGORIES
 from facturas_spark.analytics import escandallos as E
 from facturas_spark.analytics import master as M
 from facturas_spark.analytics import nlsql as N
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
         "f8_date_variants": Q.f8_date_variants,
         "f7_amount_variants": Q.f7_amount_variants,
+        "p8_p15_products_normalized": Q.p8_p15_products_normalized,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -269,6 +271,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "p8_p15_products_normalized": f"""
+            WITH base AS (
+              SELECT p_partkey, p_name, p_partkey % 4 AS v,
+                     ([{", ".join(f"'{keys[0]}'" for _, keys in _P15_CATEGORIES)}, 'zzz'])
+                       [CAST(p_partkey % {len(_P15_CATEGORIES) + 1} AS INT) + 1] AS kw
+              FROM part WHERE p_partkey <= 300
+            ), r AS (
+              SELECT p_partkey,
+                     CASE v WHEN 0 THEN p_name || ' “' || kw || '”'
+                            WHEN 1 THEN p_name || ' – ' || kw || ' es'
+                            WHEN 2 THEN p_name || '  ' || kw || ' x'
+                            ELSE p_name || ' ' || kw || ' cc.' END AS raw
+              FROM base
+            ),
+            s1 AS (SELECT p_partkey, raw, regexp_replace(lower(raw), '^\\s+|\\s+$', '', 'g') AS t FROM r),
+            s2 AS (SELECT p_partkey, raw, regexp_replace(t, '[“”‘’]', '"', 'g') AS t FROM s1),
+            s3 AS (SELECT p_partkey, raw, regexp_replace(t, '[–—]', '-', 'g') AS t FROM s2),
+            s4 AS (SELECT p_partkey, raw, regexp_replace(t, '\\s+', ' ', 'g') AS t FROM s3),
+            s5 AS (SELECT p_partkey, raw, regexp_replace(t, '\\s+[a-z]\\s*$', '') AS t FROM s4),
+            s6 AS (SELECT p_partkey, raw, regexp_replace(t, '\\s+es\\s*$', '') AS t FROM s5),
+            s7 AS (SELECT p_partkey, raw, regexp_replace(t, '\\s+cc\\s*$', '') AS t FROM s6),
+            s8 AS (SELECT p_partkey, raw, regexp_replace(replace(t, '×', 'x'), '\\.', '', 'g') AS t FROM s7),
+            s9 AS (SELECT p_partkey, raw, regexp_replace(t, '^\\s+|\\s+$', '', 'g') AS t FROM s8)
+            SELECT p_partkey,
+                   raw AS descripcion_original,
+                   t AS descripcion_normalizada,
+                   CASE {" ".join("WHEN " + " OR ".join(f"contains(lower(raw), '{k}')" for k in keys) + f" THEN '{name}'" for name, keys in _P15_CATEGORIES)}
+                        ELSE 'general' END AS categoria
+            FROM s9 ORDER BY p_partkey
         """,
         "f7_amount_variants": """
             WITH base AS (

@@ -997,6 +997,59 @@ def f7_amount_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def p8_p15_products_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 name normalization + P15 category inference oracle-hashed
+    (normalizeProductName index.ts:1850-1874 exact rule ORDER — quote/dash
+    unification, whitespace collapse, trailing single-letter/'es'/'cc'
+    strip, x-sign, dot removal; inferCategory :2774-2850 first-match
+    priority chain). Raw descriptions synthesized from part names with a
+    category marker and a formatting-noise variant per key (curly quotes,
+    em-dash, double spaces, each trailing-strip rule)."""
+    from facturas_spark.extraction.products import _CATEGORIES
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    markers = [keys[0] for _, keys in _CATEGORIES] + ["zzz"]
+    kw = F.element_at(
+        F.array(*[F.lit(m) for m in markers]),
+        (F.col("p_partkey") % len(markers) + 1).cast("int"),
+    )
+    v = F.col("p_partkey") % 4
+    raw = (
+        F.when(v == 0, F.concat(F.col("p_name"), F.lit(" “"), kw, F.lit("”")))
+        .when(v == 1, F.concat(F.col("p_name"), F.lit(" – "), kw, F.lit(" es")))
+        .when(v == 2, F.concat(F.col("p_name"), F.lit("  "), kw, F.lit(" x")))
+        .otherwise(F.concat(F.col("p_name"), F.lit(" "), kw, F.lit(" cc.")))
+    )
+
+    def norm_p8(c):
+        n = F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
+        n = F.regexp_replace(n, "[“”‘’]", '"')
+        n = F.regexp_replace(n, "[–—]", "-")
+        n = F.regexp_replace(n, r"\s+", " ")
+        n = F.regexp_replace(n, r"\s+[a-z]\s*$", "")
+        n = F.regexp_replace(n, r"\s+es\s*$", "")
+        n = F.regexp_replace(n, r"\s+cc\s*$", "")
+        n = F.translate(n, "×", "x")
+        n = F.regexp_replace(n, r"\.", "")
+        return F.regexp_replace(n, r"^\s+|\s+$", "")
+
+    low = F.lower(raw)
+    cat = None
+    for name, keys in _CATEGORIES:
+        cond = None
+        for k in keys:
+            c = low.contains(k)
+            cond = c if cond is None else (cond | c)
+        cat = F.when(cond, name) if cat is None else cat.when(cond, name)
+    cat = cat.otherwise("general")
+    return part.select(
+        "p_partkey",
+        raw.alias("descripcion_original"),
+        norm_p8(raw).alias("descripcion_normalizada"),
+        cat.alias("categoria"),
+    ).orderBy("p_partkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

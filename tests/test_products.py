@@ -242,3 +242,23 @@ def test_extract_products_table_spark(spark):
     # single stage: no shuffle in the whole doc->products plan
     plan = prods._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+def test_p8_p15_columnar_match_kernels(spark):
+    """p8_p15_products_normalized's columnar normalize + category must
+    equal the Python kernels on every synthesized description (each
+    formatting-noise variant exercises a different normalize rule)."""
+    from facturas_spark.analytics.queries import p8_p15_products_normalized
+    from facturas_spark.extraction.products import (
+        infer_category,
+        normalize_product_name,
+    )
+
+    rows = p8_p15_products_normalized(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    cats = set()
+    for r in rows:
+        raw = r["descripcion_original"]
+        assert normalize_product_name(raw) == r["descripcion_normalizada"], raw
+        assert infer_category(raw) == r["categoria"], raw
+        cats.add(r["categoria"])
+    assert "general" in cats and len(cats) >= 5  # markers cover the table
