@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numier_upsert_catalogo": E.numier_upsert_catalogo,
         "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
         "cotejo_scores": E.cotejo_scores,
+        "cotejo_consolidation": E.cotejo_consolidation,
         "cola_procesamiento": E.cola_procesamiento,
         "cotejo_decisiones": E.cotejo_decisiones,
         "whatsapp_routing": E.whatsapp_routing,
@@ -1448,6 +1449,37 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN NOT r.exito THEN r.error ELSE b.ultimo_error END AS ultimo_error
             FROM batch b LEFT JOIN res r USING (documento_id)
             ORDER BY b.documento_id
+        """,
+        "cotejo_consolidation": """
+            WITH cand AS (
+              SELECT 'F' || CAST(o_orderkey % 800 AS VARCHAR) AS factura_id,
+                     'A' || CAST(o_orderkey % 800 % 400 AS VARCHAR) AS albaran_id,
+                     ((o_orderkey % 800 + o_orderkey % 3) % 101) / CAST(100 AS DOUBLE) AS score,
+                     (['referencia_explicita','proximidad_temporal','productos_compartidos',
+                       'patron_aprendido','ultima_oportunidad'])[CAST(o_orderkey % 5 AS INT) + 1] AS metodo,
+                     CAST(o_orderkey % 5 + 1 AS INT) AS metodo_prio
+              FROM orders WHERE o_orderkey <= 4000
+            ), best AS (
+              SELECT factura_id, albaran_id, score, metodo FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY factura_id, albaran_id
+                                             ORDER BY score DESC, metodo_prio ASC) AS rn
+                FROM cand
+              ) WHERE rn = 1
+            ), docs AS (
+              SELECT DISTINCT factura_id,
+                     CAST(substring(factura_id, 2) AS INT) % 3 <> 0 AS has_p
+              FROM cand
+            ), adj AS (
+              SELECT b.factura_id, b.albaran_id, b.metodo,
+                     CASE WHEN d.has_p THEN LEAST(CAST(1.0 AS DOUBLE), b.score + CAST(0.02 AS DOUBLE))
+                          ELSE b.score END AS score
+              FROM best b JOIN docs d USING (factura_id)
+            )
+            SELECT factura_id, albaran_id, score, metodo,
+                   CASE WHEN score >= 0.95 THEN 'enlace_automatico'
+                        WHEN score >= 0.7 THEN 'sugerencia'
+                        ELSE 'revision_manual' END AS categoria_enlace
+            FROM adj ORDER BY factura_id, albaran_id
         """,
         "cotejo_scores": """
             WITH c AS (

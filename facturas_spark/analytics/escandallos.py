@@ -611,6 +611,52 @@ def cotejo_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("factura_id")
 
 
+def cotejo_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10-M12 consolidation algebra oracle-hashed (consolidarCandidatos
+    :1675-1713 keep max score per pair with ties to the earliest method;
+    calcularScoresFinal :1715-1744 +0.02 products bonus capped at 1;
+    categorizarCandidatos :1746-1783 buckets) — driven through the REAL
+    matching.cotejo.consolidate/categorize operators over synthesized
+    candidates: 5 method rows per (factura, albaran) pair with scores on
+    an exact 1/100 grid (ties exercised), and a docs dim where every 3rd
+    factura has no products (bonus withheld)."""
+    from facturas_spark.matching.cotejo import categorize, consolidate
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    p = F.col("o_orderkey") % 800
+    metodo = F.element_at(
+        F.array(
+            F.lit("referencia_explicita"),
+            F.lit("proximidad_temporal"),
+            F.lit("productos_compartidos"),
+            F.lit("patron_aprendido"),
+            F.lit("ultima_oportunidad"),
+        ),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    cand = o.select(
+        F.concat(F.lit("F"), p.cast("string")).alias("factura_id"),
+        F.concat(F.lit("A"), (p % 400).cast("string")).alias("albaran_id"),
+        (((p + F.col("o_orderkey") % 3) % 101) / 100.0).alias("score"),
+        metodo.alias("metodo"),
+        (F.col("o_orderkey") % 5 + 1).cast("int").alias("metodo_prio"),
+    )
+    docs = (
+        cand.select("factura_id")
+        .distinct()
+        .select(
+            "factura_id",
+            F.when(
+                F.substring("factura_id", 2, 10).cast("int") % 3 != 0,
+                F.array(F.lit("x")),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("productos"),
+        )
+    )
+    return categorize(consolidate(cand, docs)).orderBy("factura_id", "albaran_id")
+
+
 def cotejo_patron_efectividad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-pattern effectiveness rollup (gestionar-sugerencias-cotejo/
     index.ts:353-418): per (restaurante_id, metodo_deteccion) tally of
