@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_date_variants": Q.f8_date_variants,
         "f7_amount_variants": Q.f7_amount_variants,
         "p8_p15_products_normalized": Q.p8_p15_products_normalized,
+        "p9_price_closure": Q.p9_price_closure,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -272,6 +273,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "p9_price_closure": """
+            WITH base AS (
+              SELECT o_orderkey,
+                     o_orderkey % 8 AS escenario,
+                     CASE WHEN ([0,4,10,21])[CAST(o_custkey % 4 AS INT) + 1] = 0 THEN 21
+                          ELSE ([0,4,10,21])[CAST(o_custkey % 4 AS INT) + 1] END AS tipo,
+                     CASE WHEN o_orderkey % 8 IN (1, 5) THEN o_totalprice END AS u_sin,
+                     CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice END AS u_con,
+                     CASE WHEN o_orderkey % 8 IN (3, 4) THEN o_totalprice END AS t_sin,
+                     CASE WHEN o_orderkey % 8 IN (2, 6) THEN o_totalprice END AS t_con,
+                     CASE WHEN o_orderkey % 8 IN (0, 3, 5, 6)
+                          THEN CAST(o_custkey % 5 AS DOUBLE) END AS qty
+              FROM orders WHERE o_orderkey <= 5000
+            ), f AS (
+              SELECT *, 1 + tipo / 100 AS factor FROM base
+            ),
+            a1 AS (SELECT * REPLACE (CASE WHEN u_con IS NOT NULL AND u_con <> 0 AND (u_sin IS NULL OR u_sin = 0)
+                                          THEN u_con / factor ELSE u_sin END AS u_sin) FROM f),
+            a2 AS (SELECT * REPLACE (CASE WHEN u_sin IS NOT NULL AND u_sin <> 0 AND (u_con IS NULL OR u_con = 0)
+                                          THEN u_sin * factor ELSE u_con END AS u_con) FROM a1),
+            a3 AS (SELECT * REPLACE (CASE WHEN t_con IS NOT NULL AND t_con <> 0 AND (t_sin IS NULL OR t_sin = 0)
+                                          THEN t_con / factor ELSE t_sin END AS t_sin) FROM a2),
+            a4 AS (SELECT * REPLACE (CASE WHEN t_sin IS NOT NULL AND t_sin <> 0 AND (t_con IS NULL OR t_con = 0)
+                                          THEN t_sin * factor ELSE t_con END AS t_con) FROM a3),
+            a5 AS (SELECT * REPLACE (
+                     CASE WHEN (u_sin IS NULL OR u_sin = 0) AND t_sin IS NOT NULL AND t_sin <> 0
+                               AND qty IS NOT NULL AND qty <> 0 AND qty > 0
+                          THEN t_sin / qty ELSE u_sin END AS u_sin,
+                     CASE WHEN (u_sin IS NULL OR u_sin = 0) AND t_sin IS NOT NULL AND t_sin <> 0
+                               AND qty IS NOT NULL AND qty <> 0 AND qty > 0
+                          THEN (t_sin / qty) * factor ELSE u_con END AS u_con) FROM a4),
+            a6 AS (SELECT * REPLACE (
+                     CASE WHEN (t_sin IS NULL OR t_sin = 0) AND u_sin IS NOT NULL AND u_sin <> 0
+                               AND qty IS NOT NULL AND qty <> 0 AND qty > 0
+                          THEN u_sin * qty ELSE t_sin END AS t_sin,
+                     CASE WHEN (t_sin IS NULL OR t_sin = 0) AND u_sin IS NOT NULL AND u_sin <> 0
+                               AND qty IS NOT NULL AND qty <> 0 AND qty > 0
+                          THEN (u_sin * qty) * factor ELSE t_con END AS t_con) FROM a5),
+            a7 AS (SELECT * REPLACE (
+                     CASE WHEN u_con IS NOT NULL AND u_con <> 0 AND qty IS NOT NULL AND qty <> 0
+                               AND (t_sin IS NULL OR t_sin = 0)
+                          THEN u_con / factor ELSE u_sin END AS u_sin,
+                     CASE WHEN u_con IS NOT NULL AND u_con <> 0 AND qty IS NOT NULL AND qty <> 0
+                               AND (t_sin IS NULL OR t_sin = 0)
+                          THEN (u_con / factor) * qty ELSE t_sin END AS t_sin,
+                     CASE WHEN u_con IS NOT NULL AND u_con <> 0 AND qty IS NOT NULL AND qty <> 0
+                               AND (t_sin IS NULL OR t_sin = 0)
+                          THEN u_con * qty ELSE t_con END AS t_con) FROM a6),
+            a8 AS (SELECT * REPLACE (
+                     CASE WHEN t_con IS NOT NULL AND t_con <> 0 AND qty IS NOT NULL AND qty <> 0
+                               AND (u_sin IS NULL OR u_sin = 0)
+                          THEN t_con / factor ELSE t_sin END AS t_sin,
+                     CASE WHEN t_con IS NOT NULL AND t_con <> 0 AND qty IS NOT NULL AND qty <> 0
+                               AND (u_sin IS NULL OR u_sin = 0)
+                          THEN (t_con / factor) / qty ELSE u_sin END AS u_sin,
+                     CASE WHEN t_con IS NOT NULL AND t_con <> 0 AND qty IS NOT NULL AND qty <> 0
+                               AND (u_sin IS NULL OR u_sin = 0)
+                          THEN ((t_con / factor) / qty) * factor ELSE u_con END AS u_con) FROM a7)
+            SELECT o_orderkey, escenario, tipo,
+                   u_sin AS precio_unitario_sin_iva,
+                   u_con AS precio_unitario_con_iva,
+                   t_sin AS precio_total_linea_sin_iva,
+                   t_con AS precio_total_linea_con_iva
+            FROM a8 ORDER BY o_orderkey
         """,
         "p8_p15_products_normalized": f"""
             WITH base AS (

@@ -1050,6 +1050,143 @@ def p8_p15_products_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def p9_price_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 price-completion FSM oracle-hashed (fixPriceCalculation,
+    index.ts:3249-3347): the 8-rule single-pass closure filling
+    unit/total x sin/con-IVA from any subset + cantidad, JS-falsy gates
+    (None or 0 counts as missing; tipo_iva 0 falls back to 21 via ||).
+    Sequential rule visibility is preserved with chained column stages
+    (each rule reads the previous rules' outputs). Scenarios synthesized
+    from orders leave a different subset filled per row, with qty=0 rows
+    exercising the qty>0 gates and tipo 0 exercising the falsy fallback."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    s = F.col("o_orderkey") % 8
+    v = F.col("o_totalprice")
+    qty0 = F.when(s.isin(0, 3, 5, 6), (F.col("o_custkey") % 5).cast("double"))
+    tipo0 = F.element_at(
+        F.array(F.lit(0), F.lit(4), F.lit(10), F.lit(21)),
+        (F.col("o_custkey") % 4 + 1).cast("int"),
+    )
+    d = o.select(
+        "o_orderkey",
+        s.alias("escenario"),
+        F.when(s == 1, v).when(s == 5, v).alias("u_sin"),
+        F.when(s == 0, v).alias("u_con"),
+        F.when(s == 3, v).when(s == 4, v).alias("t_sin"),
+        F.when(s == 2, v).when(s == 6, v).alias("t_con"),
+        qty0.alias("qty"),
+        tipo0.alias("tipo0"),
+    ).withColumn(
+        "tipo", F.when(F.col("tipo0") == 0, F.lit(21)).otherwise(F.col("tipo0"))
+    ).withColumn("factor", 1 + F.col("tipo") / 100)
+
+    has = lambda c: F.col(c).isNotNull() & (F.col(c) != 0)  # noqa: E731
+    # rules 1-4: fill the missing IVA side of each pair
+    d = d.withColumn(
+        "u_sin",
+        F.when(has("u_con") & ~has("u_sin"), F.col("u_con") / F.col("factor"))
+        .otherwise(F.col("u_sin")),
+    )
+    d = d.withColumn(
+        "u_con",
+        F.when(has("u_sin") & ~has("u_con"), F.col("u_sin") * F.col("factor"))
+        .otherwise(F.col("u_con")),
+    )
+    d = d.withColumn(
+        "t_sin",
+        F.when(has("t_con") & ~has("t_sin"), F.col("t_con") / F.col("factor"))
+        .otherwise(F.col("t_sin")),
+    )
+    d = d.withColumn(
+        "t_con",
+        F.when(has("t_sin") & ~has("t_con"), F.col("t_sin") * F.col("factor"))
+        .otherwise(F.col("t_con")),
+    )
+    # rules 5-8 assign several columns: the kernel evaluates each rule's
+    # `if` ONCE against pre-rule state, so the firing flag must be
+    # materialized before the assignments (a chained condition would flip
+    # after the rule's own first assignment)
+    # rule 5: unit from total/qty
+    d = d.withColumn(
+        "_r5", ~has("u_sin") & has("t_sin") & has("qty") & (F.col("qty") > 0)
+    )
+    d = d.withColumn(
+        "u_sin",
+        F.when(F.col("_r5"), F.col("t_sin") / F.col("qty")).otherwise(F.col("u_sin")),
+    ).withColumn(
+        "u_con",
+        F.when(F.col("_r5"), F.col("u_sin") * F.col("factor")).otherwise(
+            F.col("u_con")
+        ),
+    )
+    # rule 6: total from unit*qty
+    d = d.withColumn(
+        "_r6", ~has("t_sin") & has("u_sin") & has("qty") & (F.col("qty") > 0)
+    )
+    d = d.withColumn(
+        "t_sin",
+        F.when(F.col("_r6"), F.col("u_sin") * F.col("qty")).otherwise(F.col("t_sin")),
+    ).withColumn(
+        "t_con",
+        F.when(F.col("_r6"), F.col("t_sin") * F.col("factor")).otherwise(
+            F.col("t_con")
+        ),
+    )
+    # rule 7: everything from u_con+qty
+    d = d.withColumn("_r7", has("u_con") & has("qty") & ~has("t_sin"))
+    d = (
+        d.withColumn(
+            "u_sin",
+            F.when(F.col("_r7"), F.col("u_con") / F.col("factor")).otherwise(
+                F.col("u_sin")
+            ),
+        )
+        .withColumn(
+            "t_sin",
+            F.when(F.col("_r7"), F.col("u_sin") * F.col("qty")).otherwise(
+                F.col("t_sin")
+            ),
+        )
+        .withColumn(
+            "t_con",
+            F.when(F.col("_r7"), F.col("u_con") * F.col("qty")).otherwise(
+                F.col("t_con")
+            ),
+        )
+    )
+    # rule 8: everything from t_con+qty
+    d = d.withColumn("_r8", has("t_con") & has("qty") & ~has("u_sin"))
+    d = (
+        d.withColumn(
+            "t_sin",
+            F.when(F.col("_r8"), F.col("t_con") / F.col("factor")).otherwise(
+                F.col("t_sin")
+            ),
+        )
+        .withColumn(
+            "u_sin",
+            F.when(F.col("_r8"), F.col("t_sin") / F.col("qty")).otherwise(
+                F.col("u_sin")
+            ),
+        )
+        .withColumn(
+            "u_con",
+            F.when(F.col("_r8"), F.col("u_sin") * F.col("factor")).otherwise(
+                F.col("u_con")
+            ),
+        )
+    )
+    return d.select(
+        "o_orderkey",
+        "escenario",
+        "tipo",
+        F.col("u_sin").alias("precio_unitario_sin_iva"),
+        F.col("u_con").alias("precio_unitario_con_iva"),
+        F.col("t_sin").alias("precio_total_linea_sin_iva"),
+        F.col("t_con").alias("precio_total_linea_con_iva"),
+    ).orderBy("o_orderkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

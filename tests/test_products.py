@@ -262,3 +262,48 @@ def test_p8_p15_columnar_match_kernels(spark):
         assert infer_category(raw) == r["categoria"], raw
         cats.add(r["categoria"])
     assert "general" in cats and len(cats) >= 5  # markers cover the table
+
+
+def test_p9_columnar_matches_kernel(spark):
+    """p9_price_closure's chained column stages must equal
+    fix_price_calculation per row — including the rule-7/8 multi-assign
+    sequencing (later assignments see earlier ones, the firing condition
+    does not) and the tipo_iva-0 falsy fallback."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.analytics.queries import p9_price_closure
+    from facturas_spark.extraction.products import fix_price_calculation
+
+    sf = "/root/testdata/sf0.001"
+    o = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    )
+    tipos = [0, 4, 10, 21]
+    expected = {}
+    for r in o:
+        k, c, v = r["o_orderkey"], r["o_custkey"], r["o_totalprice"]
+        s = k % 8
+        p = {
+            "precio_unitario_sin_iva": v if s in (1, 5) else None,
+            "precio_unitario_con_iva": v if s == 0 else None,
+            "precio_total_linea_sin_iva": v if s in (3, 4) else None,
+            "precio_total_linea_con_iva": v if s in (2, 6) else None,
+            "cantidad": float(c % 5) if s in (0, 3, 5, 6) else None,
+            "tipo_iva": tipos[c % 4],
+        }
+        expected[k] = fix_price_calculation(p)
+    got = p9_price_closure(spark, sf).collect()
+    assert got
+    for r in got:
+        e = expected[r["o_orderkey"]]
+        assert r["tipo"] == e["tipo_iva"], r["o_orderkey"]
+        for col, key in [
+            ("precio_unitario_sin_iva", "precio_unitario_sin_iva"),
+            ("precio_unitario_con_iva", "precio_unitario_con_iva"),
+            ("precio_total_linea_sin_iva", "precio_total_linea_sin_iva"),
+            ("precio_total_linea_con_iva", "precio_total_linea_con_iva"),
+        ]:
+            assert r[col] == e[key], (r["o_orderkey"], col, r[col], e[key])
