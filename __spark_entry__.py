@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_amount_variants": Q.f7_amount_variants,
         "p8_p15_products_normalized": Q.p8_p15_products_normalized,
         "p9_price_closure": Q.p9_price_closure,
+        "f12_confidence": Q.f12_confidence,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -273,6 +274,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "f12_confidence": """
+            WITH s AS (
+              SELECT o_orderkey,
+                     CASE WHEN (o_orderkey // 8) % 2 = 1 THEN o_totalprice ELSE CAST(0.0 AS DOUBLE) END AS total,
+                     CASE WHEN (o_orderkey // 16) % 2 = 1 THEN o_totalprice / CAST(1.21 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS base
+              FROM orders WHERE o_orderkey <= 5000
+            ), c AS (
+              SELECT o_orderkey, total, base,
+                     CASE WHEN (o_orderkey // 32) % 2 = 1 THEN total - base ELSE CAST(0.0 AS DOUBLE) END AS cuota
+              FROM s
+            ), k AS (
+              SELECT o_orderkey,
+                     LEAST(CAST(0.3 AS DOUBLE)
+                       + (CASE WHEN (o_orderkey // 1) % 2 = 1 THEN 0.2 ELSE 0.0 END)
+                       + (CASE WHEN (o_orderkey // 2) % 2 = 1 THEN 0.15 ELSE 0.0 END)
+                       + (CASE WHEN (o_orderkey // 4) % 2 = 1 THEN 0.1 ELSE 0.0 END)
+                       + (CASE WHEN total > 0 THEN 0.15 ELSE 0.0 END)
+                       + (CASE WHEN base > 0 THEN 0.1 ELSE 0.0 END)
+                       + (CASE WHEN ABS(total - (base + cuota)) <= 0.1 THEN 0.1 ELSE 0.0 END),
+                       CAST(1.0 AS DOUBLE)) AS conf
+              FROM c
+            )
+            SELECT o_orderkey,
+                   FLOOR(conf * 100 + 0.5) / 100 AS confianza_global,
+                   FLOOR(conf * CAST(0.8 AS DOUBLE) * 100 + 0.5) / 100 AS confianza_proveedor,
+                   FLOOR(conf * CAST(0.9 AS DOUBLE) * 100 + 0.5) / 100 AS confianza_datos_fiscales,
+                   FLOOR(conf * CAST(0.85 AS DOUBLE) * 100 + 0.5) / 100 AS confianza_importes
+            FROM k ORDER BY o_orderkey
         """,
         "p9_price_closure": """
             WITH base AS (

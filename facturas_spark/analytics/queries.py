@@ -1187,6 +1187,41 @@ def p9_price_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def f12_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 additive confidence scoring oracle-hashed (index.ts:1697-1712):
+    base 0.3; +0.2 supplier found, +0.15 CIF len>=9, +0.1 invoice number
+    len>=2, +0.15 total>0, +0.1 base>0, +0.1 coherent (|total-(base+
+    cuota)| <= 0.1); cap 1.0; sub-confidences x0.8/0.9/0.85, all JS 2dp
+    rounded. Extraction-state flags synthesized bitwise from o_orderkey
+    (all 64 flag combinations appear); amounts from o_totalprice with an
+    incoherence offset on half the rows."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    bit = lambda n: F.expr(f"(o_orderkey div {2 ** n}) % 2 = 1")  # noqa: E731
+    total = F.when(bit(3), F.col("o_totalprice")).otherwise(F.lit(0.0))
+    base = F.when(bit(4), F.col("o_totalprice") / 1.21).otherwise(F.lit(0.0))
+    cuota = F.when(
+        bit(5), total - base
+    ).otherwise(F.lit(0.0))  # bit5 -> coherent triple, else drift
+    conf = (
+        F.lit(0.3)
+        + F.when(bit(0), 0.2).otherwise(0.0)
+        + F.when(bit(1), 0.15).otherwise(0.0)
+        + F.when(bit(2), 0.1).otherwise(0.0)
+        + F.when(total > 0, 0.15).otherwise(0.0)
+        + F.when(base > 0, 0.1).otherwise(0.0)
+        + F.when(F.abs(total - (base + cuota)) <= 0.1, 0.1).otherwise(0.0)
+    )
+    conf = F.least(conf, F.lit(1.0))
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        r2(conf).alias("confianza_global"),
+        r2(conf * 0.8).alias("confianza_proveedor"),
+        r2(conf * 0.9).alias("confianza_datos_fiscales"),
+        r2(conf * 0.85).alias("confianza_importes"),
+    ).orderBy("o_orderkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document
