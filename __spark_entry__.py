@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from facturas_spark.analytics import dedup as D
 from facturas_spark.extraction.products import _CATEGORIES as _P15_CATEGORIES
+from facturas_spark.extraction.products import _KB as _P11_KB
 from facturas_spark.analytics import escandallos as E
 from facturas_spark.analytics import master as M
 from facturas_spark.analytics import nlsql as N
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_p15_products_normalized": Q.p8_p15_products_normalized,
         "p9_price_closure": Q.p9_price_closure,
         "f12_confidence": Q.f12_confidence,
+        "p13_price_per_unit": Q.p13_price_per_unit,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -274,6 +276,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "p13_price_per_unit": f"""
+            WITH kb(kb_idx, w1, w2, kb_peso, kb_vol) AS (
+              VALUES {", ".join(f"({i}, '{w[0]}', '{w[1]}', " + (f"CAST({p} AS DOUBLE)" if p is not None else "CAST(NULL AS DOUBLE)") + ", " + (f"CAST({v} AS DOUBLE)" if v is not None else "CAST(NULL AS DOUBLE)") + ")" for i, (w, p, v, _f) in enumerate(_P11_KB))}
+            ), base AS (
+              SELECT p_partkey,
+                     CASE WHEN p_partkey % {len(_P11_KB) + 3} < {len(_P11_KB)}
+                          THEN 'prod ' || ([{", ".join(f"'{w[0]} {w[1]}'" for w, _p, _v, _f in _P11_KB)}])[CAST(p_partkey % {len(_P11_KB) + 3} AS INT) + 1]
+                          WHEN p_partkey % {len(_P11_KB) + 3} = {len(_P11_KB)} THEN 'cosa 2,5 kg especial'
+                          WHEN p_partkey % {len(_P11_KB) + 3} = {len(_P11_KB) + 1} THEN 'cosa 75 cl botella'
+                          ELSE 'nada interesante' END AS descripcion,
+                     CASE WHEN p_partkey % 7 = 0 THEN CAST(0.0 AS DOUBLE) ELSE p_retailprice END AS precio
+              FROM part WHERE p_partkey <= 400
+            ), e AS (
+              SELECT *,
+                     CASE WHEN regexp_extract(descripcion, '(\\d+(?:[,\\.]\\d+)?)\\s*kg', 1) <> ''
+                          THEN CAST(replace(regexp_extract(descripcion, '(\\d+(?:[,\\.]\\d+)?)\\s*kg', 1), ',', '.') AS DOUBLE) END AS peso_explicito,
+                     CASE WHEN regexp_extract(descripcion, '(\\d+(?:[,\\.]\\d+)?)\\s*cl', 1) <> ''
+                          THEN CAST(replace(regexp_extract(descripcion, '(\\d+(?:[,\\.]\\d+)?)\\s*cl', 1), ',', '.') AS DOUBLE) / 100 END AS vol_explicito
+              FROM base
+            ), inf AS (
+              SELECT p_partkey, kb_peso AS peso_kb, kb_vol AS vol_kb FROM (
+                SELECT b.p_partkey, k.kb_peso, k.kb_vol,
+                       ROW_NUMBER() OVER (PARTITION BY b.p_partkey ORDER BY k.kb_idx) AS rn
+                FROM base b JOIN kb k
+                  ON contains(lower(b.descripcion), k.w1) AND contains(lower(b.descripcion), k.w2)
+              ) WHERE rn = 1
+            )
+            SELECT e.p_partkey, e.descripcion,
+                   CASE WHEN precio > 0
+                         AND (CASE WHEN peso_explicito IS NOT NULL AND peso_explicito > 0
+                                   THEN peso_explicito ELSE peso_kb END) > 0
+                        THEN FLOOR(precio / (CASE WHEN peso_explicito IS NOT NULL AND peso_explicito > 0
+                                                  THEN peso_explicito ELSE peso_kb END) * 100 + 0.5) / 100
+                   END AS precio_por_kg,
+                   CASE WHEN precio > 0
+                         AND (CASE WHEN vol_explicito IS NOT NULL AND vol_explicito > 0
+                                   THEN vol_explicito ELSE vol_kb END) > 0
+                        THEN FLOOR(precio / (CASE WHEN vol_explicito IS NOT NULL AND vol_explicito > 0
+                                                  THEN vol_explicito ELSE vol_kb END) * 100 + 0.5) / 100
+                   END AS precio_por_litro
+            FROM e LEFT JOIN inf USING (p_partkey)
+            ORDER BY p_partkey
         """,
         "f12_confidence": """
             WITH s AS (

@@ -1222,6 +1222,90 @@ def f12_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def p13_price_per_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 EUR/kg + EUR/l normalization with the P11 inference fallback,
+    oracle-hashed (calculatePricePerKg/Liter index.ts:3171-3246;
+    inferFormatFromDescription :3033-3124): explicit format wins, else the
+    FIRST KB entry whose keywords all appear in the description supplies
+    peso/vol — the KB is a 34-row broadcast dim joined on the contains
+    condition with argmin-by-entry-order (exactly the kernel's loop).
+    Synthesized descriptions cycle through every KB entry plus an
+    explicit-kg row, an explicit-cl row (unit conversion /100), and a
+    no-format row; every 7th row has price 0 (JS-falsy gate -> null)."""
+    from facturas_spark.extraction.products import _KB
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    n_kb = len(_KB)
+    s = F.col("p_partkey") % (n_kb + 3)
+    kb_words = F.element_at(
+        F.array(*[F.lit(f"{w[0]} {w[1]}") for w, _, _, _ in _KB] + [F.lit("")] * 3),
+        (s + 1).cast("int"),
+    )
+    desc = (
+        F.when(s < n_kb, F.concat(F.lit("prod "), kb_words))
+        .when(s == n_kb, F.lit("cosa 2,5 kg especial"))
+        .when(s == n_kb + 1, F.lit("cosa 75 cl botella"))
+        .otherwise(F.lit("nada interesante"))
+    )
+    precio = F.when(F.col("p_partkey") % 7 == 0, F.lit(0.0)).otherwise(
+        F.col("p_retailprice")
+    )
+    base = part.select(
+        "p_partkey", desc.alias("descripcion"), precio.alias("precio")
+    )
+    # explicit P10 subset: kg direct, cl -> /100
+    peso_exp = F.regexp_extract("descripcion", r"(\d+(?:[,\.]\d+)?)\s*kg", 1)
+    vol_exp = F.regexp_extract("descripcion", r"(\d+(?:[,\.]\d+)?)\s*cl", 1)
+    base = base.withColumn(
+        "peso_explicito",
+        F.when(peso_exp != "", F.translate(peso_exp, ",", ".").cast("double")),
+    ).withColumn(
+        "vol_explicito",
+        F.when(vol_exp != "", F.translate(vol_exp, ",", ".").cast("double") / 100),
+    )
+    kb = spark.createDataFrame(
+        [
+            (i, w[0], w[1], peso, vol)
+            for i, (w, peso, vol, _fmt) in enumerate(_KB)
+        ],
+        "kb_idx int, w1 string, w2 string, kb_peso double, kb_vol double",
+    )
+    low = F.lower(F.col("descripcion"))
+    inferred = (
+        base.join(
+            F.broadcast(kb), low.contains(F.col("w1")) & low.contains(F.col("w2"))
+        )
+        .groupBy("p_partkey")
+        .agg(
+            F.min_by(F.struct("kb_peso", "kb_vol"), F.col("kb_idx")).alias("_kb")
+        )
+        .select(
+            "p_partkey",
+            F.col("_kb.kb_peso").alias("peso_kb"),
+            F.col("_kb.kb_vol").alias("vol_kb"),
+        )
+    )
+    d = base.join(inferred, "p_partkey", "left")
+    has = lambda c: c.isNotNull() & (c > 0)  # noqa: E731
+    peso = F.when(has(F.col("peso_explicito")), F.col("peso_explicito")).otherwise(
+        F.col("peso_kb")
+    )
+    vol = F.when(has(F.col("vol_explicito")), F.col("vol_explicito")).otherwise(
+        F.col("vol_kb")
+    )
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    return d.select(
+        "p_partkey",
+        "descripcion",
+        F.when(has(F.col("precio")) & has(peso), r2(F.col("precio") / peso)).alias(
+            "precio_por_kg"
+        ),
+        F.when(has(F.col("precio")) & has(vol), r2(F.col("precio") / vol)).alias(
+            "precio_por_litro"
+        ),
+    ).orderBy("p_partkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

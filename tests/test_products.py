@@ -307,3 +307,33 @@ def test_p9_columnar_matches_kernel(spark):
             ("precio_total_linea_con_iva", "precio_total_linea_con_iva"),
         ]:
             assert r[col] == e[key], (r["o_orderkey"], col, r[col], e[key])
+
+
+def test_p13_columnar_matches_kernel(spark):
+    """p13_price_per_unit's broadcast-KB inference + price-per-unit math
+    must equal the Python kernels (price_per_kg / price_per_liter with
+    infer_format fallback) on every synthesized description."""
+    from facturas_spark.analytics.queries import p13_price_per_unit
+    from facturas_spark.extraction.products import price_per_kg, price_per_liter
+
+    rows = p13_price_per_unit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    part = {
+        r["p_partkey"]: r["p_retailprice"]
+        for r in spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .filter("p_partkey <= 400")
+        .collect()
+    }
+    kg_hits = l_hits = 0
+    for r in rows:
+        precio = 0.0 if r["p_partkey"] % 7 == 0 else part[r["p_partkey"]]
+        desc = r["descripcion"]
+        peso = 2.5 if " kg" in desc else None
+        vol = 0.75 if " cl" in desc else None
+        exp_kg = price_per_kg(precio, peso, desc)
+        exp_l = price_per_liter(precio, vol, desc)
+        assert r["precio_por_kg"] == exp_kg, (r["p_partkey"], desc)
+        assert r["precio_por_litro"] == exp_l, (r["p_partkey"], desc)
+        kg_hits += r["precio_por_kg"] is not None
+        l_hits += r["precio_por_litro"] is not None
+    assert kg_hits > 0 and l_hits > 0  # both unit paths exercised
