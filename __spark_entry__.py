@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_price_closure": Q.p9_price_closure,
         "f12_confidence": Q.f12_confidence,
         "p13_price_per_unit": Q.p13_price_per_unit,
+        "p14_multi_price": Q.p14_multi_price,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -124,6 +125,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_layout_extraction": Q.ocr_layout_extraction,
         "multimodal_features": Q.multimodal_features,
     }
+
+
+_P14_H = r"(\d+)\s*(ud|u|huevos?|unidades?|docena|docenas)"
+_P14_PACK = r"(\d+)x(\d+(?:[.,]\d+)?)\s*(cl|ml|l|litro|litros)"
+_P14_PESO = r"(\d+(?:[.,]\d+)?)\s*(kg|g|gramos|kilos)"
+_P14_UNI = r"(\d+)\s*(ud|unidades|pcs|piezas|unidad)"
+_P14_LIQ = r"(\d+(?:[.,]\d+)?)\s*(l|ml|cl|litro|litros)"
+_P14_VINO = (
+    r"(vino|amontillado|fino|oloroso|pedro ximenez|manzanilla|palo cortado"
+    r"|verdejo|albariño|godello|mencía|garnacha|tempranillo|rioja|ribera"
+    r"|chardonnay|sauvignon blanc|pinot noir|merlot|cabernet|syrah|shiraz|malbec)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -276,6 +289,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "p14_multi_price": f"""
+            WITH base AS (
+              SELECT p_partkey,
+                     (['pollo','cerveza','chuleta','merluza','queso','tomate','pan','cosa'])[CAST(p_partkey % 8 AS INT) + 1]
+                     || ' ' ||
+                     (['12 docena','24x33cl pack','2,5 kg','6 piezas','70 cl','rioja reserva','sin formato'])[CAST((p_partkey // 8) % 7 AS INT) + 1] AS descripcion,
+                     CASE WHEN p_partkey % 5 = 0 THEN '1 kg' END AS formato_comercial,
+                     p_retailprice AS precio
+              FROM part WHERE p_partkey <= 400
+            ), t AS (
+              SELECT *, lower(descripcion) AS ld,
+                     lower(COALESCE(formato_comercial, descripcion)) AS tx
+              FROM base
+            ), ty AS (
+              SELECT *,
+                CASE WHEN regexp_matches(ld, '(huevo|huevos|egg|eggs|clara|yema|gallina|pollo)') THEN 'huevos'
+                     WHEN regexp_matches(ld, '(cerveza|vino|refresco|agua|zumo|bebida|heineken|cruzcampo|estella|mahou|san miguel|estrella|damm|amstel|corona|budweiser|guinness|paulaner|franziskaner|klein|radler|sin alcohol|0\\.0|0,0|amontillado|fino|oloroso|pedro ximenez|manzanilla|palo cortado|verdejo|albariño|godello|mencía|garnacha|tempranillo|rioja|ribera|chardonnay|sauvignon blanc|pinot noir|merlot|cabernet|syrah|shiraz|malbec)') THEN 'bebida'
+                     WHEN regexp_matches(ld, '(chuleta|pollo|ternera|cerdo|carne|filete|lomo|solomillo|entrecot|costilla|panceta|jamón|salchicha|hamburguesa|albóndiga|salchichón|chorizo|morcilla|butifarra)') THEN 'carne'
+                     WHEN regexp_matches(ld, '(pescado|merluza|salmón|atún|gambas|langostinos|calamares|pulpo|sepia|bacalao|lubina|dorada|rodaballo|rape|pescadilla|boquerones|sardinas|anchoas)') THEN 'pescado'
+                     WHEN regexp_matches(ld, '(leche|queso|yogur|mantequilla|nata|crema|helado|cuajada|requesón|ricotta|mozzarella|gouda|cheddar|parmesano|manchego|roquefort|brie|camembert)') THEN 'lacteo'
+                     WHEN regexp_matches(ld, '(lechuga|tomate|cebolla|patata|zanahoria|manzana|naranja|plátano|fresa|uva|melón|sandía|pimiento|berenjena|calabacín|pepino|espinaca|acelga)') THEN 'verdura'
+                     WHEN regexp_matches(ld, '(pan|bollo|croissant|donut|magdalena|galleta|pastel|tarta|bizcocho|rosquilla|churro|ensaimada|brioche)') THEN 'panaderia'
+                     ELSE 'general' END AS tipo
+              FROM t
+            ), ff AS (
+              SELECT *,
+                CASE WHEN regexp_matches(tx, '{_P14_H}') THEN 'huevos'
+                     WHEN regexp_matches(tx, '{_P14_PACK}') THEN 'bebida'
+                     WHEN regexp_matches(tx, '{_P14_PESO}') THEN 'peso'
+                     WHEN regexp_matches(tx, '{_P14_UNI}') THEN 'unidades'
+                     WHEN regexp_matches(tx, '{_P14_LIQ}') THEN 'liquido'
+                     WHEN regexp_matches(tx, '{_P14_VINO}') THEN 'bebida'
+                END AS formato_tipo,
+                regexp_matches(tx, '{_P14_PACK}') AS _is_pack
+              FROM ty
+            ), vals AS (
+              SELECT *,
+                CASE WHEN formato_tipo = 'huevos' THEN
+                       CASE WHEN regexp_extract(tx, '{_P14_H}', 2) IN ('docena', 'docenas')
+                            THEN CAST(regexp_extract(tx, '{_P14_H}', 1) AS DOUBLE) * 12
+                            ELSE CAST(regexp_extract(tx, '{_P14_H}', 1) AS DOUBLE) END
+                     WHEN formato_tipo = 'bebida' THEN
+                       CASE WHEN _is_pack THEN CAST(regexp_extract(tx, '{_P14_PACK}', 1) AS DOUBLE)
+                            ELSE CAST(1.0 AS DOUBLE) END
+                     WHEN formato_tipo = 'unidades'
+                          THEN CAST(regexp_extract(tx, '{_P14_UNI}', 1) AS DOUBLE)
+                END AS _uds,
+                CASE WHEN formato_tipo = 'bebida' THEN
+                       CASE WHEN _is_pack THEN
+                              CAST(regexp_extract(tx, '{_P14_PACK}', 1) AS DOUBLE)
+                              * (CASE WHEN regexp_extract(tx, '{_P14_PACK}', 3) = 'cl'
+                                      THEN CAST(replace(regexp_extract(tx, '{_P14_PACK}', 2), ',', '.') AS DOUBLE) / 100
+                                      WHEN regexp_extract(tx, '{_P14_PACK}', 3) = 'ml'
+                                      THEN CAST(replace(regexp_extract(tx, '{_P14_PACK}', 2), ',', '.') AS DOUBLE) / 1000
+                                      ELSE CAST(replace(regexp_extract(tx, '{_P14_PACK}', 2), ',', '.') AS DOUBLE) END)
+                            ELSE CAST(0.75 AS DOUBLE) END
+                END AS _volt,
+                CASE WHEN formato_tipo = 'peso' THEN
+                       CASE WHEN regexp_extract(tx, '{_P14_PESO}', 2) IN ('g', 'gramos')
+                            THEN CAST(replace(regexp_extract(tx, '{_P14_PESO}', 1), ',', '.') AS DOUBLE) / 1000
+                            ELSE CAST(replace(regexp_extract(tx, '{_P14_PESO}', 1), ',', '.') AS DOUBLE) END
+                END AS _peso,
+                CASE WHEN formato_tipo = 'liquido' THEN
+                       CASE WHEN regexp_extract(tx, '{_P14_LIQ}', 2) = 'cl'
+                            THEN CAST(replace(regexp_extract(tx, '{_P14_LIQ}', 1), ',', '.') AS DOUBLE) / 100
+                            WHEN regexp_extract(tx, '{_P14_LIQ}', 2) = 'ml'
+                            THEN CAST(replace(regexp_extract(tx, '{_P14_LIQ}', 1), ',', '.') AS DOUBLE) / 1000
+                            ELSE CAST(replace(regexp_extract(tx, '{_P14_LIQ}', 1), ',', '.') AS DOUBLE) END
+                END AS _liq
+              FROM ff
+            )
+            SELECT p_partkey, descripcion, formato_comercial, tipo, formato_tipo,
+                   CASE WHEN tipo = 'huevos' AND formato_tipo = 'huevos' THEN precio / _uds END AS precio_por_huevo,
+                   CASE WHEN tipo = 'bebida' AND formato_tipo = 'bebida' THEN precio / _uds
+                        WHEN tipo = 'bebida' AND formato_tipo = 'unidades' THEN precio / _uds END AS precio_por_unidad,
+                   CASE WHEN tipo = 'bebida' AND formato_tipo = 'bebida' THEN precio / _volt
+                        WHEN tipo = 'bebida' AND formato_tipo = 'unidades' THEN precio / (_uds * CAST(0.75 AS DOUBLE))
+                        WHEN tipo = 'lacteo' AND formato_tipo = 'liquido' THEN precio / _liq END AS precio_por_litro,
+                   CASE WHEN tipo IN ('carne', 'pescado', 'verdura', 'panaderia') AND formato_tipo = 'peso' THEN precio / _peso
+                        WHEN tipo = 'lacteo' AND formato_tipo = 'peso' THEN precio / _peso END AS precio_por_kg,
+                   CASE WHEN tipo IN ('carne', 'pescado', 'verdura', 'panaderia') AND formato_tipo = 'unidades'
+                        THEN precio / _uds END AS precio_por_pieza
+            FROM vals ORDER BY p_partkey
         """,
         "p13_price_per_unit": f"""
             WITH kb(kb_idx, w1, w2, kb_peso, kb_vol) AS (

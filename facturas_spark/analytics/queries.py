@@ -1306,6 +1306,190 @@ def p13_price_per_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+_P14_TYPE_MARKERS = [
+    "pollo", "cerveza", "chuleta", "merluza", "queso", "tomate", "pan", "cosa",
+]
+_P14_FMT_FRAGMENTS = [
+    "12 docena", "24x33cl pack", "2,5 kg", "6 piezas", "70 cl",
+    "rioja reserva", "sin formato",
+]
+
+
+def p14_multi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 dashboard multi-price calculator oracle-hashed
+    (smart-calculations.js:13-273 via extraction.dashboard_calc): the
+    8-type regex cascade (preserving the quirk that 'pollo' hits huevos
+    before carne), the first-match format parser (egg counts with docena
+    x12 — whose pattern also catches plain 'unidades' before the
+    unit-count rule — pack NxVcl syntax, weights g->kg, unit counts,
+    liquids cl/ml->l, wine fallback to the standard 75cl bottle; an
+    explicit formato_comercial overrides the description), and the
+    per-(tipo, formato) price fan-out. Synthesized rows cross every type
+    marker with every format fragment; every 5th row carries a formato
+    override ('1 kg')."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    k = F.col("p_partkey")
+    marker = F.element_at(
+        F.array(*[F.lit(m) for m in _P14_TYPE_MARKERS]), (k % 8 + 1).cast("int")
+    )
+    frag = F.element_at(
+        F.array(*[F.lit(f) for f in _P14_FMT_FRAGMENTS]),
+        (F.expr("p_partkey div 8") % 7 + 1).cast("int"),
+    )
+    desc = F.concat(marker, F.lit(" "), frag)
+    formato = F.when(k % 5 == 0, F.lit("1 kg"))
+    precio = F.col("p_retailprice")
+    d = part.select(
+        "p_partkey", desc.alias("descripcion"), formato.alias("formato_comercial"),
+        precio.alias("precio"),
+    )
+    low_desc = F.lower(F.col("descripcion"))
+    tipo = (
+        F.when(low_desc.rlike(r"(huevo|huevos|egg|eggs|clara|yema|gallina|pollo)"), "huevos")
+        .when(
+            low_desc.rlike(
+                r"(cerveza|vino|refresco|agua|zumo|bebida|heineken|cruzcampo|estella"
+                r"|mahou|san miguel|estrella|damm|amstel|corona|budweiser|guinness"
+                r"|paulaner|franziskaner|klein|radler|sin alcohol|0\.0|0,0|amontillado"
+                r"|fino|oloroso|pedro ximenez|manzanilla|palo cortado|verdejo|albariño"
+                r"|godello|mencía|garnacha|tempranillo|rioja|ribera|chardonnay"
+                r"|sauvignon blanc|pinot noir|merlot|cabernet|syrah|shiraz|malbec)"
+            ),
+            "bebida",
+        )
+        .when(
+            low_desc.rlike(
+                r"(chuleta|pollo|ternera|cerdo|carne|filete|lomo|solomillo|entrecot"
+                r"|costilla|panceta|jamón|salchicha|hamburguesa|albóndiga|salchichón"
+                r"|chorizo|morcilla|butifarra)"
+            ),
+            "carne",
+        )
+        .when(
+            low_desc.rlike(
+                r"(pescado|merluza|salmón|atún|gambas|langostinos|calamares|pulpo"
+                r"|sepia|bacalao|lubina|dorada|rodaballo|rape|pescadilla|boquerones"
+                r"|sardinas|anchoas)"
+            ),
+            "pescado",
+        )
+        .when(
+            low_desc.rlike(
+                r"(leche|queso|yogur|mantequilla|nata|crema|helado|cuajada|requesón"
+                r"|ricotta|mozzarella|gouda|cheddar|parmesano|manchego|roquefort|brie"
+                r"|camembert)"
+            ),
+            "lacteo",
+        )
+        .when(
+            low_desc.rlike(
+                r"(lechuga|tomate|cebolla|patata|zanahoria|manzana|naranja|plátano"
+                r"|fresa|uva|melón|sandía|pimiento|berenjena|calabacín|pepino"
+                r"|espinaca|acelga)"
+            ),
+            "verdura",
+        )
+        .when(
+            low_desc.rlike(
+                r"(pan|bollo|croissant|donut|magdalena|galleta|pastel|tarta|bizcocho"
+                r"|rosquilla|churro|ensaimada|brioche)"
+            ),
+            "panaderia",
+        )
+        .otherwise("general")
+    )
+    text = F.lower(F.coalesce("formato_comercial", "descripcion"))
+    h_pat = r"(\d+)\s*(ud|u|huevos?|unidades?|docena|docenas)"
+    pack_pat = r"(\d+)x(\d+(?:[.,]\d+)?)\s*(cl|ml|l|litro|litros)"
+    peso_pat = r"(\d+(?:[.,]\d+)?)\s*(kg|g|gramos|kilos)"
+    uni_pat = r"(\d+)\s*(ud|unidades|pcs|piezas|unidad)"
+    liq_pat = r"(\d+(?:[.,]\d+)?)\s*(l|ml|cl|litro|litros)"
+    vino_pat = (
+        r"(vino|amontillado|fino|oloroso|pedro ximenez|manzanilla|palo cortado"
+        r"|verdejo|albariño|godello|mencía|garnacha|tempranillo|rioja|ribera"
+        r"|chardonnay|sauvignon blanc|pinot noir|merlot|cabernet|syrah|shiraz|malbec)"
+    )
+    num = lambda pat, g: F.translate(  # noqa: E731
+        F.regexp_extract(text, pat, g), ",", "."
+    ).cast("double")
+    h_uds = F.when(
+        F.regexp_extract(text, h_pat, 2).isin("docena", "docenas"),
+        num(h_pat, 1) * 12,
+    ).otherwise(num(h_pat, 1))
+    pack_vol_l = F.when(
+        F.regexp_extract(text, pack_pat, 3) == "cl", num(pack_pat, 2) / 100
+    ).when(
+        F.regexp_extract(text, pack_pat, 3) == "ml", num(pack_pat, 2) / 1000
+    ).otherwise(num(pack_pat, 2))
+    peso_kg = F.when(
+        F.regexp_extract(text, peso_pat, 2).isin("g", "gramos"),
+        num(peso_pat, 1) / 1000,
+    ).otherwise(num(peso_pat, 1))
+    liq_l = F.when(
+        F.regexp_extract(text, liq_pat, 2) == "cl", num(liq_pat, 1) / 100
+    ).when(
+        F.regexp_extract(text, liq_pat, 2) == "ml", num(liq_pat, 1) / 1000
+    ).otherwise(num(liq_pat, 1))
+    ft = (
+        F.when(text.rlike(h_pat), "huevos")
+        .when(text.rlike(pack_pat), "bebida")
+        .when(text.rlike(peso_pat), "peso")
+        .when(text.rlike(uni_pat), "unidades")
+        .when(text.rlike(liq_pat), "liquido")
+        .when(text.rlike(vino_pat), "bebida")
+    )
+    f_uds = (
+        F.when(ft == "huevos", h_uds)
+        .when(
+            ft == "bebida",
+            F.when(text.rlike(pack_pat), num(pack_pat, 1)).otherwise(F.lit(1.0)),
+        )
+        .when(ft == "unidades", num(uni_pat, 1))
+    )
+    f_vol_total = F.when(
+        ft == "bebida",
+        F.when(text.rlike(pack_pat), num(pack_pat, 1) * pack_vol_l).otherwise(
+            F.lit(0.75)
+        ),
+    )
+    f_peso = F.when(ft == "peso", peso_kg)
+    f_liq = F.when(ft == "liquido", liq_l)
+    d = (
+        d.withColumn("tipo", tipo)
+        .withColumn("formato_tipo", ft)
+        .withColumn("_uds", f_uds)
+        .withColumn("_volt", f_vol_total)
+        .withColumn("_peso", f_peso)
+        .withColumn("_liq", f_liq)
+    )
+    t, f = F.col("tipo"), F.col("formato_tipo")
+    p = F.col("precio")
+    return d.select(
+        "p_partkey",
+        "descripcion",
+        "formato_comercial",
+        "tipo",
+        "formato_tipo",
+        F.when((t == "huevos") & (f == "huevos"), p / F.col("_uds")).alias(
+            "precio_por_huevo"
+        ),
+        F.when((t == "bebida") & (f == "bebida"), p / F.col("_uds"))
+        .when((t == "bebida") & (f == "unidades"), p / F.col("_uds"))
+        .alias("precio_por_unidad"),
+        F.when((t == "bebida") & (f == "bebida"), p / F.col("_volt"))
+        .when((t == "bebida") & (f == "unidades"), p / (F.col("_uds") * 0.75))
+        .when((t == "lacteo") & (f == "liquido"), p / F.col("_liq"))
+        .alias("precio_por_litro"),
+        F.when(t.isin("carne", "pescado", "verdura", "panaderia") & (f == "peso"), p / F.col("_peso"))
+        .when((t == "lacteo") & (f == "peso"), p / F.col("_peso"))
+        .alias("precio_por_kg"),
+        F.when(
+            t.isin("carne", "pescado", "verdura", "panaderia") & (f == "unidades"),
+            p / F.col("_uds"),
+        ).alias("precio_por_pieza"),
+    ).orderBy("p_partkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

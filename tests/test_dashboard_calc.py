@@ -113,3 +113,37 @@ def test_multiple_prices_no_formato():
             "precio_por_pieza", "precio_por_huevo",
         )
     )
+
+def test_p14_columnar_matches_kernel(spark):
+    """p14_multi_price's columnar cascades must equal the Python kernel
+    multiple_prices per row — type detection (pollo -> huevos quirk),
+    format parsing (docena x12, pack syntax, g->kg, cl->l, wine 75cl
+    fallback, formato_comercial override) and the per-type fan-out."""
+    from facturas_spark.analytics.queries import p14_multi_price
+    from facturas_spark.extraction.dashboard_calc import multiple_prices
+
+    sf = "/root/testdata/sf0.001"
+    part = {
+        r["p_partkey"]: r["p_retailprice"]
+        for r in spark.read.parquet(f"{sf}/part.parquet")
+        .filter("p_partkey <= 400")
+        .collect()
+    }
+    rows = p14_multi_price(spark, sf).collect()
+    assert rows
+    seen_tipos = set()
+    for r in rows:
+        exp = multiple_prices(
+            r["descripcion"], r["formato_comercial"], part[r["p_partkey"]]
+        )
+        assert r["tipo"] == exp["tipo"], r["descripcion"]
+        exp_ft = exp["formato"]["tipo"] if exp["formato"] else None
+        assert r["formato_tipo"] == exp_ft, r["descripcion"]
+        for col in (
+            "precio_por_huevo", "precio_por_unidad", "precio_por_litro",
+            "precio_por_kg", "precio_por_pieza",
+        ):
+            assert r[col] == exp[col], (r["descripcion"], col, r[col], exp[col])
+        seen_tipos.add((r["tipo"], r["formato_tipo"]))
+    # the synthesis must exercise a broad (tipo, formato) cross-section
+    assert len(seen_tipos) >= 12
