@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_confidence": Q.f12_confidence,
         "p13_price_per_unit": Q.p13_price_per_unit,
         "p14_multi_price": Q.p14_multi_price,
+        "p4_p7_line_parsers": Q.p4_p7_line_parsers,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -289,6 +290,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "p4_p7_line_parsers": """
+            WITH base AS (
+              SELECT p_partkey,
+                     (['ABC123','4567','prod AB12','prod 123X','prod'])[CAST(p_partkey % 5 AS INT) + 1]
+                     || ' ' ||
+                     (['2,5 kg','3 uds','0 g','7,25',''])[CAST((p_partkey // 5) % 5 AS INT) + 1]
+                     || ' con ' ||
+                     (['12,34 €','€ 5','9,99 euros','8,88',''])[CAST((p_partkey // 25) % 5 AS INT) + 1] AS linea
+              FROM part WHERE p_partkey <= 500
+            )
+            SELECT p_partkey, linea,
+                   COALESCE(
+                     CASE WHEN TRY_CAST(replace(regexp_extract(linea, '(\\d+[,\\.]\\d+)\\s*(?:kg|kilogramos?|gramos?|g|unidades?|uds?|piezas?|litros?|l|ml)', 1), ',', '.') AS DOUBLE) > 0
+                          THEN TRY_CAST(replace(regexp_extract(linea, '(\\d+[,\\.]\\d+)\\s*(?:kg|kilogramos?|gramos?|g|unidades?|uds?|piezas?|litros?|l|ml)', 1), ',', '.') AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(regexp_extract(linea, '(\\d+)\\s*(?:kg|kilogramos?|gramos?|g|unidades?|uds?|piezas?|litros?|l|ml)', 1) AS DOUBLE) > 0
+                          THEN TRY_CAST(regexp_extract(linea, '(\\d+)\\s*(?:kg|kilogramos?|gramos?|g|unidades?|uds?|piezas?|litros?|l|ml)', 1) AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(replace(regexp_extract(linea, '^(\\d+[,\\.]\\d+)', 1), ',', '.') AS DOUBLE) > 0
+                          THEN TRY_CAST(replace(regexp_extract(linea, '^(\\d+[,\\.]\\d+)', 1), ',', '.') AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(regexp_extract(linea, '^(\\d+)', 1) AS DOUBLE) > 0
+                          THEN TRY_CAST(regexp_extract(linea, '^(\\d+)', 1) AS DOUBLE) END,
+                     CAST(1.0 AS DOUBLE)) AS cantidad,
+                   COALESCE(
+                     CASE WHEN TRY_CAST(replace(regexp_extract(linea, '(\\d+[,\\.]\\d{2})\\s*€', 1), ',', '.') AS DOUBLE) > 0
+                          THEN TRY_CAST(replace(regexp_extract(linea, '(\\d+[,\\.]\\d{2})\\s*€', 1), ',', '.') AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(replace(regexp_extract(linea, '€\\s*(\\d+[,\\.]\\d{2})', 1), ',', '.') AS DOUBLE) > 0
+                          THEN TRY_CAST(replace(regexp_extract(linea, '€\\s*(\\d+[,\\.]\\d{2})', 1), ',', '.') AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(replace(regexp_extract(linea, '(?i)(\\d+[,\\.]\\d{2})\\s*euros?', 1), ',', '.') AS DOUBLE) > 0
+                          THEN TRY_CAST(replace(regexp_extract(linea, '(?i)(\\d+[,\\.]\\d{2})\\s*euros?', 1), ',', '.') AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(replace(regexp_extract(linea, '(?i)(\\d+[,\\.]\\d{2})\\s*eur', 1), ',', '.') AS DOUBLE) > 0
+                          THEN TRY_CAST(replace(regexp_extract(linea, '(?i)(\\d+[,\\.]\\d{2})\\s*eur', 1), ',', '.') AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(replace(regexp_extract(linea, '(\\d+[,\\.]\\d{2})$', 1), ',', '.') AS DOUBLE) > 0
+                          THEN TRY_CAST(replace(regexp_extract(linea, '(\\d+[,\\.]\\d{2})$', 1), ',', '.') AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(regexp_extract(linea, '(\\d+)\\s*€', 1) AS DOUBLE) > 0
+                          THEN TRY_CAST(regexp_extract(linea, '(\\d+)\\s*€', 1) AS DOUBLE) END,
+                     CASE WHEN TRY_CAST(regexp_extract(linea, '€\\s*(\\d+)', 1) AS DOUBLE) > 0
+                          THEN TRY_CAST(regexp_extract(linea, '€\\s*(\\d+)', 1) AS DOUBLE) END) AS precio,
+                   COALESCE(
+                     nullif(regexp_extract(linea, '^([A-Z0-9]{3,10})\\s', 1), ''),
+                     nullif(regexp_extract(linea, '^(\\d{4,8})\\s', 1), ''),
+                     nullif(regexp_extract(linea, '([A-Z]{2,4}\\d{2,6})', 1), ''),
+                     nullif(regexp_extract(linea, '(\\d{3,6}[A-Z]{1,3})', 1), '')) AS codigo,
+                   lower(COALESCE(
+                     nullif(regexp_extract(linea, '(?i)(kg|kilogramos?)', 1), ''),
+                     nullif(regexp_extract(linea, '(?i)(g|gramos?)', 1), ''),
+                     nullif(regexp_extract(linea, '(?i)(l|litros?)', 1), ''),
+                     nullif(regexp_extract(linea, '(?i)(ml|mililitros?)', 1), ''),
+                     nullif(regexp_extract(linea, '(?i)(uds?|unidades?)', 1), ''),
+                     nullif(regexp_extract(linea, '(?i)(piezas?|pzas?)', 1), ''),
+                     nullif(regexp_extract(linea, '(?i)(cajas?)', 1), ''),
+                     nullif(regexp_extract(linea, '(?i)(paquetes?)', 1), ''))) AS unidad
+            FROM base ORDER BY p_partkey
         """,
         "p14_multi_price": f"""
             WITH base AS (

@@ -1490,6 +1490,90 @@ def p14_multi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+_P4P7_CODES = ["ABC123", "4567", "prod AB12", "prod 123X", "prod"]
+_P4P7_QTYS = ["2,5 kg", "3 uds", "0 g", "7,25", ""]
+_P4P7_PRICES = ["12,34 €", "€ 5", "9,99 euros", "8,88", ""]
+
+
+def p4_p7_line_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4-P7 line parsers oracle-hashed (extractQuantity/Price/Code/Unit,
+    index.ts:1877-1979): four first-match regex cascades, where the
+    quantity and price cascades FALL THROUGH to the next pattern when the
+    parsed value is not > 0 (a '0 g' token skips to the line-leading
+    number rules). Lines synthesized as code x quantity x price fragment
+    crosses (125 combos cycling over part keys); defaults qty=1.0,
+    price/code/unit null."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    k = F.col("p_partkey")
+    pick = lambda arr, idx: F.element_at(  # noqa: E731
+        F.array(*[F.lit(x) for x in arr]), (idx + 1).cast("int")
+    )
+    line = F.concat_ws(
+        " ",
+        pick(_P4P7_CODES, k % 5),
+        pick(_P4P7_QTYS, F.expr("p_partkey div 5") % 5),
+        F.lit("con"),
+        pick(_P4P7_PRICES, F.expr("p_partkey div 25") % 5),
+    )
+    d = part.select("p_partkey", line.alias("linea"))
+    t = F.col("linea")
+
+    def num_cand(pat):
+        ex = F.regexp_extract(t, pat, 1)
+        val = F.translate(ex, ",", ".").try_cast("double")
+        return F.when((ex != "") & (val > 0), val)
+
+    def str_cand(pat):
+        ex = F.regexp_extract(t, pat, 1)
+        return F.when(ex != "", ex)
+
+    def unit_cand(pat):
+        ex = F.regexp_extract(t, "(?i)" + pat, 1)
+        return F.when(ex != "", F.lower(ex))
+
+    _UN = r"(?:kg|kilogramos?|gramos?|g|unidades?|uds?|piezas?|litros?|l|ml)"
+    qty = F.coalesce(
+        num_cand(r"(\d+[,\.]\d+)\s*" + _UN),
+        num_cand(r"(\d+)\s*" + _UN),
+        num_cand(r"^(\d+[,\.]\d+)"),
+        num_cand(r"^(\d+)"),
+        F.lit(1.0),
+    )
+    price = F.coalesce(
+        num_cand(r"(\d+[,\.]\d{2})\s*€"),
+        num_cand(r"€\s*(\d+[,\.]\d{2})"),
+        num_cand(r"(?i)(\d+[,\.]\d{2})\s*euros?"),
+        num_cand(r"(?i)(\d+[,\.]\d{2})\s*eur"),
+        num_cand(r"(\d+[,\.]\d{2})$"),
+        num_cand(r"(\d+)\s*€"),
+        num_cand(r"€\s*(\d+)"),
+    )
+    code = F.coalesce(
+        str_cand(r"^([A-Z0-9]{3,10})\s"),
+        str_cand(r"^(\d{4,8})\s"),
+        str_cand(r"([A-Z]{2,4}\d{2,6})"),
+        str_cand(r"(\d{3,6}[A-Z]{1,3})"),
+    )
+    unit = F.coalesce(
+        unit_cand(r"(kg|kilogramos?)"),
+        unit_cand(r"(g|gramos?)"),
+        unit_cand(r"(l|litros?)"),
+        unit_cand(r"(ml|mililitros?)"),
+        unit_cand(r"(uds?|unidades?)"),
+        unit_cand(r"(piezas?|pzas?)"),
+        unit_cand(r"(cajas?)"),
+        unit_cand(r"(paquetes?)"),
+    )
+    return d.select(
+        "p_partkey",
+        "linea",
+        qty.alias("cantidad"),
+        price.alias("precio"),
+        code.alias("codigo"),
+        unit.alias("unidad"),
+    ).orderBy("p_partkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

@@ -337,3 +337,26 @@ def test_p13_columnar_matches_kernel(spark):
         kg_hits += r["precio_por_kg"] is not None
         l_hits += r["precio_por_litro"] is not None
     assert kg_hits > 0 and l_hits > 0  # both unit paths exercised
+
+
+def test_p4_p7_columnar_match_kernels(spark):
+    """p4_p7_line_parsers' four cascades must equal the Python kernels
+    (extract_quantity/price/code/unit) on every synthesized line —
+    including the value-validation fallthrough (a '0 g' token skips to
+    the next quantity rule)."""
+    from facturas_spark.analytics.queries import p4_p7_line_parsers
+    from facturas_spark.extraction.products import (
+        extract_code,
+        extract_price,
+        extract_quantity,
+        extract_unit,
+    )
+
+    rows = p4_p7_line_parsers(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        line = r["linea"]
+        assert r["cantidad"] == extract_quantity(line), line
+        assert r["precio"] == extract_price(line), line
+        assert r["codigo"] == extract_code(line), line
+        assert r["unidad"] == extract_unit(line), line
