@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p13_price_per_unit": Q.p13_price_per_unit,
         "p14_multi_price": Q.p14_multi_price,
         "p4_p7_line_parsers": Q.p4_p7_line_parsers,
+        "s2_mime_sniffing": Q.s2_mime_sniffing,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -290,6 +291,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "s2_mime_sniffing": """
+            WITH u AS (
+              SELECT 'https://x.example/d/' || CAST(p_partkey AS VARCHAR) || '/' ||
+                     (['factura.pdf','foto.JPG','scan.jpeg','captura.PNG',
+                       'whatsapp_123.png','documento.docx','sin_extension'])[CAST(p_partkey % 7 AS INT) + 1] AS url
+              FROM part WHERE p_partkey <= 600
+            ), m AS (
+              SELECT lower(list_extract(string_split(url, '/'), -1)) AS fn FROM u
+            )
+            SELECT CASE WHEN starts_with(fn, 'whatsapp_') THEN 'image/jpeg'
+                        WHEN ends_with(fn, '.pdf') THEN 'application/pdf'
+                        WHEN ends_with(fn, '.jpg') OR ends_with(fn, '.jpeg') THEN 'image/jpeg'
+                        WHEN ends_with(fn, '.png') THEN 'image/png'
+                        ELSE 'application/pdf' END AS mime,
+                   COUNT(*) AS docs
+            FROM m GROUP BY 1 ORDER BY mime
         """,
         "p4_p7_line_parsers": """
             WITH base AS (

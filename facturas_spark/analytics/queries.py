@@ -1574,6 +1574,42 @@ def p4_p7_line_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def s2_mime_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 MIME sniffing oracle-hashed (index.ts:4394-4409 via
+    sources.io.mime_from_url): extension routing with the whatsapp_-prefix
+    override and pdf default, rolled up per mime type. Urls synthesized
+    from part keys covering every branch including uppercase extensions
+    and extensionless names."""
+    from facturas_spark.sources.io import mime_from_url
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 600)
+    k = F.col("p_partkey")
+    name = F.element_at(
+        F.array(
+            F.lit("factura.pdf"),
+            F.lit("foto.JPG"),
+            F.lit("scan.jpeg"),
+            F.lit("captura.PNG"),
+            F.lit("whatsapp_123.png"),  # prefix override beats extension
+            F.lit("documento.docx"),    # unknown -> default pdf
+            F.lit("sin_extension"),
+        ),
+        (k % 7 + 1).cast("int"),
+    )
+    urls = part.select(
+        "p_partkey",
+        F.concat(F.lit("https://x.example/d/"), k.cast("string"), F.lit("/"), name).alias(
+            "url"
+        ),
+    )
+    return (
+        urls.select(mime_from_url(F.col("url")).alias("mime"))
+        .groupBy("mime")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("mime")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document
