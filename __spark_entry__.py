@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_multi_price": Q.p14_multi_price,
         "p4_p7_line_parsers": Q.p4_p7_line_parsers,
         "s2_mime_sniffing": Q.s2_mime_sniffing,
+        "f2_invoice_number": Q.f2_invoice_number,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -128,6 +129,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": Q.multimodal_features,
     }
 
+
+_F2_SQL_PATTERNS = [
+    r"(?:Nº?\s*FACTURA|N[ÚU]MERO?\s*FACTURA)\s*\n?(\d+)",
+    r"(?:FACTURA|factura|Factura)\s*\n?(\d+)",
+    r"(?:Nº|NUMERO?|num|NUM)\s*\n?(\d+)",
+    r"(?:f\.?n\.?|F\.?N\.?)\s*[:\s]*(\d+)",
+    r"(?:FACTURA|factura|Factura)\s*[:\s#\-]*([A-Z0-9\-\/\.\s]{1,20})",
+    r"(?:invoice|Invoice|INVOICE)\s*[:\s#\-]*([A-Z0-9\-\/\.\s]{1,20})",
+]
+_F2_SQL_EXTRACTS = " || ".join(
+    f"regexp_extract_all(texto, '(?i){p}', 1)" for p in _F2_SQL_PATTERNS
+)
 
 _P14_H = r"(\d+)\s*(ud|u|huevos?|unidades?|docena|docenas)"
 _P14_PACK = r"(\d+)x(\d+(?:[.,]\d+)?)\s*(cl|ml|l|litro|litros)"
@@ -291,6 +304,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "f2_invoice_number": f"""
+            WITH d AS (
+              SELECT o_orderkey, o_orderkey % 6 AS escenario,
+                     CASE o_orderkey % 6
+                          WHEN 0 THEN 'Nº FACTURA' || chr(10) || CAST(o_orderkey % 90000 + 10000 AS VARCHAR)
+                                      || ' texto FACTURA ' || CAST(o_orderkey % 900 + 100 AS VARCHAR)
+                          WHEN 1 THEN 'factura: ' || CAST(o_orderkey % 900 + 100 AS VARCHAR) || '-'
+                                      || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') || '/A total'
+                          WHEN 2 THEN 'NUM ' || CAST(o_orderkey % 9000 + 1000 AS VARCHAR)
+                                      || ' y f.n: ' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                          WHEN 3 THEN 'invoice # ' || CAST(o_orderkey % 900 + 100 AS VARCHAR)
+                          WHEN 4 THEN 'sin referencia alguna 123'
+                          ELSE 'FACTURA' || chr(10) || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                     END AS texto
+              FROM orders WHERE o_orderkey <= 5000
+            ), c AS (
+              SELECT *,
+                     list_filter(
+                       list_transform(
+                         list_filter(
+                           list_transform(
+                             {_F2_SQL_EXTRACTS},
+                             x -> trim(x)),
+                           x -> x <> ''),
+                         x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+                       x -> length(x) >= 1 AND length(x) <= 25 AND regexp_matches(x, '\\d')) AS cands
+              FROM d
+            )
+            SELECT o_orderkey, escenario, texto,
+                   CASE WHEN regexp_matches(texto, '\\d')
+                         AND (contains(lower(texto), 'factura') OR contains(lower(texto), 'invoice')
+                              OR contains(lower(texto), 'nº') OR contains(lower(texto), 'num')
+                              OR contains(lower(texto), 'fn') OR contains(lower(texto), 'f.n'))
+                         AND len(cands) > 0
+                        THEN list_reduce(cands, (acc, x) -> CASE WHEN length(x) < length(acc) THEN x ELSE acc END)
+                        ELSE 'SIN_NUMERO' END AS numero_factura
+            FROM c ORDER BY o_orderkey
         """,
         "s2_mime_sniffing": """
             WITH u AS (

@@ -1610,6 +1610,83 @@ def s2_mime_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_F2_PATTERNS = [
+    r"(?:Nº?\s*FACTURA|N[ÚU]MERO?\s*FACTURA)\s*\n?(\d+)",
+    r"(?:FACTURA|factura|Factura)\s*\n?(\d+)",
+    r"(?:Nº|NUMERO?|num|NUM)\s*\n?(\d+)",
+    r"(?:f\.?n\.?|F\.?N\.?)\s*[:\s]*(\d+)",
+    r"(?:FACTURA|factura|Factura)\s*[:\s#\-]*([A-Z0-9\-\/\.\s]{1,20})",
+    r"(?:invoice|Invoice|INVOICE)\s*[:\s#\-]*([A-Z0-9\-\/\.\s]{1,20})",
+]
+
+
+def f2_invoice_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 invoice-number extraction oracle-hashed (the 6-pattern bank at
+    index.ts:1242-1255 + the shortest-candidate pick at :1600-1611):
+    candidates collected in pattern order then text order, whitespace
+    normalized, filtered to len 1..25 with a digit, then the SHORTEST wins
+    with ties to the earliest candidate (JS stable sort) — implemented as
+    a first-wins strictly-less argmin fold in both engines. The keyword
+    gate (factura/invoice/nº/num/fn) guards the whole bank. Texts
+    synthesized per order key cover multi-candidate ties, the greedy
+    uppercase-class capture of pattern 5, and gate misses."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    k = F.col("o_orderkey")
+    d2 = F.lpad((k % 100).cast("string"), 2, "0")
+    d3 = (k % 900 + 100).cast("string")
+    d4 = (k % 9000 + 1000).cast("string")
+    d5 = (k % 90000 + 10000).cast("string")
+    s = k % 6
+    txt = (
+        F.when(s == 0, F.concat(F.lit("Nº FACTURA\n"), d5, F.lit(" texto FACTURA "), d3))
+        .when(s == 1, F.concat(F.lit("factura: "), d3, F.lit("-"), d2, F.lit("/A total")))
+        .when(s == 2, F.concat(F.lit("NUM "), d4, F.lit(" y f.n: "), d2))
+        .when(s == 3, F.concat(F.lit("invoice # "), d3))
+        .when(s == 4, F.lit("sin referencia alguna 123"))
+        .otherwise(F.concat(F.lit("FACTURA\n"), d2))
+    )
+    d = o.select("o_orderkey", s.alias("escenario"), txt.alias("texto"))
+    t = F.col("texto")
+    arrs = [
+        F.regexp_extract_all(t, F.lit("(?i)" + p), 1) for p in _F2_PATTERNS
+    ]
+    cands = F.concat(*arrs)
+    cands = F.filter(
+        F.transform(cands, lambda c: F.trim(c)), lambda c: c != ""
+    )
+    cands = F.transform(
+        cands, lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))
+    )
+    cands = F.filter(
+        cands,
+        lambda c: (F.length(c) >= 1) & (F.length(c) <= 25) & c.rlike(r"\d"),
+    )
+    pick = F.aggregate(
+        cands,
+        F.lit(None).cast("string"),
+        lambda acc, c: F.when(
+            acc.isNull() | (F.length(c) < F.length(acc)), c
+        ).otherwise(acc),
+    )
+    low = F.lower(t)
+    gate = t.rlike(r"\d") & (
+        low.contains("factura")
+        | low.contains("invoice")
+        | low.contains("nº")
+        | low.contains("num")
+        | low.contains("fn")
+        | low.contains("f.n")
+    )
+    return d.select(
+        "o_orderkey",
+        "escenario",
+        "texto",
+        F.when(gate & pick.isNotNull(), pick)
+        .otherwise(F.lit("SIN_NUMERO"))
+        .alias("numero_factura"),
+    ).orderBy("o_orderkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

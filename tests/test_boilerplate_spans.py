@@ -223,3 +223,22 @@ def test_f7_columnar_variants_match_kernels(spark):
         if not r["coinciden"]:
             saw_disagreement = True
     assert saw_disagreement  # the '1,234' / '1.234' shapes must split
+
+
+def test_f2_columnar_matches_kernel(spark):
+    """f2_invoice_number's candidate bank + shortest-pick must equal the
+    full kernel pipeline's numero_factura on every synthesized text
+    (pattern order, stable tie-break, keyword gate, SIN_NUMERO default)."""
+    from facturas_spark.analytics.queries import f2_invoice_number
+    from facturas_spark.extraction.textparse import extract_fields
+
+    rows = f2_invoice_number(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    outcomes = set()
+    for r in rows:
+        assert extract_fields(r["texto"]).numero_factura == r["numero_factura"], (
+            r["texto"],
+            r["numero_factura"],
+        )
+        outcomes.add(r["escenario"])
+    assert outcomes == set(range(6))  # every template synthesized
