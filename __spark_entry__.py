@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_p7_line_parsers": Q.p4_p7_line_parsers,
         "s2_mime_sniffing": Q.s2_mime_sniffing,
         "f2_invoice_number": Q.f2_invoice_number,
+        "f1_cif_extraction": Q.f1_cif_extraction,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -129,6 +130,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": Q.multimodal_features,
     }
 
+
+_F1_SQL_PATTERNS = [
+    r"\b([A-Z]\-\d{8}\d{1,2})\b",
+    r"\b([A-Z]\d{8}[A-Z0-9]?)\b",
+    r"(?:CIF|C\.I\.F\.)\s*[:\s]*([A-Z][\-\d]{8,10})",
+    r"\b([A-Z]\d{8}[A-Z0-9]?)\b"
+    r"|\b(?:[A-Z][\s\-]?\d{2}[\.\s]?\d{3}[\.\s]?\d{3}[\s\-]?[A-Z0-9])\b"
+    r"|\b(?:\d{8}[A-Z])\b",
+]
+_F1_SQL_EXTRACTS = " || ".join(
+    f"regexp_extract_all(texto, '(?i){p}', 1)" for p in _F1_SQL_PATTERNS
+)
 
 _F2_SQL_PATTERNS = [
     r"(?:Nº?\s*FACTURA|N[ÚU]MERO?\s*FACTURA)\s*\n?(\d+)",
@@ -304,6 +317,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "f1_cif_extraction": f"""
+            WITH d AS (
+              SELECT o_orderkey, o_orderkey % 7 AS escenario,
+                     CASE o_orderkey % 7
+                          WHEN 0 THEN 'empresa B' || lpad(CAST((o_orderkey * 37) % 100000000 AS VARCHAR), 8, '0') || ' activa'
+                          WHEN 1 THEN 'ref B-' || lpad(CAST((o_orderkey * 37) % 100000000 AS VARCHAR), 8, '0') || '9 x'
+                          WHEN 2 THEN 'C.I.F.: A-' || lpad(CAST((o_orderkey * 37) % 100000000 AS VARCHAR), 8, '0') || ' sociedad'
+                          WHEN 3 THEN 'dni ' || lpad(CAST((o_orderkey * 37) % 100000000 AS VARCHAR), 8, '0') || 'Z fin'
+                          WHEN 4 THEN 'b' || lpad(CAST((o_orderkey * 37) % 100000000 AS VARCHAR), 8, '0') || ' minuscula'
+                          WHEN 5 THEN 'CIF: A-' || substring(lpad(CAST((o_orderkey * 37) % 100000000 AS VARCHAR), 8, '0'), 1, 7) || ' corto'
+                          ELSE 'sin identificador 99'
+                     END AS texto
+              FROM orders WHERE o_orderkey <= 5000
+            ), c AS (
+              SELECT *,
+                     list_transform(
+                       list_filter(
+                         list_transform({_F1_SQL_EXTRACTS}, x -> trim(x)),
+                         x -> x <> ''),
+                       x -> regexp_replace(x, '[\\s\\-\\.]', '', 'g')) AS cleaned
+              FROM d
+            )
+            SELECT o_orderkey, escenario, texto,
+                   CASE WHEN regexp_matches(texto, '\\d') THEN
+                     COALESCE(
+                       (list_filter(cleaned, x -> length(x) >= 9))[1],
+                       cleaned[1])
+                   END AS proveedor_cif
+            FROM c ORDER BY o_orderkey
         """,
         "f2_invoice_number": f"""
             WITH d AS (

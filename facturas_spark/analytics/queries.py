@@ -1687,6 +1687,60 @@ def f2_invoice_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+_F1_PATTERNS = [
+    r"\b([A-Z]\-\d{8}\d{1,2})\b",
+    r"\b([A-Z]\d{8}[A-Z0-9]?)\b",
+    r"(?:CIF|C\.I\.F\.)\s*[:\s]*([A-Z][\-\d]{8,10})",
+    r"\b([A-Z]\d{8}[A-Z0-9]?)\b"
+    r"|\b(?:[A-Z][\s\-]?\d{2}[\.\s]?\d{3}[\.\s]?\d{3}[\s\-]?[A-Z0-9])\b"
+    r"|\b(?:\d{8}[A-Z])\b",
+]
+
+
+def f1_cif_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 CIF/NIF bank oracle-hashed (index.ts:1230-1239 + selection at
+    :1634): candidates in pattern order then text order, separators
+    stripped, first with len >= 9 wins else the first candidate. Two
+    preserved quirks: the 4th pattern's alternatives 2/3 have no capture
+    group so their matches contribute NOTHING (JS keeps m[1] only — a
+    bare NIF like 12345678Z is invisible to this bank), and (?i) lets
+    lowercase prefixes match. Texts synthesized per key cover plain,
+    dashed, labeled, NIF-dropped, lowercase, short-fallback and no-CIF
+    shapes."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    k = F.col("o_orderkey")
+    d8 = F.lpad(((k * 37) % 100000000).cast("string"), 8, "0")
+    s = k % 7
+    txt = (
+        F.when(s == 0, F.concat(F.lit("empresa B"), d8, F.lit(" activa")))
+        .when(s == 1, F.concat(F.lit("ref B-"), d8, F.lit("9 x")))
+        .when(s == 2, F.concat(F.lit("C.I.F.: A-"), d8, F.lit(" sociedad")))
+        .when(s == 3, F.concat(F.lit("dni "), d8, F.lit("Z fin")))
+        .when(s == 4, F.concat(F.lit("b"), d8, F.lit(" minuscula")))
+        .when(s == 5, F.concat(F.lit("CIF: A-"), F.substring(d8, 1, 7), F.lit(" corto")))
+        .otherwise(F.lit("sin identificador 99"))
+    )
+    d = o.select("o_orderkey", s.alias("escenario"), txt.alias("texto"))
+    t = F.col("texto")
+    arrs = [F.regexp_extract_all(t, F.lit("(?i)" + p), 1) for p in _F1_PATTERNS]
+    cands = F.filter(
+        F.transform(F.concat(*arrs), lambda c: F.trim(c)), lambda c: c != ""
+    )
+    cleaned = F.transform(cands, lambda c: F.regexp_replace(c, r"[\s\-\.]", ""))
+    pick = F.coalesce(
+        F.try_element_at(
+            F.filter(cleaned, lambda c: F.length(c) >= 9), F.lit(1)
+        ),
+        F.try_element_at(cleaned, F.lit(1)),
+    )
+    return d.select(
+        "o_orderkey",
+        "escenario",
+        "texto",
+        F.when(t.rlike(r"\d"), pick).alias("proveedor_cif"),
+    ).orderBy("o_orderkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

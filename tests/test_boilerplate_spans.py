@@ -242,3 +242,28 @@ def test_f2_columnar_matches_kernel(spark):
         )
         outcomes.add(r["escenario"])
     assert outcomes == set(range(6))  # every template synthesized
+
+
+def test_f1_columnar_matches_kernel(spark):
+    """f1_cif_extraction's bank + selection must equal the full kernel
+    pipeline's proveedor_cif per text — including the quirk that a bare
+    NIF (12345678Z) is invisible because pattern 4's alternatives carry
+    no capture group, and the len>=9-else-first fallback."""
+    from facturas_spark.analytics.queries import f1_cif_extraction
+    from facturas_spark.extraction.textparse import extract_fields
+
+    rows = f1_cif_extraction(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert extract_fields(r["texto"]).proveedor_cif == r["proveedor_cif"], (
+            r["texto"],
+            r["proveedor_cif"],
+        )
+    # the NIF-dropped scenario must really yield nothing
+    assert all(r["proveedor_cif"] is None for r in rows if r["escenario"] == 3)
+    # the short-fallback scenario picks a len-8 candidate
+    assert all(
+        r["proveedor_cif"] is not None and len(r["proveedor_cif"]) == 8
+        for r in rows
+        if r["escenario"] == 5
+    )
