@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_mime_sniffing": Q.s2_mime_sniffing,
         "f2_invoice_number": Q.f2_invoice_number,
         "f1_cif_extraction": Q.f1_cif_extraction,
+        "f4_f6_amount_banks": Q.f4_f6_amount_banks,
         "dedup_exact": Q.dedup_exact,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "q08_price_history_log": Q.q08_price_history_log,
@@ -129,6 +130,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_layout_extraction": Q.ocr_layout_extraction,
         "multimodal_features": Q.multimodal_features,
     }
+
+
+from facturas_spark.analytics.queries import (  # noqa: E402
+    _F4_PATTERNS,
+    _F5_PATTERNS,
+    _F6_PATTERNS,
+    _TIPO_PATTERNS,
+)
+
+
+def _bank_extracts_sql(patterns: list[str]) -> str:
+    return " || ".join(
+        f"regexp_extract_all(texto, '(?i){p}', 1)" for p in patterns
+    )
+
+
+def _bank_max_sql(patterns: list[str], gate: str) -> str:
+    ex = _bank_extracts_sql(patterns)
+    parsed = (
+        f"list_filter(list_transform(list_filter(list_transform({ex}, x -> trim(x)),"
+        " x -> x <> ''),"
+        " x -> FLOOR(TRY_CAST(replace(x, ',', '.') AS DOUBLE) * 100 + 0.5) / 100),"
+        " v -> v > 0)"
+    )
+    return (
+        f"CASE WHEN ({gate}) AND regexp_matches(texto, '\\d')"
+        f" THEN COALESCE(list_max({parsed}), CAST(0.0 AS DOUBLE))"
+        " ELSE CAST(0.0 AS DOUBLE) END"
+    )
 
 
 _F1_SQL_PATTERNS = [
@@ -317,6 +347,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '(\\d{1,2}/\\d{1,2}/\\d{2,4})', 1))) AS BIGINT) AS date_tokens,
                    COUNT(*) AS docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "f4_f6_amount_banks": f"""
+            WITH d AS (
+              SELECT o_orderkey, o_orderkey % 6 AS escenario,
+                     CASE o_orderkey % 6
+                          WHEN 0 THEN 'TOTAL: ' || CAST((o_orderkey * 7) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' € BASE IMPONIBLE ' || CAST((o_orderkey * 3) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' IVA 21% ' || CAST((o_orderkey * 2) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' IMPORTE TOTAL ' || CAST((o_orderkey * 9) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') || ' €'
+                          WHEN 1 THEN 'SUMA TOTAL ' || CAST((o_orderkey * 7) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' subtotal: ' || CAST((o_orderkey * 3) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' € cuota iva: ' || CAST((o_orderkey * 2) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' al 10 %'
+                          WHEN 2 THEN CAST((o_orderkey * 3) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' € BASE y ' || CAST((o_orderkey * 2) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') || ' IVA'
+                          WHEN 3 THEN 'LIQUIDO (EUR): ' || CAST((o_orderkey * 7) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' NETO ' || CAST((o_orderkey * 3) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' I.V.A.: ' || CAST((o_orderkey * 2) % 9000 + 1000 AS VARCHAR) || ',' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                                      || ' IVA 5%'
+                          WHEN 4 THEN 'IVA 99 algo'
+                          ELSE 'texto sin importes'
+                     END AS texto
+              FROM orders WHERE o_orderkey <= 5000
+            )
+            SELECT o_orderkey, escenario, texto,
+                   {_bank_max_sql(_F4_PATTERNS, "contains(lower(texto), 'total') OR contains(lower(texto), 'líquido') OR contains(lower(texto), 'liquido') OR contains(lower(texto), 'importe') OR contains(lower(texto), 'suma')")} AS total_factura,
+                   {_bank_max_sql(_F5_PATTERNS, "contains(lower(texto), 'base') OR contains(lower(texto), 'subtotal') OR contains(lower(texto), 'neto')")} AS base_imponible,
+                   {_bank_max_sql(_F6_PATTERNS, "contains(lower(texto), 'iva') OR contains(lower(texto), 'i.v.a') OR contains(lower(texto), 'cuota')")} AS cuota_iva,
+                   COALESCE(
+                     (list_filter(
+                        CASE WHEN regexp_matches(texto, '\\d')
+                              AND (contains(lower(texto), 'iva') OR contains(lower(texto), 'i.v.a') OR contains(lower(texto), 'al'))
+                             THEN list_filter(
+                                    list_transform(
+                                      list_filter(list_transform({_bank_extracts_sql(_TIPO_PATTERNS)}, x -> trim(x)), x -> x <> ''),
+                                      x -> TRY_CAST(x AS INT)),
+                                    n -> n IS NOT NULL AND n >= 0 AND n <= 30)
+                             ELSE CAST([] AS INT[]) END,
+                        n -> list_contains([4, 10, 21], n)))[1],
+                     (CASE WHEN regexp_matches(texto, '\\d')
+                            AND (contains(lower(texto), 'iva') OR contains(lower(texto), 'i.v.a') OR contains(lower(texto), 'al'))
+                           THEN list_filter(
+                                  list_transform(
+                                    list_filter(list_transform({_bank_extracts_sql(_TIPO_PATTERNS)}, x -> trim(x)), x -> x <> ''),
+                                    x -> TRY_CAST(x AS INT)),
+                                  n -> n IS NOT NULL AND n >= 0 AND n <= 30)
+                           ELSE CAST([] AS INT[]) END)[1],
+                     21) AS tipo_iva
+            FROM d ORDER BY o_orderkey
         """,
         "f1_cif_extraction": f"""
             WITH d AS (

@@ -1741,6 +1741,157 @@ def f1_cif_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+_AMT_SQL = r"(\d{1,8}[,\.]\d{1,2})"
+_F4_PATTERNS = [
+    r"(?:TOTAL|total|Total)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:L[íi]quido|LIQUIDO|liquido)\s*(?:\(EUR\))?\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:IMPORTE\s*TOTAL|importe\s*total)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:TOTAL\s*FACTURA|total\s*factura)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:SUMA\s*TOTAL|suma\s*total)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+]
+_F5_PATTERNS = [
+    r"(?:BASE\s*IMPONIBLE|base\s*imponible)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:SUBTOTAL|subtotal|Subtotal)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:BASE|base|Base)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:IMPORTE\s*NETO|importe\s*neto)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:NETO|neto|Neto)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:BASE\s*IMPONIBLE|base\s*imponible)\s*" + _AMT_SQL,
+    _AMT_SQL + r"\s*€?\s*(?:BASE|base|Base)",
+    r"(?:SUBTOTAL|subtotal)\s*" + _AMT_SQL,
+    r"(?:BASE\s*IMPONIBLE|base\s*imponible)\s*(\d{1,8})",
+    r"(\d{1,8})\s*(?:BASE|base|Base)",
+]
+_F6_PATTERNS = [
+    r"(?:IVA|iva)\s*\d{1,2}%?\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:CUOTA\s*IVA|cuota\s*iva)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:I\.V\.A\.|i\.v\.a\.)\s*[:\s]*" + _AMT_SQL + r"\s*€?",
+    r"(?:IVA|iva)\s*" + _AMT_SQL,
+    _AMT_SQL + r"\s*€?\s*(?:IVA|iva)",
+    r"(?:CUOTA\s*IVA|cuota\s*iva)\s*" + _AMT_SQL,
+    r"(?:IVA|iva)\s*(\d{1,8})",
+    r"(\d{1,8})\s*(?:IVA|iva)",
+]
+_TIPO_PATTERNS = [
+    r"(?:IVA|iva|I\.V\.A\.)\s*(\d{1,2})[%\s]",
+    r"(\d{1,2})\s*%\s*(?:IVA|iva)",
+    r"(?:al|AL)\s*(\d{1,2})\s*%",
+]
+
+
+def f4_f6_amount_banks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F6 labeled-amount banks + the F6 tipo rule, oracle-hashed
+    (index.ts:1274-1315,1637-1644): per bank, candidates in pattern/text
+    order are parsed (candidate shapes make parse_importe collapse to
+    comma->dot + JS 2dp rounding) and the MAX positive wins, 0.0 default;
+    tipo candidates are 0..30-gated ints preferring the first in
+    {4,10,21}, else the first candidate, else 21. Keyword gates guard
+    each bank. Texts synthesized per key cover multi-candidate pick-max,
+    value-before-label captures, the IVA-rate-token-as-cuota quirk, the
+    out-of-range tipo filter, and all-defaults."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    k = F.col("o_orderkey")
+    a = lambda mult: F.concat(  # noqa: E731
+        ((k * mult) % 9000 + 1000).cast("string"),
+        F.lit(","),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+    )
+    s = k % 6
+    txt = (
+        F.when(
+            s == 0,
+            F.concat(
+                F.lit("TOTAL: "), a(7), F.lit(" € BASE IMPONIBLE "), a(3),
+                F.lit(" IVA 21% "), a(2), F.lit(" IMPORTE TOTAL "), a(9), F.lit(" €"),
+            ),
+        )
+        .when(
+            s == 1,
+            F.concat(
+                F.lit("SUMA TOTAL "), a(7), F.lit(" subtotal: "), a(3),
+                F.lit(" € cuota iva: "), a(2), F.lit(" al 10 %"),
+            ),
+        )
+        .when(s == 2, F.concat(a(3), F.lit(" € BASE y "), a(2), F.lit(" IVA")))
+        .when(
+            s == 3,
+            F.concat(
+                F.lit("LIQUIDO (EUR): "), a(7), F.lit(" NETO "), a(3),
+                F.lit(" I.V.A.: "), a(2), F.lit(" IVA 5%"),
+            ),
+        )
+        .when(s == 4, F.lit("IVA 99 algo"))
+        .otherwise(F.lit("texto sin importes"))
+    )
+    d = o.select("o_orderkey", s.alias("escenario"), txt.alias("texto"))
+    t = F.col("texto")
+    low = F.lower(t)
+    has_digit = t.rlike(r"\d")
+
+    def bank_max(patterns, gate):
+        arrs = [F.regexp_extract_all(t, F.lit("(?i)" + p), 1) for p in patterns]
+        cands = F.filter(
+            F.transform(F.concat(*arrs), lambda c: F.trim(c)), lambda c: c != ""
+        )
+        parsed = F.filter(
+            F.transform(
+                cands,
+                lambda c: F.floor(
+                    F.translate(c, ",", ".").try_cast("double") * 100 + F.lit(0.5)
+                )
+                / 100,
+            ),
+            lambda v: v > 0,
+        )
+        return F.when(gate & has_digit, F.coalesce(F.array_max(parsed), F.lit(0.0))).otherwise(
+            F.lit(0.0)
+        )
+
+    total = bank_max(
+        _F4_PATTERNS,
+        low.contains("total") | low.contains("líquido") | low.contains("liquido")
+        | low.contains("importe") | low.contains("suma"),
+    )
+    base = bank_max(
+        _F5_PATTERNS,
+        low.contains("base") | low.contains("subtotal") | low.contains("neto"),
+    )
+    cuota = bank_max(
+        _F6_PATTERNS,
+        low.contains("iva") | low.contains("i.v.a") | low.contains("cuota"),
+    )
+    tipo_arrs = [
+        F.regexp_extract_all(t, F.lit("(?i)" + p), 1) for p in _TIPO_PATTERNS
+    ]
+    tipo_gate = has_digit & (
+        low.contains("iva") | low.contains("i.v.a") | low.contains("al")
+    )
+    tipos = F.filter(
+        F.transform(
+            F.filter(
+                F.transform(F.concat(*tipo_arrs), lambda c: F.trim(c)),
+                lambda c: c != "",
+            ),
+            lambda c: c.try_cast("int"),
+        ),
+        lambda n: n.isNotNull() & (n >= 0) & (n <= 30),
+    )
+    tipos = F.when(tipo_gate, tipos).otherwise(F.array().cast("array<int>"))
+    tipo = F.coalesce(
+        F.try_element_at(F.filter(tipos, lambda n: n.isin(4, 10, 21)), F.lit(1)),
+        F.try_element_at(tipos, F.lit(1)),
+        F.lit(21),
+    )
+    return d.select(
+        "o_orderkey",
+        "escenario",
+        "texto",
+        total.alias("total_factura"),
+        base.alias("base_imponible"),
+        cuota.alias("cuota_iva"),
+        tipo.alias("tipo_iva"),
+    ).orderBy("o_orderkey")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (hash-groupBy): md5 of normalized text;
     emit duplicate-group stats. The normalized md5 doubles as the document

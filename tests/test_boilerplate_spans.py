@@ -267,3 +267,56 @@ def test_f1_columnar_matches_kernel(spark):
         for r in rows
         if r["escenario"] == 5
     )
+
+
+def test_f4_f6_columnar_match_kernel_machinery(spark):
+    """f4_f6_amount_banks must equal the kernel's candidate machinery
+    (_extract_all banks + parse_importe + pick-max + tipo preference)
+    per text — the pre-reconciliation selections F11 consumes."""
+    from facturas_spark.analytics.queries import f4_f6_amount_banks
+    from facturas_spark.extraction.textparse import (
+        _PAT_BASE,
+        _PAT_CUOTA,
+        _PAT_TIPO,
+        _PAT_TOTAL,
+        _extract_all,
+        parse_importe,
+    )
+
+    def bank_max(pats, texto, gate):
+        if not any(ch.isdigit() for ch in texto) or not gate:
+            return 0.0
+        cands = sorted(
+            (n for n in map(parse_importe, _extract_all(pats, texto)) if n > 0),
+            reverse=True,
+        )
+        return cands[0] if cands else 0.0
+
+    rows = f4_f6_amount_banks(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        t = r["texto"]
+        low = t.lower()
+        assert r["total_factura"] == bank_max(
+            _PAT_TOTAL, t,
+            any(w in low for w in ("total", "líquido", "liquido", "importe", "suma")),
+        ), t
+        assert r["base_imponible"] == bank_max(
+            _PAT_BASE, t, any(w in low for w in ("base", "subtotal", "neto"))
+        ), t
+        assert r["cuota_iva"] == bank_max(
+            _PAT_CUOTA, t, any(w in low for w in ("iva", "i.v.a", "cuota"))
+        ), t
+        tipos = []
+        if any(ch.isdigit() for ch in t) and any(
+            w in low for w in ("iva", "i.v.a", "al")
+        ):
+            for c in _extract_all(_PAT_TIPO, t):
+                try:
+                    n = int(c)
+                except ValueError:
+                    continue
+                if 0 <= n <= 30:
+                    tipos.append(n)
+        exp_tipo = next((x for x in tipos if x in (4, 10, 21)), tipos[0] if tipos else 21)
+        assert r["tipo_iva"] == exp_tipo, t
