@@ -86,8 +86,8 @@ _QTY_PATTERNS = [
 
 
 def extract_quantity(text: str | None) -> float:
-    if not text:
-        return 1.0
+    if not text or _HAS_DIGIT.search(text) is None:
+        return 1.0  # every qty pattern needs a digit
     for pat in _QTY_PATTERNS:
         m = pat.search(text)
         if m:
@@ -109,8 +109,21 @@ _PRICE_PATTERNS = [
 ]
 
 
+_PRICE_EOL = re.compile(r"(\d+[,\.]\d{2})$")
+
+
 def extract_price(text: str | None) -> float | None:
-    if not text:
+    if not text or _HAS_DIGIT.search(text) is None:
+        return None
+    # Necessary-literal gate: patterns 1-2/6-7 need '€', 3-4 need 'eur';
+    # only pattern 5 (amount at end of line) is literal-free. When neither
+    # marker is present, scan just that one.
+    if "€" not in text and "eur" not in text.lower():
+        m = _PRICE_EOL.search(text)
+        if m:
+            p = _js_parse_float_prefix(m.group(1).replace(",", ".", 1))
+            if not math.isnan(p) and p > 0:
+                return p
         return None
     for pat in _PRICE_PATTERNS:
         m = pat.search(text)
@@ -130,10 +143,21 @@ _CODE_PATTERNS = [
 ]
 
 
+_HAS_UPPER = re.compile(r"[A-Z]")
+
+
 def extract_code(text: str | None) -> str | None:
     if not text:
         return None
-    for pat in _CODE_PATTERNS:
+    # Patterns 1-2 are ^-anchored (constant-time fail); 3-4 are full scans
+    # needing both a digit and an uppercase letter — gate them.
+    for pat in _CODE_PATTERNS[:2]:
+        m = pat.search(text)
+        if m:
+            return m.group(1)
+    if _HAS_DIGIT.search(text) is None or _HAS_UPPER.search(text) is None:
+        return None
+    for pat in _CODE_PATTERNS[2:]:
         m = pat.search(text)
         if m:
             return m.group(1)
@@ -153,10 +177,27 @@ _UNIT_PATTERNS = [
 ]
 
 
+# Necessary lowercase literal per unit pattern (any one present unlocks the
+# scan): single-char `in` probes are ~10x cheaper than a regex pass.
+_UNIT_GATES: list[tuple[re.Pattern[str], tuple[str, ...]]] = [
+    (_UNIT_PATTERNS[0], ("k",)),             # kg|kilogramos?
+    (_UNIT_PATTERNS[1], ("g",)),             # g|gramos?
+    (_UNIT_PATTERNS[2], ("l",)),             # l|litros?
+    (_UNIT_PATTERNS[3], ("ml", "mililitro")),
+    (_UNIT_PATTERNS[4], ("ud", "unidad")),
+    (_UNIT_PATTERNS[5], ("pieza", "pza")),
+    (_UNIT_PATTERNS[6], ("caja",)),
+    (_UNIT_PATTERNS[7], ("paquete",)),
+]
+
+
 def extract_unit(text: str | None) -> str | None:
     if not text:
         return None
-    for pat in _UNIT_PATTERNS:
+    low = text.lower()
+    for pat, gates in _UNIT_GATES:
+        if not any(g in low for g in gates):
+            continue
         m = pat.search(text)
         if m:
             return m.group(1).lower()
@@ -261,6 +302,14 @@ _UNIT_COUNT_PATTERNS = [
 import functools
 
 
+# Unpacked KB rows (every entry has exactly 2 keywords): direct `in` tests
+# instead of an all(...) genexpr — the KB scan runs once per product line
+# and the genexpr allocation dominated its profile.
+_KB_FAST: list[tuple[str, str, float | None, float | None, str]] = [
+    (words[0], words[1], peso, vol, fmt) for words, peso, vol, fmt in _KB
+]
+
+
 @functools.lru_cache(maxsize=8192)
 def infer_format(desc: str) -> tuple[str | None, float | None, float | None]:
     """KB lookup then unit-count patterns; returns (formato, peso_kg, vol_l).
@@ -270,8 +319,8 @@ def infer_format(desc: str) -> tuple[str | None, float | None, float | None]:
     across a corpus — pure function, so caching is semantics-free.
     """
     d = desc.lower()
-    for words, peso, vol, fmt in _KB:
-        if all(w in d for w in words):
+    for w1, w2, peso, vol, fmt in _KB_FAST:
+        if w1 in d and w2 in d:
             if peso is not None:
                 return fmt, peso, None
             return fmt, None, vol
@@ -319,7 +368,12 @@ def extract_product_format(description: str | None) -> tuple[str | None, float |
         return None, None, None
     desc = description.lower()
     formato = peso = vol = None
-    for pat in _PESO_PATTERNS:
+    # Necessary-condition gates: every peso pattern needs a digit and the
+    # letter 'g' (kg/g/gr/gramos/kilogramos); every vol pattern a digit and
+    # 'l' (l/ml/cl/litros/centilitros). When the gate fails the bank
+    # provably yields no match — skipping the 11/9 regex scans is free.
+    has_digit = _HAS_DIGIT.search(desc) is not None
+    for pat in _PESO_PATTERNS if (has_digit and "g" in desc) else ():
         m = pat.search(desc)
         if m:
             valor = _js_parse_float_prefix(m.group(1).replace(",", ".", 1))
@@ -330,7 +384,7 @@ def extract_product_format(description: str | None) -> tuple[str | None, float |
                 peso = valor / 1000
                 formato = f"{valor:g} g"
             break
-    if peso is None:
+    if peso is None and has_digit and "l" in desc:
         for pat in _VOL_PATTERNS:
             m = pat.search(desc)
             if m:
@@ -420,12 +474,22 @@ _CATEGORIES: list[tuple[str, tuple[str, ...]]] = [
 ]
 
 
+# One compiled alternation per category: a single C-level scan replaces
+# the ~8-18 per-key substring probes (plain-substring semantics preserved
+# via re.escape). Category order still decides ties — first match wins.
+_CATEGORY_RES: list[tuple[str, re.Pattern[str]]] = [
+    (cat, re.compile("|".join(re.escape(k) for k in keys)))
+    for cat, keys in _CATEGORIES
+]
+
+
+@functools.lru_cache(maxsize=8192)
 def infer_category(description: str | None) -> str:
     if not description:
         return "general"
     d = description.lower()
-    for cat, keys in _CATEGORIES:
-        if any(k in d for k in keys):
+    for cat, pat in _CATEGORY_RES:
+        if pat.search(d):
             return cat
     return "general"
 
@@ -447,13 +511,23 @@ def extract_products(full_text: str | None, tipo_iva: int = 21) -> list[dict]:
     lines = [ln for ln in full_text.split("\n") if ln.strip()]
     for line in lines:
         t = line.strip()
+        if len(t) <= 5:
+            continue  # short lines are dropped whatever is_product says
+        # Same OR of shape tests, cheap probes first: qty/price shapes both
+        # need a digit, the price shape needs '€' — gate before scanning.
+        has_digit = _HAS_DIGIT.search(t) is not None
         is_product = (
-            _MEAT_KW.search(t) is not None
-            or _QTY_SHAPE.search(t) is not None
-            or _PRICE_SHAPE.search(t) is not None
-            or (len(t) > 15 and _HAS_DIGIT.search(t) and _HAS_WORD.search(t))
+            (
+                has_digit
+                and (
+                    _QTY_SHAPE.search(t) is not None
+                    or ("€" in t and _PRICE_SHAPE.search(t) is not None)
+                    or (len(t) > 15 and _HAS_WORD.search(t) is not None)
+                )
+            )
+            or _MEAT_KW.search(t) is not None
         )
-        if not (is_product and len(t) > 5):
+        if not is_product:
             continue
         norm = normalize_product_name(t)
         if len(norm) <= 3:

@@ -186,7 +186,7 @@ def extract_batch(html, text) -> pd.DataFrame:
                 f.confianza_proveedor,
                 f.confianza_datos_fiscales,
                 f.confianza_importes,
-                [tuple(p.get(c) for c in _PRODUCT_COLS_FUSED) for p in prods],
+                [tuple(map(p.get, _PRODUCT_COLS_FUSED)) for p in prods],
             )
         )
     return pd.DataFrame(rows, columns=[fld.name for fld in FULL_SCHEMA.fields])
@@ -209,5 +209,5 @@ def extract_products_udf(text: pd.Series, tipo_iva: pd.Series) -> pd.Series:
             t if isinstance(t, str) else None,
             int(iva) if iva is not None and not pd.isna(iva) else 21,
         )
-        out.append([tuple(p.get(c) for c in _PRODUCT_COLS) for p in prods])
+        out.append([tuple(map(p.get, _PRODUCT_COLS)) for p in prods])
     return pd.Series(out, dtype="object")

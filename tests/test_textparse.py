@@ -239,3 +239,50 @@ def test_cif_selection_prefers_len9():
 def test_classify_document(text, tipo, conf):
     t, c, _ = classify_document(text)
     assert (t, c) == (tipo, conf)
+
+
+# --- hot-path gate invariants (round 3 optimizations) -----------------------
+
+def test_bank_patterns_have_single_group():
+    """`_extract_all` uses findall, which returns the group string directly
+    only when every pattern has exactly one capturing group."""
+    from facturas_spark.extraction import textparse as tp
+
+    for bank in (tp._PAT_CIF, tp._PAT_NUMERO, tp._PAT_FECHA, tp._PAT_TOTAL,
+                 tp._PAT_BASE, tp._PAT_CUOTA, tp._PAT_TIPO):
+        for pat in bank:
+            assert pat.groups == 1, pat.pattern
+
+
+def test_gated_extract_matches_ungated():
+    """The per-pattern literal gates are necessary conditions: gated and
+    ungated extraction agree on keyword-soup inputs designed to straddle
+    every gate boundary."""
+    import random
+
+    from facturas_spark.extraction import textparse as tp
+
+    rnd = random.Random(99)
+    vocab = [
+        "FACTURA", "factura:", "TOTAL", "BASE IMPONIBLE", "IVA 21%", "I.V.A.",
+        "Nº", "num 44", "f.n: 7", "invoice #12", "SUBTOTAL", "NETO",
+        "LIQUIDO (EUR):", "líquido", "SUMA TOTAL", "al 10 %", "CIF: A-12345678",
+        "B12345678", "12/05/2024", "2024-05-12", "12 de enero de 2024",
+        "1.234,56", "77,55 €", "texto", "c.i.f", "fecha", "date", "cuota iva",
+        "IMPORTE TOTAL", "IMPORTE NETO", "0,00", "99", "%",
+    ]
+    banks = [
+        (tp._PAT_CIF, tp._GATED_CIF), (tp._PAT_NUMERO, tp._GATED_NUMERO),
+        (tp._PAT_FECHA, tp._GATED_FECHA), (tp._PAT_TOTAL, tp._GATED_TOTAL),
+        (tp._PAT_BASE, tp._GATED_BASE), (tp._PAT_CUOTA, tp._GATED_CUOTA),
+        (tp._PAT_TIPO, tp._GATED_TIPO),
+    ]
+    for _ in range(800):
+        text = " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 12)))
+        if rnd.random() < 0.3:
+            text = text.replace(" ", "\n", 1)
+        low = text.lower()
+        for plain, gated in banks:
+            assert tp._extract_all(plain, text) == tp._extract_all_gated(
+                gated, text, low
+            ), text
