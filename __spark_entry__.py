@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_token_stats": D.txt_bpe_token_stats,
         "ann_lsh_buckets": D.ann_lsh_buckets,
         "ann_ivf_topk": D.ann_ivf_topk,
+        "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
         "dedup_lsh_clusters": D.dedup_lsh_clusters,
@@ -1506,24 +1507,32 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a ORDER BY doc_id
         """,
         "dedup_embedding_lsh": f"""
-            WITH e AS (
-              SELECT vec_id, embedding,
-                     {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))} AS bucket
-              FROM embeddings
+            WITH bands AS (
+              {" UNION ALL ".join(
+                f'''SELECT vec_id, {j} AS band,
+                     {" + ".join(f"(CASE WHEN embedding[{j * 8 + i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))} AS key
+                   FROM embeddings WHERE len(embedding) >= {8 * (j + 1)}'''
+                for j in range(4)
+              )}
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
             )
-            SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+            SELECT id1, id2,
                    ROUND(
-                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
                                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                     / (sqrt(list_sum(list_transform(ea.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(eb.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
                    4) AS cos_sim
-            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            FROM cand JOIN embeddings ea ON id1 = ea.vec_id
+                      JOIN embeddings eb ON id2 = eb.vec_id
             WHERE ROUND(
-                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                    / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                    / (sqrt(list_sum(list_transform(ea.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(eb.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
                   4) >= 0.2
             ORDER BY id1, id2
         """,
@@ -1557,6 +1566,41 @@ def oracle_sql() -> dict[str, str]:
                    4) AS cos_sim
             FROM assigned a, q
             WHERE a.cell = q.qcell AND a.vec_id <> 0
+            ORDER BY cos_sim DESC, a.vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_multiprobe": """
+            WITH cents AS (
+              SELECT vec_id AS cent_id, embedding AS ce
+              FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+            ), scored AS (
+              SELECT e.vec_id, e.embedding, c.cent_id,
+                     list_sum(list_transform(list_zip(e.embedding, c.ce),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c.ce, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS _s
+              FROM embeddings e CROSS JOIN cents c
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY _s DESC, cent_id) AS _rn
+              FROM scored
+            ), assigned AS (
+              SELECT vec_id, embedding, cent_id AS cell FROM ranked WHERE _rn = 1
+            ), probe_cells AS (
+              SELECT cent_id AS qcell FROM ranked WHERE vec_id = 0 AND _rn <= 2
+            ), q AS (
+              SELECT embedding AS qe FROM assigned WHERE vec_id = 0
+            )
+            SELECT a.vec_id, a.cell,
+                   ROUND(
+                     list_sum(list_transform(list_zip(a.embedding, q.qe),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   4) AS cos_sim
+            FROM assigned a JOIN probe_cells p ON a.cell = p.qcell
+            CROSS JOIN q
+            WHERE a.vec_id <> 0
             ORDER BY cos_sim DESC, a.vec_id
             LIMIT 10
         """,

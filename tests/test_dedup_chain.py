@@ -69,3 +69,71 @@ def test_embedding_lsh_same_bucket_only(spark, tmp_path):
     by_pair = {(r["id1"], r["id2"]): r["cos_sim"] for r in rows}
     assert by_pair[(0, 1)] > 0.99
     assert by_pair[(2, 3)] > 0.99  # negatives of each other: cos still ~1
+
+def test_embedding_lsh_multiband_recall(spark, tmp_path):
+    """Banding recovers pairs a single bucket misses: vectors 0/1 disagree
+    on a dim inside band 0 (different band-0 keys) but share band 1 — the
+    banded chain pairs them; a single 8-bit bucket could not."""
+    from facturas_spark.analytics import dedup as D
+
+    base = [1.0] * 16
+    flip0 = [-1.0] + [1.0] * 15          # band-0 key differs, band-1 equal
+    anti = [-1.0] * 16                   # differs in every band
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        [(0, base), (1, flip0), (2, anti)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(out)
+    rows = D.dedup_embedding_lsh(spark, str(tmp_path)).collect()
+    pairs = {(r["id1"], r["id2"]) for r in rows}
+    assert (0, 1) in pairs               # band-1 collision, cos ~0.875
+    assert (0, 2) not in pairs           # no shared band key (and cos -1)
+    assert (1, 2) not in pairs
+
+
+def test_embedding_lsh_short_vectors_band_gated(spark, tmp_path):
+    """Vectors shorter than a band's dim slice skip that band instead of
+    colliding on a null-padded key: 8-dim vectors emit band 0 only."""
+    from facturas_spark.analytics import dedup as D
+    from facturas_spark.analytics.dedup import EMB_BAND_BITS, N_EMB_BANDS
+
+    assert N_EMB_BANDS * EMB_BAND_BITS == 32
+    vecs = [
+        (0, [1.0] * 8),
+        (1, [-1.0] * 8),   # opposite band-0 key; no higher bands exist
+    ]
+    out = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).write.parquet(out)
+    assert D.dedup_embedding_lsh(spark, str(tmp_path)).count() == 0
+
+
+def test_components_partitioned_path_identical(spark):
+    """The cluster-scale layout (hash-partitioned N-way co-partitioned
+    joins, no broadcast, no coalesce(1)) produces exactly the labels of
+    the sandbox layout on a graph with a chain, a triangle, a 2-clique
+    and an isolated pair."""
+    from facturas_spark.analytics.dedup import _min_label_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),        # chain -> cluster 1
+        (10, 11), (11, 12), (10, 12),  # triangle -> cluster 10
+        (20, 21),                      # pair -> cluster 20
+        (30, 31),                      # pair -> cluster 30
+    ]
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    base = {
+        (r["doc_id"], r["cluster_id"])
+        for r in _min_label_components(pairs).collect()
+    }
+    part = {
+        (r["doc_id"], r["cluster_id"])
+        for r in _min_label_components(pairs, partitions=8).collect()
+    }
+    assert base == part
+    assert base == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20), (30, 30), (31, 30),
+    }

@@ -73,12 +73,21 @@ def test_m5_pair_generation_no_theta_join(spark):
 
 
 def test_embedding_lsh_pairs_no_theta_join(spark):
-    """dedup_embedding_lsh candidates come from the sign-bucket equi-join;
-    the only inequality (id1 < id2) must be a post-join filter, not a
-    nested-loop join condition."""
+    """dedup_embedding_lsh candidates come from the multi-band sign-bucket
+    equi-join; the only inequality (id1 < id2) must be a post-join filter,
+    not a nested-loop join condition — and the join key must be the
+    BANDED (band, key) composite, not a single bucket column (single-key
+    joins cap parallelism at 2^bits and concentrate skew at scale)."""
     plan = _plan(em.queries()["dedup_embedding_lsh"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate self-join (or its exchange) is keyed on band AND key
+    joined_on_band = any(
+        "band" in line and "key" in line
+        for line in plan.splitlines()
+        if "Join" in line or "hashpartitioning" in line
+    )
+    assert joined_on_band, plan
 
 
 def test_lsh_cluster_chain_no_theta_join(spark):
@@ -91,6 +100,16 @@ def test_lsh_cluster_chain_no_theta_join(spark):
     sh = D._shingle_table(docs)
     plan = _plan(sh)
     assert "CartesianProduct" not in plan
+    # candidate generation is the banded equi-join — no theta/cartesian,
+    # keyed on (band, key). Guards against regression to all-pairs.
+    cand_plan = _plan(D._lsh_candidate_pairs(sh))
+    assert "CartesianProduct" not in cand_plan
+    assert "BroadcastNestedLoopJoin" not in cand_plan
+    assert any(
+        "band" in line and "key" in line
+        for line in cand_plan.splitlines()
+        if "Join" in line or "hashpartitioning" in line
+    ), cand_plan
     labels = em.queries()["dedup_lsh_clusters"](spark, SF)
     assert labels.columns == ["doc_id", "cluster_id"]
 
