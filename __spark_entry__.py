@@ -41,59 +41,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    ORDER MATTERS: the driver's CORRECTNESS gate checks the FIRST 50
+    entries each round. The window is therefore rotated so that every
+    query with no driver row yet — and every query whose implementation
+    changed this round — sits inside it; queries already driver-green in
+    a previous round and untouched since are parked after position 50
+    (their green rows are banked in CORRECTNESS_r01/r02.json)."""
     return {
-        "q01_daily_sales": Q.q01_daily_sales,
-        "q02_top_products": Q.q02_top_products,
-        "q03_dashboard_resumen": Q.q03_dashboard_resumen,
-        "q04_payment_pivot": Q.q04_payment_pivot,
-        "q07_category_share": Q.q07_category_share,
-        "q09_purchase_frequency": Q.q09_purchase_frequency,
-        "q10_purchase_gaps": Q.q10_purchase_gaps,
-        "q12_multi_price_products": Q.q12_multi_price_products,
-        "q13_rolling_price_stats": Q.q13_rolling_price_stats,
-        "txt_token_stats": Q.txt_token_stats,
-        "txt_quality_score": Q.txt_quality_score,
-        "txt_amount_shapes": Q.txt_amount_shapes,
-        "txt_content_lines": Q.txt_content_lines,
-        "c1_classify_documents": Q.c1_classify_documents,
-        "txt_field_extraction": Q.txt_field_extraction,
-        "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
-        "f8_date_variants": Q.f8_date_variants,
-        "f7_amount_variants": Q.f7_amount_variants,
-        "p8_p15_products_normalized": Q.p8_p15_products_normalized,
-        "p9_price_closure": Q.p9_price_closure,
-        "f12_confidence": Q.f12_confidence,
-        "p13_price_per_unit": Q.p13_price_per_unit,
-        "p14_multi_price": Q.p14_multi_price,
-        "p4_p7_line_parsers": Q.p4_p7_line_parsers,
-        "s2_mime_sniffing": Q.s2_mime_sniffing,
-        "f2_invoice_number": Q.f2_invoice_number,
-        "f1_cif_extraction": Q.f1_cif_extraction,
-        "f4_f6_amount_banks": Q.f4_f6_amount_banks,
-        "dedup_exact": Q.dedup_exact,
-        "ann_cosine_topk": Q.ann_cosine_topk,
-        "q08_price_history_log": Q.q08_price_history_log,
-        "q11_spend_per_product": Q.q11_spend_per_product,
-        "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
-        "m5_product_match_pairs": D.m5_product_match_pairs,
-        "m4_similarity_pairs": D.m4_similarity_pairs,
-        "m14_duplicate_orders": D.m14_duplicate_orders,
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "txt_langid": D.txt_langid,
-        "dedup_simhash": D.dedup_simhash,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
-        "txt_bpe_token_stats": D.txt_bpe_token_stats,
-        "ann_lsh_buckets": D.ann_lsh_buckets,
-        "ann_ivf_topk": D.ann_ivf_topk,
-        "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
-        "dedup_clusters": D.dedup_clusters,
-        "dedup_canonical_corpus": D.dedup_canonical_corpus,
-        "dedup_lsh_clusters": D.dedup_lsh_clusters,
-        "dedup_embedding_lsh": D.dedup_embedding_lsh,
-        "master_products": M.master_products,
+        # -- round-1 hash-fails, fixed in round 2, displaced before the
+        #    fix could be driver-confirmed (VERDICT_r02 top item)
+        "esc_resumen_global": E.esc_resumen_global,
+        "esc_ingredientes_stats": E.esc_ingredientes_stats,
+        "v_ventas_diarias": E.v_ventas_diarias,
+        # -- oracle-twinned queries never inside a driver window yet
+        "whatsapp_routing": E.whatsapp_routing,
+        "mailgun_routing": E.mailgun_routing,
+        "numier_upsert_ventas": E.numier_upsert_ventas,
+        "numier_dashboard_resumen": E.numier_dashboard_resumen,
+        "numier_upsert_catalogo": E.numier_upsert_catalogo,
+        "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
+        "cotejo_scores": E.cotejo_scores,
+        "cotejo_consolidation": E.cotejo_consolidation,
+        "cola_procesamiento": E.cola_procesamiento,
+        "cotejo_decisiones": E.cotejo_decisiones,
+        "v_productos_top": E.v_productos_top,
+        # -- green in round 1, displaced out of the round-2 window
         "supplier_dim": M.supplier_dim,
         "price_history_append": M.price_history_append,
         "q14_ultima_factura": N.q14_ultima_factura,
@@ -110,26 +84,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_semantic_ranked": N.q15_semantic_ranked,
         "q15_datos_basicos": N.q15_datos_basicos,
         "esc_food_cost_platos": E.esc_food_cost_platos,
-        "esc_resumen_global": E.esc_resumen_global,
-        "esc_ingredientes_stats": E.esc_ingredientes_stats,
-        "v_ventas_diarias": E.v_ventas_diarias,
-        "v_productos_top": E.v_productos_top,
-        "numier_upsert_ventas": E.numier_upsert_ventas,
-        "numier_dashboard_resumen": E.numier_dashboard_resumen,
-        "numier_upsert_catalogo": E.numier_upsert_catalogo,
-        "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
-        "cotejo_scores": E.cotejo_scores,
-        "cotejo_consolidation": E.cotejo_consolidation,
-        "cola_procesamiento": E.cola_procesamiento,
-        "cotejo_decisiones": E.cotejo_decisiones,
-        "whatsapp_routing": E.whatsapp_routing,
-        "mailgun_routing": E.mailgun_routing,
-        # rows-only (non-SQL-expressible per-doc sequential pipelines)
+        # -- rows-only pipelines (non-SQL-expressible), never driver-checked
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
         "cotejo_inverso_pipeline": Q.cotejo_inverso_pipeline,
         "ocr_layout_extraction": Q.ocr_layout_extraction,
         "multimodal_features": Q.multimodal_features,
+        # -- changed or added in round 3: need fresh driver rows
+        "dedup_embedding_lsh": D.dedup_embedding_lsh,
+        "dedup_lsh_clusters": D.dedup_lsh_clusters,
+        "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
+        # -- backfill to 50 with the operators closest to the round-3 work
+        "dedup_clusters": D.dedup_clusters,
+        "dedup_canonical_corpus": D.dedup_canonical_corpus,
+        "ann_ivf_topk": D.ann_ivf_topk,
+        "ann_lsh_buckets": D.ann_lsh_buckets,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_exact": Q.dedup_exact,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "txt_field_extraction": Q.txt_field_extraction,
+        "c1_classify_documents": Q.c1_classify_documents,
+        "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
+        "m5_product_match_pairs": D.m5_product_match_pairs,
+        # ---------------- driver window boundary (50) ----------------
+        # everything below is driver-green in r01/r02 and unchanged since
+        "q01_daily_sales": Q.q01_daily_sales,
+        "q02_top_products": Q.q02_top_products,
+        "q03_dashboard_resumen": Q.q03_dashboard_resumen,
+        "q04_payment_pivot": Q.q04_payment_pivot,
+        "q07_category_share": Q.q07_category_share,
+        "q09_purchase_frequency": Q.q09_purchase_frequency,
+        "q10_purchase_gaps": Q.q10_purchase_gaps,
+        "q12_multi_price_products": Q.q12_multi_price_products,
+        "q13_rolling_price_stats": Q.q13_rolling_price_stats,
+        "txt_token_stats": Q.txt_token_stats,
+        "txt_quality_score": Q.txt_quality_score,
+        "txt_amount_shapes": Q.txt_amount_shapes,
+        "txt_content_lines": Q.txt_content_lines,
+        "f8_date_variants": Q.f8_date_variants,
+        "f7_amount_variants": Q.f7_amount_variants,
+        "p8_p15_products_normalized": Q.p8_p15_products_normalized,
+        "p9_price_closure": Q.p9_price_closure,
+        "f12_confidence": Q.f12_confidence,
+        "p13_price_per_unit": Q.p13_price_per_unit,
+        "p14_multi_price": Q.p14_multi_price,
+        "p4_p7_line_parsers": Q.p4_p7_line_parsers,
+        "s2_mime_sniffing": Q.s2_mime_sniffing,
+        "f2_invoice_number": Q.f2_invoice_number,
+        "f1_cif_extraction": Q.f1_cif_extraction,
+        "f4_f6_amount_banks": Q.f4_f6_amount_banks,
+        "ann_cosine_topk": Q.ann_cosine_topk,
+        "q08_price_history_log": Q.q08_price_history_log,
+        "q11_spend_per_product": Q.q11_spend_per_product,
+        "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
+        "m4_similarity_pairs": D.m4_similarity_pairs,
+        "m14_duplicate_orders": D.m14_duplicate_orders,
+        "txt_langid": D.txt_langid,
+        "dedup_simhash": D.dedup_simhash,
+        "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
+        "txt_bpe_token_stats": D.txt_bpe_token_stats,
+        "master_products": M.master_products,
     }
 
 

