@@ -452,14 +452,16 @@ def cotejo_inverso_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal stub pipeline, rows-only check: synthetic media corpus ->
-    image features + audio features + video frame sampling (mapInPandas,
-    deterministic fake decodes) -> per-kind aggregate counts."""
+    """Multimodal pipeline, rows-only check: synthetic corpus of REAL
+    BMP/PNG/WAV/Y4M files -> magic-byte sniff + image features + audio
+    features + video frame sampling (mapInPandas, genuine pure-stdlib
+    decode — sources/codecs.py) -> per-kind aggregate counts."""
     from facturas_spark.sources.multimodal import (
         MEDIA_DDL,
         audio_features,
         frame_sample,
         image_features,
+        media_sniff,
         synth_media_rows,
     )
 
@@ -477,9 +479,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vid = frame_sample(media, fps=0.5).agg(
         F.lit("video_frames").alias("kind"),
         F.count("*").alias("rows"),
-        F.round(F.sum("ts_s"), 4).alias("metric"),
+        F.round(F.sum("luma_mean"), 4).alias("metric"),
     )
-    return img.unionByName(aud).unionByName(vid).orderBy("kind")
+    snf = media_sniff(media).agg(
+        F.lit("sniff").alias("kind"),
+        F.count("*").alias("rows"),
+        F.sum(F.col("mime_ok").cast("int")).cast("double").alias("metric"),
+    )
+    return img.unionByName(aud).unionByName(vid).unionByName(snf).orderBy("kind")
 
 
 def ocr_layout_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:

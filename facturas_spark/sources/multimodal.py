@@ -1,32 +1,57 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio libraries, so the DECODE step is stubbed
-(clearly marked below) behind a deterministic fake: every derived value is
-a pure function of the payload bytes, so tests are exact and the Spark-side
-plumbing — schemas, mapInPandas batch shape, partitioning, explode — is
-fully real. Swapping ``_decode_image_stub``/``_decode_audio_stub`` for
-PIL/librosa calls is the only production change.
+Since round 3 the decode step is REAL, not stubbed: payloads are genuine
+BMP / PNG / WAV / Y4M files (public byte-layout formats implemented with
+``struct`` + ``zlib`` + numpy in :mod:`facturas_spark.sources.codecs` — no
+media libraries needed), and every feature below is computed from actually
+decoded pixels / PCM samples / video frames. Production swaps the codec set
+(PIL/ffmpeg reach JPEG/H.264), not the operator shape.
 
 Operators (training-data-pipeline staples over media at 100 TB):
-- :func:`image_features`  — mapInPandas: decode -> (dims, mean intensity,
-  perceptual-hash stand-in). One pass, no shuffle.
+- :func:`image_features`  — mapInPandas: decode pixels -> (real dims, mean
+  luma, 64-bit average-hash). One pass, no shuffle.
 - :func:`resize_plan`     — pure column arithmetic: target dims preserving
-  aspect ratio (the real resize happens next to the decode in production).
+  aspect ratio (the pixel resample itself belongs next to the decode).
 - :func:`frame_sample`    — video -> one row per sampled frame timestamp
-  (sequence + explode, JVM-side), decode stub per frame.
-- :func:`audio_features`  — mapInPandas: decode -> (duration bucket,
-  deterministic pseudo-embedding array<float>).
+  (grid built JVM-side via sequence + explode); the Python side does a
+  constant-time seek into the Y4M stream and decodes ONLY the sampled
+  frame's luma plane — the 100-TB-relevant property (no full-video decode
+  per sampled frame).
+- :func:`audio_features`  — mapInPandas: PCM decode -> real duration, RMS,
+  and an 8-band FFT energy embedding (array<float>).
+
+Scale notes: all four operators are embarrassingly parallel single-pass
+mapInPandas over the media table — zero shuffles (asserted in
+tests/test_multimodal.py); rows are filtered to the relevant ``kind``
+JVM-side so foreign payload bytes never cross the Arrow boundary.
+
+No reference counterpart (the reference delegates decode to its OCR
+vendor — process-invoice/index.ts:2100-2241 consumes vendor output);
+this module serves the brief's multimodal pipeline requirement.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from facturas_spark.sources.codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    decode_y4m_frame,
+    decode_y4m_header,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    encode_y4m,
+    sniff_media,
+)
 
 __all__ = [
     "MEDIA_DDL",
@@ -35,6 +60,7 @@ __all__ = [
     "resize_plan",
     "frame_sample",
     "audio_features",
+    "media_sniff",
 ]
 
 MEDIA_DDL = (
@@ -43,61 +69,113 @@ MEDIA_DDL = (
     "sample_rate: int, mime: string>"
 )
 
+_AUDIO_RATE = 2000  # synthetic corpus rate: real WAV, small payloads
+_VIDEO_FPS = 2
+
+
+def _image_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) test-card: per-doc phase-shifted gradients
+    (structured, so average-hash has signal, unlike white noise)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1) + i * 37) % 256
+    g = (yy * 255 // max(h - 1, 1) + i * 53) % 256
+    b = ((xx + yy) * 255 // max(w + h - 2, 1) + i * 71) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
 
 def synth_media_rows(n: int, seed: int = 42) -> list[tuple]:
-    """Deterministic fake media corpus: payload = seeded digest bytes, meta
-    typed per kind."""
+    """Deterministic media corpus of REAL decodable files: images alternate
+    BMP/PNG, audio is 16-bit PCM WAV, video is Y4M (YUV420). Meta mirrors
+    what a crawler's sidecar would record."""
     rows = []
     for i in range(n):
-        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        k = (seed * 1_000_003 + i * 7919) & 0x7FFFFFFF
         kind = ("image", "audio", "video")[i % 3]
-        payload = (h * 8)[: 64 + (i % 5) * 32]
         if kind == "image":
-            meta = (640 + (i % 4) * 160, 480 + (i % 3) * 120, None, None, "image/jpeg")
+            w, h = 64 + (k % 4) * 16, 48 + (k % 3) * 12
+            px = _image_pixels(k, w, h)
+            payload = encode_png(px) if i % 2 else encode_bmp(px)
+            meta = (w, h, None, None, "image/png" if i % 2 else "image/bmp")
         elif kind == "audio":
-            meta = (None, None, 1.0 + (i % 30), 16000, "audio/wav")
+            dur = 1.0 + (k % 30)
+            t = np.arange(int(dur * _AUDIO_RATE))
+            freq = 55.0 * (1 + k % 8)
+            samples = (
+                np.sin(2 * np.pi * freq * t / _AUDIO_RATE) * (8000 + (k % 5) * 4000)
+            ).astype(np.int16)
+            payload = encode_wav(samples, _AUDIO_RATE)
+            meta = (None, None, dur, _AUDIO_RATE, "audio/wav")
         else:
-            meta = (1280, 720, 5.0 + (i % 20), None, "video/mp4")
-        rows.append((i, kind, payload, meta))
+            w, h = 32, 24
+            dur = 5.0 + (k % 20)
+            nf = int(dur * _VIDEO_FPS)
+            base = _image_pixels(k, w, h).mean(axis=-1).astype(np.uint8)
+            frames = np.stack(
+                [(base.astype(int) + 11 * j) % 256 for j in range(nf)]
+            ).astype(np.uint8)
+            payload = encode_y4m(frames, _VIDEO_FPS)
+            meta = (w, h, dur, None, "video/y4m")
+        rows.append((i, kind, bytearray(payload), meta))
     return rows
 
 
-# ----------------------------------------------------------------- stubs --
-# STUB: real implementation would be PIL.Image.open(BytesIO(payload)).
-# Deterministic fake: derive pixel statistics from the payload digest.
-def _decode_image_stub(payload: bytes) -> dict:
-    if payload is None:
-        raise ValueError("empty payload")
-    digest = hashlib.md5(payload).digest()
-    return {
-        "mean_intensity": digest[0] / 255.0,
-        "phash": hashlib.md5(b"phash:" + payload).hexdigest()[:16],
-    }
+# -------------------------------------------------------------- decoders --
+def _decode_image(payload: bytes) -> np.ndarray:
+    mime = sniff_media(payload)
+    if mime == "image/png":
+        return decode_png(bytes(payload))
+    if mime == "image/bmp":
+        return decode_bmp(bytes(payload))
+    raise ValueError(f"no codec for {mime}")
 
 
-# STUB: real implementation would be soundfile/librosa decode.
-def _decode_audio_stub(payload: bytes, sample_rate: int) -> dict:
-    digest = hashlib.md5(payload).digest()
-    emb = [((b / 255.0) * 2 - 1) for b in digest[:8]]
-    return {"rms": digest[1] / 255.0, "embedding": emb}
+def _ahash(luma: np.ndarray, side: int = 8) -> str:
+    """64-bit average-hash: block-average to side x side, threshold at the
+    mean, row-major bits -> hex. The standard perceptual-dedup baseline."""
+    h, w = luma.shape
+    ys = (np.arange(side + 1) * h) // side
+    xs = (np.arange(side + 1) * w) // side
+    cum = np.zeros((h + 1, w + 1))
+    cum[1:, 1:] = luma.cumsum(0).cumsum(1)
+    blk = (
+        cum[ys[1:, None], xs[None, 1:]]
+        - cum[ys[:-1, None], xs[None, 1:]]
+        - cum[ys[1:, None], xs[None, :-1]]
+        + cum[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    blk = blk / areas
+    bits = (blk > blk.mean()).ravel()
+    return f"{int(''.join('1' if b else '0' for b in bits), 2):016x}"
 
 
 # -------------------------------------------------------------- operators --
 def image_features(media: DataFrame) -> DataFrame:
-    """Image rows -> feature columns via one mapInPandas pass (Arrow batches
-    in, Arrow batches out; no shuffle; non-image rows filtered before the
-    Python boundary so bytes never cross it unnecessarily)."""
+    """Image rows -> decoded feature columns via one mapInPandas pass.
+
+    REAL decode: PNG/BMP bytes -> pixel array; width/height/mean intensity
+    come from the pixels (NOT trusted from meta), and ``phash`` is a true
+    64-bit average-hash over the luma plane. Arrow batches in/out, no
+    shuffle; non-image rows filtered before the Python boundary so their
+    bytes never cross it."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_decode_image_stub(p) for p in pdf["payload"]]
+            widths, heights, means, hashes = [], [], [], []
+            for p in pdf["payload"]:
+                px = _decode_image(p)
+                luma = px @ np.array([0.299, 0.587, 0.114])
+                widths.append(px.shape[1])
+                heights.append(px.shape[0])
+                means.append(float(luma.mean()) / 255.0)
+                hashes.append(_ahash(luma))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [m["width"] for m in pdf["meta"]],
-                    "height": [m["height"] for m in pdf["meta"]],
-                    "mean_intensity": [f["mean_intensity"] for f in feats],
-                    "phash": [f["phash"] for f in feats],
+                    "width": widths,
+                    "height": heights,
+                    "mean_intensity": means,
+                    "phash": hashes,
                 }
             )
 
@@ -124,65 +202,98 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
-    """Video rows -> one row per sampled frame timestamp.
+    """Video rows -> one row per sampled frame timestamp, with the frame's
+    REAL decoded luma statistics.
 
     The timestamp grid is built JVM-side (sequence + explode over
-    duration*fps); only the per-frame decode (stubbed) crosses into Python.
-    """
+    duration*fps); the Python side parses the Y4M header once per video
+    row-group and seeks DIRECTLY to each sampled frame (constant-time
+    offset arithmetic) — it never decodes the frames between samples,
+    which is the property that matters when sampling 1 frame per minute
+    out of 100 TB of video."""
     n_frames = F.floor(F.col("meta.duration_s") * F.lit(fps)).cast("int")
-    frames = (
-        media.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            "payload",
-            F.col("meta.duration_s").alias("duration_s"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
-                    lambda i: i.cast("double") / F.lit(fps),
-                )
-            ).alias("ts_s"),
-        )
+    frames = media.filter(F.col("kind") == "video").select(
+        "media_id",
+        "payload",
+        F.col("meta.duration_s").alias("duration_s"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                lambda i: i.cast("double") / F.lit(fps),
+            )
+        ).alias("ts_s"),
     )
 
     def decode_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meta_cache: dict[int, dict] = {}
         for pdf in it:
-            # STUB: real impl seeks to ts_s and decodes the frame
-            hashes = [
-                hashlib.md5(p + str(t).encode()).hexdigest()[:16]
-                for p, t in zip(pdf["payload"], pdf["ts_s"])
-            ]
+            means, stds, idxs = [], [], []
+            for mid, p, t in zip(pdf["media_id"], pdf["payload"], pdf["ts_s"]):
+                m = meta_cache.get(mid)
+                if m is None:
+                    m = meta_cache[mid] = decode_y4m_header(bytes(p))
+                k = min(int(t * m["fps"]), m["n_frames"] - 1)
+                luma = decode_y4m_frame(p, m, k)
+                idxs.append(k)
+                means.append(float(luma.mean()) / 255.0)
+                stds.append(float(luma.std()) / 255.0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "ts_s": pdf["ts_s"],
-                    "frame_hash": hashes,
+                    "frame_idx": idxs,
+                    "luma_mean": means,
+                    "luma_std": stds,
                 }
             )
 
     return frames.mapInPandas(
-        decode_frames, schema="media_id long, ts_s double, frame_hash string"
+        decode_frames,
+        schema=(
+            "media_id long, ts_s double, frame_idx int, "
+            "luma_mean double, luma_std double"
+        ),
     )
 
 
+_N_FFT_BANDS = 8
+
+
 def audio_features(media: DataFrame) -> DataFrame:
-    """Audio rows -> duration bucket + deterministic pseudo-embedding."""
+    """Audio rows -> REAL decoded duration, RMS, and an 8-band FFT energy
+    embedding (log-spaced band power over the PCM spectrum, L2-normalized)
+    — the classic cheap audio fingerprint."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _decode_audio_stub(p, m["sample_rate"])
-                for p, m in zip(pdf["payload"], pdf["meta"])
-            ]
+            durs, buckets, rmss, embs = [], [], [], []
+            for p in pdf["payload"]:
+                samples, rate = decode_wav(bytes(p))
+                x = samples.astype(np.float64) / 32768.0
+                dur = len(samples) / rate
+                durs.append(dur)
+                buckets.append(int(math.floor(dur / 10.0)))
+                rmss.append(float(np.sqrt(np.mean(x * x))))
+                spec = np.abs(np.fft.rfft(x[: 4096])) ** 2
+                edges = np.unique(
+                    np.geomspace(1, len(spec) - 1, _N_FFT_BANDS + 1).astype(int)
+                )
+                bands = np.array(
+                    [
+                        spec[edges[j] : edges[j + 1]].sum()
+                        for j in range(len(edges) - 1)
+                    ]
+                )
+                bands = np.pad(bands, (0, _N_FFT_BANDS - len(bands)))
+                norm = np.linalg.norm(bands)
+                embs.append((bands / norm if norm > 0 else bands).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "duration_s": [m["duration_s"] for m in pdf["meta"]],
-                    "duration_bucket": [
-                        int(math.floor(m["duration_s"] / 10.0)) for m in pdf["meta"]
-                    ],
-                    "rms": [f["rms"] for f in feats],
-                    "embedding": [f["embedding"] for f in feats],
+                    "duration_s": durs,
+                    "duration_bucket": buckets,
+                    "rms": rmss,
+                    "embedding": embs,
                 }
             )
 
@@ -193,3 +304,23 @@ def audio_features(media: DataFrame) -> DataFrame:
             "rms double, embedding array<double>"
         ),
     )
+
+
+def media_sniff(media: DataFrame) -> DataFrame:
+    """Magic-byte MIME detection over the binary payload (S2 for media):
+    declared meta.mime vs sniffed reality — the standard crawl-hygiene
+    check before routing payloads to codecs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "declared_mime": [m["mime"] for m in pdf["meta"]],
+                    "sniffed_mime": [sniff_media(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, declared_mime string, sniffed_mime string"
+    ).withColumn("mime_ok", F.col("declared_mime") == F.col("sniffed_mime"))
