@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": D.dedup_embedding_lsh,
         "dedup_lsh_clusters": D.dedup_lsh_clusters,
         "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
+        "stream_window_equivalence": Q.stream_window_equivalence,
+        "events_sessionization": Q.events_sessionization,
         # -- backfill to 50 with the operators closest to the round-3 work
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
@@ -105,10 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "txt_field_extraction": Q.txt_field_extraction,
         "c1_classify_documents": Q.c1_classify_documents,
-        "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
-        "m5_product_match_pairs": D.m5_product_match_pairs,
         # ---------------- driver window boundary (50) ----------------
         # everything below is driver-green in r01/r02 and unchanged since
+        "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
+        "m5_product_match_pairs": D.m5_product_match_pairs,
         "q01_daily_sales": Q.q01_daily_sales,
         "q02_top_products": Q.q02_top_products,
         "q03_dashboard_resumen": Q.q03_dashboard_resumen,
@@ -216,6 +218,40 @@ _P14_VINO = (
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "stream_window_equivalence": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS inicio,
+                   event_type,
+                   COUNT(*) AS eventos,
+                   CAST(SUM(CAST(value * 100 AS BIGINT)) AS DOUBLE) / 100.0
+                       AS total_valor
+            FROM events GROUP BY 1, 2 ORDER BY inicio, event_type
+        """,
+        "events_sessionization": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts)
+                                 - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, us,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM flagged
+            ), per_sess AS (
+                SELECT user_id, session_id,
+                       COUNT(*) AS eventos, MAX(us) - MIN(us) AS dur_us
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, COUNT(*) AS sesiones,
+                   CAST(SUM(eventos) AS BIGINT) AS eventos,
+                   MAX(dur_us) AS max_dur_us
+            FROM per_sess GROUP BY 1 ORDER BY user_id
+        """,
         "q01_daily_sales": """
             SELECT CAST(ts AS DATE) AS fecha,
                    COUNT(*) AS num_eventos,

@@ -1946,3 +1946,75 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------- streaming batch twins ----
+def stream_window_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH twin of streaming.stream_windowed_events: identical tumbling
+    1-hour ``F.window`` expression run in batch mode, so the driver's
+    cross-engine oracle gate pins the exact window semantics the streaming
+    path reuses (Structured Streaming executes the same Catalyst window
+    operator incrementally — Spark's batch/stream unification).
+
+    Integer-cents sum (see _cents) keeps the total order-independent, so
+    the hash matches DuckDB regardless of partitioning. Oracle twin:
+    time_bucket(INTERVAL 1 hour) — epoch-aligned like F.window."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("ventana"), "event_type")
+        .agg(
+            F.count("*").alias("eventos"),
+            F.sum(_cents(F.col("value"))).alias("_c"),
+        )
+        .select(
+            F.date_format("ventana.start", "yyyy-MM-dd HH:mm:ss").alias("inicio"),
+            "event_type",
+            "eventos",
+            F.expr("CAST(_c AS DOUBLE) / 100.0").alias("total_valor"),
+        )
+        .orderBy("inicio", "event_type")
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity rule) — the classic
+    clickstream / training-data op: lag over (user, time) -> new-session
+    flag -> running sum labels sessions -> per-session then per-user stats.
+
+    All arithmetic is integer microseconds (unix_micros / epoch_us), so the
+    result is exact and engine-independent. One hash shuffle on user_id —
+    the lag window, the session-label window, and both aggregations all
+    reuse that partitioning (verified: the only other Exchange in the plan
+    is the final presentation orderBy's range partition); at 100 TB this is
+    the canonical sort-within-user-partition pattern, no driver-side state."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    # events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC (session.py:47),
+    # so the cast is a no-op on the underlying micros
+    _us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.when(
+            _us - F.lag(_us).over(w) > gap_us, 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(w))
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("eventos"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("sesiones"),
+            F.sum("eventos").alias("eventos"),
+            F.max("dur_us").alias("max_dur_us"),
+        )
+        .orderBy("user_id")
+    )
