@@ -256,7 +256,9 @@ def decode_y4m_header(payload: bytes) -> dict:
         elif f.startswith("F"):
             num, den = f[1:].split(":")
             fps = int(num) / int(den)
-    frame_len = 6 + w * h * 3 // 2  # b"FRAME\n" + YUV420 planes
+    # b"FRAME\n" + luma + 2 chroma planes subsampled 2x2 (floor division
+    # matches the encoder; equals w*h*3/2 for the spec's even dims)
+    frame_len = 6 + w * h + 2 * ((w // 2) * (h // 2))
     n_frames = (len(payload) - end - 1) // frame_len
     return {
         "width": w,
