@@ -96,19 +96,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
         "stream_window_equivalence": Q.stream_window_equivalence,
         "events_sessionization": Q.events_sessionization,
+        "dedup_incremental": D.dedup_incremental,
         # -- backfill to 50 with the operators closest to the round-3 work
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "dedup_exact": Q.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "txt_field_extraction": Q.txt_field_extraction,
         "c1_classify_documents": Q.c1_classify_documents,
         # ---------------- driver window boundary (50) ----------------
         # everything below is driver-green in r01/r02 and unchanged since
+        "dedup_exact": Q.dedup_exact,
         "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
         "m5_product_match_pairs": D.m5_product_match_pairs,
         "q01_daily_sales": Q.q01_daily_sales,
@@ -218,6 +219,72 @@ _P14_VINO = (
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "dedup_incremental": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE trim(COALESCE(text, '')) <> ''
+            ), bset AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+            cset AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+            bfp AS (SELECT doc_id, md5(text) AS fp FROM bset),
+            prior AS (
+              SELECT doc_id AS pid, md5(text) AS fp FROM cset
+              UNION ALL SELECT doc_id, md5(text) FROM bset
+            ), exact AS (
+              SELECT a.doc_id, MIN(p.pid) AS exact_match
+              FROM bfp a JOIN prior p ON a.fp = p.fp AND p.pid < a.doc_id
+              GROUP BY a.doc_id
+            ), wb AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
+              FROM bset
+            ), shb AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, len(words) - 2),
+                       i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
+              FROM wb WHERE len(words) >= 3
+            ), wc AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
+              FROM cset
+            ), shc AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, len(words) - 2),
+                       i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
+              FROM wc WHERE len(words) >= 3
+            ), sigb AS (
+              SELECT doc_id,
+                     list_min(list_transform(s, t -> md5(t || ':0'))) AS h0, list_min(list_transform(s, t -> md5(t || ':1'))) AS h1, list_min(list_transform(s, t -> md5(t || ':2'))) AS h2, list_min(list_transform(s, t -> md5(t || ':3'))) AS h3, list_min(list_transform(s, t -> md5(t || ':4'))) AS h4, list_min(list_transform(s, t -> md5(t || ':5'))) AS h5, list_min(list_transform(s, t -> md5(t || ':6'))) AS h6, list_min(list_transform(s, t -> md5(t || ':7'))) AS h7
+              FROM shb
+            ), sigc AS (
+              SELECT doc_id,
+                     list_min(list_transform(s, t -> md5(t || ':0'))) AS h0, list_min(list_transform(s, t -> md5(t || ':1'))) AS h1, list_min(list_transform(s, t -> md5(t || ':2'))) AS h2, list_min(list_transform(s, t -> md5(t || ':3'))) AS h3, list_min(list_transform(s, t -> md5(t || ':4'))) AS h4, list_min(list_transform(s, t -> md5(t || ':5'))) AS h5, list_min(list_transform(s, t -> md5(t || ':6'))) AS h6, list_min(list_transform(s, t -> md5(t || ':7'))) AS h7
+              FROM shc
+            ), bandsb AS (
+              SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sigb UNION ALL SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sigb UNION ALL SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sigb UNION ALL SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sigb
+            ), bandsc AS (
+              SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sigc UNION ALL SELECT doc_id, 1 AS band, md5(h2 || h3) AS key FROM sigc UNION ALL SELECT doc_id, 2 AS band, md5(h4 || h5) AS key FROM sigc UNION ALL SELECT doc_id, 3 AS band, md5(h6 || h7) AS key FROM sigc
+            ), cand AS (
+              SELECT DISTINCT bb.doc_id AS bid, cc.doc_id AS cid
+              FROM bandsb bb JOIN bandsc cc
+                ON bb.band = cc.band AND bb.key = cc.key
+            ), near AS (
+              SELECT bid AS doc_id, MIN(cid) AS near_match
+              FROM cand JOIN shb x ON bid = x.doc_id
+                        JOIN shc y ON cid = y.doc_id
+              WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+              GROUP BY bid
+            )
+            SELECT b.doc_id AS doc_id,
+                   CASE WHEN e.exact_match IS NOT NULL THEN 'dropped_exact'
+                        WHEN n.near_match IS NOT NULL THEN 'dropped_neardup'
+                        ELSE 'kept' END AS decision,
+                   COALESCE(e.exact_match, n.near_match) AS match_id
+            FROM bset b
+            LEFT JOIN exact e ON b.doc_id = e.doc_id
+            LEFT JOIN near n ON b.doc_id = n.doc_id
+            ORDER BY b.doc_id
+        """,
         "stream_window_equivalence": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
                             '%Y-%m-%d %H:%M:%S') AS inicio,

@@ -454,14 +454,11 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_JACCARD_THRESHOLD = 0.5
 
 
-def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
-    """Candidate pairs from MinHash band collisions over a shingle table:
-    8 md5-min signatures -> 4 bands x 2 rows -> explode to (band, key) ->
-    self equi-join on the band key -> distinct (id1 < id2) pairs.
-
-    Exposed as a unit so tests/test_plans.py can pin the property the
-    100-TB chain depends on: candidates come ONLY from this banded
-    equi-join — never an all-pairs/theta join over the corpus."""
+def _band_table(sh: DataFrame) -> DataFrame:
+    """MinHash LSH band table of a shingle table: 8 md5-min signatures ->
+    4 bands x 2 rows -> explode to one (doc_id, band, key) row per band.
+    The shared candidate-generation kernel of the full-corpus chain
+    (dedup_lsh_clusters) and the incremental batch-vs-corpus variant."""
 
     def sig(i: int):
         suffix = f":{i}"
@@ -469,7 +466,7 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
             F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(suffix))))
         ).alias(f"h{i}")
 
-    bands = (
+    return (
         sh.select("doc_id", *[sig(i) for i in range(N_HASHES)])
         .select(
             "doc_id",
@@ -489,6 +486,16 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
         )
         .select("doc_id", "b.band", "b.key")
     )
+
+
+def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """Candidate pairs from MinHash band collisions over a shingle table:
+    band table self equi-join on (band, key) -> distinct (id1 < id2) pairs.
+
+    Exposed as a unit so tests/test_plans.py can pin the property the
+    100-TB chain depends on: candidates come ONLY from this banded
+    equi-join — never an all-pairs/theta join over the corpus."""
+    bands = _band_table(sh)
     a = bands.select("band", "key", F.col("doc_id").alias("id1"))
     b = bands.select("band", "key", F.col("doc_id").alias("id2"))
     return (
@@ -909,4 +916,80 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "guess")
         .agg(F.count("*").alias("docs"))
         .orderBy("lang", "guess")
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW BATCH of documents arrives and must be
+    deduplicated against the already-ingested corpus without re-deduping
+    the corpus itself — the shape every continuously-fed training-data
+    pipeline runs (daily crawl increments vs a petabyte corpus).
+
+    Batch = doc_id % 5 == 0 (a deterministic 20% "arrival"); corpus = the
+    rest. Two phases, each scale-safe:
+
+    1. EXACT: md5 text fingerprint; a batch doc is ``dropped_exact`` if
+       its fingerprint exists in the corpus OR on an earlier (smaller
+       doc_id) batch doc — one equi-join on the fingerprint. At scale the
+       corpus side is a pre-built fingerprint index (bucketed table);
+       the join is shuffle-free against bucketed storage.
+    2. NEAR-DUP (survivors only): shingle MinHash band table for each
+       side, batch bands equi-join corpus bands on (band, key) — the
+       batch side is the small one, so at scale this broadcasts or
+       bucket-joins against the corpus's PERSISTED band index; candidate
+       verification (word-3-gram Jaccard >= 0.5) runs once per distinct
+       candidate pair. No all-pairs join anywhere; corpus-internal
+       near-dups are the full chain's job (dedup_lsh_clusters), not the
+       increment's.
+
+    Output: one row per batch doc — decision in (kept, dropped_exact,
+    dropped_neardup) and match_id = the smallest matching prior doc."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    bfp = batch.select("doc_id", F.md5("text").alias("fp"))
+    prior_fp = corpus.select(F.col("doc_id").alias("pid"), F.md5("text").alias("fp"))
+    exact = (
+        bfp.join(
+            prior_fp.unionByName(bfp.toDF("pid", "fp")), "fp"
+        )
+        .filter(F.col("pid") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("pid").alias("exact_match"))
+    )
+
+    sh_b = _shingle_table(batch)
+    sh_c = _shingle_table(corpus)
+    cand = (
+        _band_table(sh_b)
+        .withColumnRenamed("doc_id", "bid")
+        .join(_band_table(sh_c).withColumnRenamed("doc_id", "cid"), ["band", "key"])
+        .select("bid", "cid")
+        .distinct()
+    )
+    near = (
+        cand.join(sh_b.toDF("bid", "s1"), "bid")
+        .join(sh_c.toDF("cid", "s2"), "cid")
+        .filter(_jaccard(F.col("s1"), F.col("s2")) >= LSH_JACCARD_THRESHOLD)
+        .groupBy("bid")
+        .agg(F.min("cid").alias("near_match"))
+        .withColumnRenamed("bid", "doc_id")
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("dropped_exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("dropped_neardup"))
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
+        .orderBy("doc_id")
     )
