@@ -97,19 +97,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_equivalence": Q.stream_window_equivalence,
         "events_sessionization": Q.events_sessionization,
         "dedup_incremental": D.dedup_incremental,
+        "txt_gopher_quality": D.txt_gopher_quality,
+        "txt_repetition_filter": D.txt_repetition_filter,
         # -- backfill to 50 with the operators closest to the round-3 work
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "txt_field_extraction": Q.txt_field_extraction,
         "c1_classify_documents": Q.c1_classify_documents,
         # ---------------- driver window boundary (50) ----------------
         # everything below is driver-green in r01/r02 and unchanged since
         "dedup_exact": Q.dedup_exact,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
         "m5_product_match_pairs": D.m5_product_match_pairs,
         "q01_daily_sales": Q.q01_daily_sales,
@@ -219,6 +221,66 @@ _P14_VINO = (
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "txt_gopher_quality": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS w
+              FROM documents WHERE doc_id < 200
+            ), m AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     ROUND(CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+                           / greatest(len(w), 1), 4) AS mean_word_len,
+                     ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                           / greatest(len(w), 1), 4) AS alpha_frac,
+                     len(list_intersect(list_distinct(w),
+                         ['the','be','to','of','and','that','have','with','a','in'])) AS n_stopwords
+              FROM d
+            )
+            SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+                   (n_words >= 10 AND n_words <= 100000
+                    AND mean_word_len >= 2 AND mean_word_len <= 10
+                    AND alpha_frac >= 0.8 AND n_stopwords >= 2) AS keep
+            FROM m ORDER BY doc_id
+        """,
+        "txt_repetition_filter": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS w
+              FROM documents WHERE doc_id < 200
+            ), base AS (
+              SELECT doc_id, w FROM d WHERE len(w) >= 3
+            ), g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(w) - 1),
+                       i -> w[i + 1] || ' ' || w[i + 2])) AS g
+              FROM base
+            ), c2 AS (
+              SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+            ), s2 AS (
+              SELECT doc_id,
+                     ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_2gram_frac
+              FROM c2 GROUP BY 1
+            ), g3 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(w) - 2),
+                       i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS g
+              FROM base
+            ), c3 AS (
+              SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2
+            ), s3 AS (
+              SELECT doc_id,
+                     ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                           / SUM(c), 4) AS dup_3gram_frac
+              FROM c3 GROUP BY 1
+            )
+            SELECT b.doc_id AS doc_id, top_2gram_frac, dup_3gram_frac,
+                   (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.30) AS keep
+            FROM base b
+            JOIN s2 ON b.doc_id = s2.doc_id
+            JOIN s3 ON b.doc_id = s3.doc_id
+            ORDER BY b.doc_id
+        """,
         "dedup_incremental": """
             WITH d AS (
               SELECT doc_id, text FROM documents

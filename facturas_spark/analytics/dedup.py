@@ -993,3 +993,109 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def txt_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public paper
+    — the standard webtext pre-training filter battery), per doc over a
+    bounded window (doc_id < 200) so the oracle pins every rule:
+
+    - word count in [10, 100000]
+    - mean word length in [2, 10]
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct common-English stopwords present
+      (lang-aware deployments parameterize the list)
+
+    Everything is columnar JVM-side arithmetic over the tokenized array —
+    no UDF, no shuffle beyond the final presentation sort; at 100 TB this
+    is a pure map stage fused into the scan."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = _words(F.col("text"))
+    w = F.element_at(F.transform(F.array(words), lambda ws: ws), 1)  # let-bind
+    n = F.size("w")
+    mean_len = F.aggregate(
+        "w", F.lit(0), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(n, F.lit(1))
+    alpha_frac = F.size(F.filter("w", lambda x: x.rlike("[a-z]"))) / F.greatest(
+        n, F.lit(1)
+    )
+    stopwords = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct("w"), F.array(*[F.lit(s) for s in stopwords]))
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            n.alias("n_words"),
+            F.round(mean_len, 4).alias("mean_word_len"),
+            F.round(alpha_frac, 4).alias("alpha_frac"),
+            n_stop.alias("n_stopwords"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_words") >= 10)
+            & (F.col("n_words") <= 100000)
+            & (F.col("mean_word_len") >= 2)
+            & (F.col("mean_word_len") <= 10)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("n_stopwords") >= 2),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style repetition filters (public papers), per doc over
+    doc_id < 200 with >= 3 words: fraction of word-2-gram occurrences
+    taken by the single most frequent 2-gram, and fraction of word-3-gram
+    occurrences that are repeats (count > 1). High values mark
+    boilerplate/spam loops.
+
+    Scale shape: explode n-grams -> count per (doc_id, gram) -> reduce per
+    doc. Both aggregations key on doc_id-prefixed composites, so this is
+    two partial-agg shuffles that AQE coalesces; no per-row quadratic
+    scan (the in-row higher-order alternative is O(n_grams^2) per doc —
+    fine at 100 words, pathological at 10^5)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = _words(F.col("text"))
+    # docs with < 3 words have no 3-grams (and a degenerate 2-gram stat):
+    # excluded up front, which also keeps every sequence() ascending
+    base = docs.filter(F.size(words) >= 3).select("doc_id", words.alias("w"))
+
+    def grams_of(k: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.size("w") - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", i + j + 1) for j in range(k)]
+            ),
+        )
+
+    def stats(k: int):
+        return (
+            base.select("doc_id", F.explode(grams_of(k)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.round(F.max("c") / F.sum("c"), 4).alias(f"top_{k}gram_frac"),
+                F.round(
+                    F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                    / F.sum("c"),
+                    4,
+                ).alias(f"dup_{k}gram_frac"),
+            )
+        )
+
+    g2 = stats(2).select("doc_id", "top_2gram_frac")
+    g3 = stats(3).select("doc_id", "dup_3gram_frac")
+    return (
+        base.select("doc_id")
+        .join(g2, "doc_id")
+        .join(g3, "doc_id")
+        .withColumn(
+            "keep",
+            (F.col("top_2gram_frac") <= 0.20) & (F.col("dup_3gram_frac") <= 0.30),
+        )
+        .orderBy("doc_id")
+    )
