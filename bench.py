@@ -193,9 +193,11 @@ def _kernel_worker(args) -> int:
     from facturas_spark.synth import gen_corpus_slice
 
     rows = gen_corpus_slice(list(range(i * count, (i + 1) * count)), seed=42)
-    texts = [r[3] for r in rows]
-    extract_batch_header([None] * len(texts), texts)
-    return len(texts)
+    # feed the REAL html/text mix (half the corpus is html-only and pays
+    # the boilerplate strip) — a text-only control measures a different,
+    # 2.6x cheaper kernel and makes Spark look artificially slow
+    extract_batch_header([r[2] for r in rows], [r[3] for r in rows])
+    return len(rows)
 
 
 def run_scaling() -> dict:

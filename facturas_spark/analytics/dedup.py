@@ -692,12 +692,36 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
         .distinct()
     )
-    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
-    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    # norms are precomputed ONCE PER VECTOR and carried through the join —
+    # computing them per candidate pair costs |cand| x 2 interpreted
+    # higher-order aggregates instead of |table|; same expression on the
+    # same values, so the IEEE result (and the oracle hash) is unchanged
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), norm.alias("n1")
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), norm.alias("n2")
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         cand.join(e1, "id1")
         .join(e2, "id2")
-        .select("id1", "id2", F.round(_cosine("e1", "e2"), 4).alias("cos_sim"))
+        .select(
+            "id1",
+            "id2",
+            F.round(dot / (F.col("n1") * F.col("n2")), 4).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.2)
         .orderBy("id1", "id2")
     )

@@ -123,16 +123,22 @@ def extract_main_text(html_payload: bytes | str | None) -> str:
         n = len(text)
         if n == 0:
             continue
-        letter_ratio = len(_LETTER.findall(text)) / n
-        digit_ratio = sum(c.isdigit() for c in text) / n
-        link_density = links / n
+        # ratios are evaluated lazily, in branch order: blocks decided by
+        # the value-shape probe never pay the per-char digit scan, and the
+        # letter scan runs only when the last branch is reached (the
+        # division forms are kept verbatim — `count/n >= r` and
+        # `count >= r*n` round differently at the boundary)
         if _VALUE_SHAPE.search(text):
             kept.append(text)
-        elif digit_ratio >= 0.4 and n <= 60:
+        elif n <= 60 and sum(map(str.isdigit, text)) / n >= 0.4:
             # short digit-dense blocks are document identifiers (invoice
             # numbers, codes) — prose heuristics would wrongly drop them
             kept.append(text)
-        elif n >= 5 and link_density <= 0.5 and letter_ratio >= 0.1:
+        elif (
+            n >= 5
+            and links / n <= 0.5
+            and len(_LETTER.findall(text)) / n >= 0.1
+        ):
             kept.append(text)
     return "\n".join(kept)
 
