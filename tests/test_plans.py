@@ -143,3 +143,44 @@ def test_extraction_job_zero_shuffle(spark):
     assert "Exchange" not in plan
     # exactly one Python eval node (the fused UDF)
     assert plan.count("ArrowEvalPython") == 1
+
+def test_sessionization_single_hash_shuffle(spark):
+    """events_sessionization: the lag window, the session-label window, and
+    both aggregations must all reuse ONE hashpartitioning(user_id)
+    exchange; the only other exchange allowed is the final presentation
+    orderBy's rangepartitioning."""
+    plan = _plan(em.queries()["events_sessionization"](spark, SF))
+    hash_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    range_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange rangepartitioning" in ln
+    ]
+    assert len(hash_ex) == 1, plan
+    assert "user_id" in hash_ex[0], hash_ex[0]
+    assert len(range_ex) <= 1, plan
+
+
+def test_incremental_dedup_no_theta_join(spark):
+    """dedup_incremental: every join is an equi-join (fingerprint, band
+    key, or doc id) — no cartesian/nested-loop anywhere, the property that
+    lets the increment run against an unbounded corpus."""
+    plan = _plan(em.queries()["dedup_incremental"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        "band" in line and "key" in line
+        for line in plan.splitlines()
+        if "Join" in line or "hashpartitioning" in line
+    ), plan
+
+
+def test_repetition_filter_no_python_no_cartesian(spark):
+    """txt_repetition_filter: explode->count->reduce must stay JVM-side
+    (no Python eval nodes) and join per-doc stats back by doc_id only."""
+    plan = _plan(em.queries()["txt_repetition_filter"](spark, SF))
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
