@@ -355,3 +355,42 @@ def test_mailgun_routing_gate_order(spark):
     assert out[4]["estado"] == "destinatario_invalido"
     assert out[5]["estado"] == "restaurante_no_encontrado"
     assert out[6]["estado"] == "sin_adjuntos"
+
+
+def test_bucketed_join_without_shuffle(spark, tmp_path):
+    """Co-located join via bucketBy: two tables bucketed+sorted on the join
+    key join WITHOUT any Exchange — the storage-layout contract that makes
+    repeated 100-TB fact-to-fact joins affordable (shuffle once at write
+    time, never again at read time). SortMergeJoin reads the bucketed
+    layout directly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    db = f"bucketdemo_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the sort-merge path: with broadcast available the planner
+    # ignores bucketing entirely for tables this small
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+        )
+        right = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+        )
+        for name, df in (("t1", left), ("t2", right)):
+            (
+                df.write.bucketBy(8, "k")
+                .sortBy("k")
+                .format("parquet")
+                .saveAsTable(f"{db}.{name}")
+            )
+        joined = spark.table(f"{db}.t1").join(spark.table(f"{db}.t2"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql(f"DROP DATABASE {db} CASCADE")
