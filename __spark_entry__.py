@@ -99,16 +99,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": D.dedup_incremental,
         "txt_gopher_quality": D.txt_gopher_quality,
         "txt_repetition_filter": D.txt_repetition_filter,
+        "corpus_packing": D.corpus_packing,
+        "corpus_source_quota": D.corpus_source_quota,
         # -- backfill to 50 with the operators closest to the round-3 work
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "txt_field_extraction": Q.txt_field_extraction,
         "c1_classify_documents": Q.c1_classify_documents,
         # ---------------- driver window boundary (50) ----------------
         # everything below is driver-green in r01/r02 and unchanged since
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "txt_field_extraction": Q.txt_field_extraction,
         "dedup_exact": Q.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
@@ -221,6 +223,35 @@ _P14_VINO = (
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "corpus_packing": """
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '')) AS tokens
+              FROM documents WHERE doc_id < 500
+            ), p AS (
+              SELECT doc_id, tokens,
+                     CAST(floor((SUM(tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - tokens) / 512.0)
+                          AS BIGINT) AS pack_id
+              FROM d
+            )
+            SELECT pack_id, COUNT(*) AS docs,
+                   CAST(SUM(tokens) AS BIGINT) AS tokens,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM p GROUP BY 1 ORDER BY pack_id
+        """,
+        "corpus_source_quota": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS total,
+                   CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                   MIN(CASE WHEN rn <= 8 THEN doc_id END) AS min_kept_doc
+            FROM r GROUP BY 1 ORDER BY source
+        """,
         "txt_gopher_quality": """
             WITH d AS (
               SELECT doc_id,

@@ -1123,3 +1123,59 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document packing (sequence packing for LLM training):
+    assign docs, in deterministic doc_id order, to consecutive packs of
+    <= 512 whitespace tokens via running-sum bucketing — pack_id =
+    floor((cumsum - tokens) / budget), i.e. a doc starts a new pack when
+    the budget boundary falls before it. Emits per-pack stats.
+
+    Scale note: a single global running sum is a sequential dependency;
+    at 100 TB packing runs per shard (hash(doc_id) % n_shards) with one
+    window per shard — same expression, shard column added to the
+    partitionBy — so the cumsum never crosses executors. The global
+    variant here is the oracle-checkable core."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    budget = 512
+    toks = F.size(_words(F.col("text")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = docs.select("doc_id", toks.alias("tokens")).withColumn(
+        "pack_id",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / budget).cast("bigint"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("tokens").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (crawl balancing: cap over-represented
+    hosts/sources): keep the first K=8 docs per source under a
+    deterministic md5(doc_id) shuffle order, report per-source kept/total.
+    One hash shuffle on source; the row_number window is the standard
+    bounded-quota primitive (vs sampleBy's probabilistic quotas, which
+    can't promise an exact cap)."""
+    docs = _t(spark, sf_dir, "documents")
+    k = 8
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("rn") <= k, 1).otherwise(0)).alias("kept"),
+            F.min(F.when(F.col("rn") <= k, F.col("doc_id"))).alias("min_kept_doc"),
+        )
+        .orderBy("source")
+    )
