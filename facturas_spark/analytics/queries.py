@@ -465,7 +465,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media_rows,
     )
 
-    media = spark.createDataFrame(synth_media_rows(90, seed=42), MEDIA_DDL)
+    # 90 rows over the default 32 partitions would schedule ~128 one-row
+    # Python-worker tasks across the four branches; 4 partitions keep the
+    # Arrow batches full (plan stays shuffle-free — coalesce, no exchange)
+    media = spark.createDataFrame(synth_media_rows(90, seed=42), MEDIA_DDL).coalesce(4)
     img = image_features(media).agg(
         F.lit("image").alias("kind"),
         F.count("*").alias("rows"),
