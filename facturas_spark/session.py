@@ -42,6 +42,11 @@ def get_spark(
         # big Arrow batches amortize Python-worker round-trips in the
         # extraction UDF; each doc row is small (~1-4 KB text)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # spill-awareness: 128 MB input splits keep one decompressed split
+        # + its Arrow batch well inside an executor-core's memory share at
+        # any corpus scale (the default, pinned here so a cluster-side
+        # override is a conscious choice; raise only with fatter executors)
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -184,3 +184,48 @@ def test_repetition_filter_no_python_no_cartesian(spark):
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join mitigation, demonstrated end-to-end: a fact table
+    where one key holds ~80% of rows joins a non-broadcastable dim; with
+    production-shaped thresholds scaled to test data, the FINAL adaptive
+    plan must mark the sort-merge join skew-handled (hot partition split
+    into multiple tasks). This is the runtime half of the skew strategy —
+    the write-side half is salting (test_salt_bucket_spreads_hot_host)."""
+    from pyspark.sql import functions as F
+
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in knobs}
+    for k, v in knobs.items():
+        spark.conf.set(k, v)
+    try:
+        # incompressible padding: a constant pad shrinks to nothing under
+        # shuffle compression and the partition never crosses the skew
+        # threshold; chained md5 hex is ~random
+        pad = F.concat(*[F.md5((F.col("id") + i).cast("string")) for i in range(6)])
+        fact = spark.range(0, 60000).select(
+            F.when(F.col("id") < 48000, F.lit(7))
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        dim = spark.range(0, 64).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        joined = fact.join(dim, "k")
+        # materialize via this DataFrame's OWN QueryExecution — count() or
+        # a derived .drop() plans a separate job and leaves this plan
+        # isFinalPlan=false
+        assert len(joined.collect()) == 60000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
