@@ -454,17 +454,36 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_JACCARD_THRESHOLD = 0.5
 
 
-def _band_table(sh: DataFrame) -> DataFrame:
-    """MinHash LSH band table of a shingle table: 8 md5-min signatures ->
+def _band_table(sh: DataFrame, family: str = "md5") -> DataFrame:
+    """MinHash LSH band table of a shingle table: 8 min-hash signatures ->
     4 bands x 2 rows -> explode to one (doc_id, band, key) row per band.
     The shared candidate-generation kernel of the full-corpus chain
-    (dedup_lsh_clusters) and the incremental batch-vs-corpus variant."""
+    (dedup_lsh_clusters) and the incremental batch-vs-corpus variant.
+
+    ``family`` selects the hash:
+    - ``"md5"`` (default): hex-string min under lexicographic order —
+      DuckDB computes the identical value, so the oracle gate covers the
+      chain end-to-end. ~4x dearer than xxhash64 (string materialization
+      + 128-bit digest).
+    - ``"xxhash64"``: Spark's native 64-bit hash, integer min — the
+      production family at 10^12 docs (no hex strings, no string
+      comparisons, same plan shape). Not DuckDB-expressible, so it is
+      covered by the pytest equivalence test instead of the oracle
+      (tests/test_dedup_chain.py::test_xxhash64_family_same_clusters)."""
 
     def sig(i: int):
         suffix = f":{i}"
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(suffix))))
-        ).alias(f"h{i}")
+        if family == "xxhash64":
+            h = lambda s: F.xxhash64(F.concat(s, F.lit(suffix)))  # noqa: E731
+        else:
+            h = lambda s: F.md5(F.concat(s, F.lit(suffix)))  # noqa: E731
+        return F.array_min(F.transform(F.col("sh"), h)).alias(f"h{i}")
+
+    def band_key(j: int):
+        lo, hi = F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")
+        if family == "xxhash64":
+            return F.xxhash64(lo, hi)
+        return F.md5(F.concat(lo, hi))
 
     return (
         sh.select("doc_id", *[sig(i) for i in range(N_HASHES)])
@@ -475,9 +494,7 @@ def _band_table(sh: DataFrame) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(j).alias("band"),
-                            F.md5(
-                                F.concat(F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}"))
-                            ).alias("key"),
+                            band_key(j).alias("key"),
                         )
                         for j in range(N_BANDS)
                     ]
@@ -488,14 +505,14 @@ def _band_table(sh: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+def _lsh_candidate_pairs(sh: DataFrame, family: str = "md5") -> DataFrame:
     """Candidate pairs from MinHash band collisions over a shingle table:
     band table self equi-join on (band, key) -> distinct (id1 < id2) pairs.
 
     Exposed as a unit so tests/test_plans.py can pin the property the
     100-TB chain depends on: candidates come ONLY from this banded
     equi-join — never an all-pairs/theta join over the corpus."""
-    bands = _band_table(sh)
+    bands = _band_table(sh, family)
     a = bands.select("band", "key", F.col("doc_id").alias("id1"))
     b = bands.select("band", "key", F.col("doc_id").alias("id2"))
     return (
@@ -506,7 +523,9 @@ def _lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
-def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_clusters(
+    spark: SparkSession, sf_dir: str, family: str = "md5"
+) -> DataFrame:
     """The END-TO-END scale dedup chain over the FULL documents table:
     shingle MinHash -> LSH band collisions -> candidate pairs -> Jaccard
     verify -> connected components. This is the composition a 100-TB dedup
@@ -528,7 +547,7 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
         )
         sh = _shingle_table(docs).persist()
-        cand = _lsh_candidate_pairs(sh)
+        cand = _lsh_candidate_pairs(sh, family)
         s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("s1"))
         s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("s2"))
         verified = (
@@ -541,7 +560,7 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.unpersist()
         return out
 
-    return _cached_components(spark, sf_dir, "lsh", make).orderBy("doc_id")
+    return _cached_components(spark, sf_dir, f"lsh-{family}", make).orderBy("doc_id")
 
 
 N_SIMHASH_BITS = 16

@@ -137,3 +137,20 @@ def test_components_partitioned_path_identical(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20), (30, 30), (31, 30),
     }
+
+
+def test_xxhash64_family_same_clusters(spark):
+    """The production hash family (xxhash64 integer MinHash — no hex
+    strings, ~4x cheaper) must find the same near-dup clusters as the
+    DuckDB-portable md5 family on the test corpus: both are uniform hash
+    families, so band collisions recover the same >=0.5-Jaccard pairs and
+    the verify step makes the final clusters hash-family-independent."""
+    from facturas_spark.analytics.dedup import dedup_lsh_clusters
+
+    sf = "/root/testdata/sf0.001"
+    md5_rows = sorted(map(tuple, dedup_lsh_clusters(spark, sf).collect()))
+    xx_rows = sorted(
+        map(tuple, dedup_lsh_clusters(spark, sf, family="xxhash64").collect())
+    )
+    assert md5_rows == xx_rows
+    assert len(md5_rows) > 0
