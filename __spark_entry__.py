@@ -101,14 +101,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_repetition_filter": D.txt_repetition_filter,
         "corpus_packing": D.corpus_packing,
         "corpus_source_quota": D.corpus_source_quota,
+        "txt_pii_scan": D.txt_pii_scan,
+        "corpus_vocab_topk": D.corpus_vocab_topk,
         # -- backfill to 50 with the operators closest to the round-3 work
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
-        "ann_ivf_topk": D.ann_ivf_topk,
-        "ann_lsh_buckets": D.ann_lsh_buckets,
         "c1_classify_documents": Q.c1_classify_documents,
         # ---------------- driver window boundary (50) ----------------
         # everything below is driver-green in r01/r02 and unchanged since
+        "ann_ivf_topk": D.ann_ivf_topk,
+        "ann_lsh_buckets": D.ann_lsh_buckets,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "txt_field_extraction": Q.txt_field_extraction,
         "dedup_exact": Q.dedup_exact,
@@ -223,6 +225,50 @@ _P14_VINO = (
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "txt_pii_scan": """
+            WITH aug AS (
+              SELECT doc_id,
+                     COALESCE(text, '')
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' tel: 612 345 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                             ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                             ELSE '' END AS t
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS emails,
+                   len(regexp_extract_all(t,
+                       '\\b[679]\\d{2}[ .-]?\\d{3}[ .-]?\\d{3}\\b')) AS phones,
+                   len(regexp_extract_all(t,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ipv4s,
+                   length(t) AS n_chars,
+                   (len(regexp_extract_all(t,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                    + len(regexp_extract_all(t,
+                        '\\b[679]\\d{2}[ .-]?\\d{3}[ .-]?\\d{3}\\b'))
+                    + len(regexp_extract_all(t,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) > 0
+                       AS has_pii
+            FROM aug ORDER BY doc_id
+        """,
+        "corpus_vocab_topk": """
+            SELECT token, COUNT(*) AS occurrences
+            FROM (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+'),
+                       x -> x <> '')) AS token
+              FROM documents
+            )
+            GROUP BY token
+            ORDER BY occurrences DESC, token
+            LIMIT 50
+        """,
         "corpus_packing": """
             WITH d AS (
               SELECT doc_id,

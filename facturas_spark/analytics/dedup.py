@@ -1198,3 +1198,63 @@ def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def txt_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-redaction scan (the count/locate half of a C4-style scrub
+    pass — redaction itself is a deterministic regexp_replace with the
+    same patterns): per doc over doc_id < 300, counts of email-shaped,
+    phone-shaped (ES 9-digit groups), and IPv4-shaped spans, plus the
+    text length a redaction pass would preserve. Pure columnar regex —
+    at 100 TB this fuses into the scan like every other map stage."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"\b[679]\d{2}[ .-]?\d{3}[ .-]?\d{3}\b"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    # the synthetic corpus is PII-free, which would make this facet a
+    # wall of zeros; deterministic PII-shaped suffixes (same expression in
+    # the DuckDB twin) give every regex real positive AND negative signal
+    did = F.col("doc_id")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact: user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" tel: 612 345 "), F.lpad((did % 1000).cast("string"), 3, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" ip 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0))).alias("emails"),
+            F.size(F.regexp_extract_all(t, F.lit(phone), F.lit(0))).alias("phones"),
+            F.size(F.regexp_extract_all(t, F.lit(ipv4), F.lit(0))).alias("ipv4s"),
+            F.length(t).alias("n_chars"),
+        )
+        .withColumn(
+            "has_pii", (F.col("emails") + F.col("phones") + F.col("ipv4s")) > 0
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (tokenizer/vocab building): explode words ->
+    count -> top 50 by (count desc, token asc). One partial-agg shuffle on
+    the token; the top-k is a TakeOrdered, not a global sort of the
+    vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "token")
+        .limit(50)
+    )
