@@ -103,12 +103,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_quota": D.corpus_source_quota,
         "txt_pii_scan": D.txt_pii_scan,
         "corpus_vocab_topk": D.corpus_vocab_topk,
+        "events_json_props": Q.events_json_props,
         # -- backfill to 50 with the operators closest to the round-3 work
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
-        "c1_classify_documents": Q.c1_classify_documents,
         # ---------------- driver window boundary (50) ----------------
         # everything below is driver-green in r01/r02 and unchanged since
+        "c1_classify_documents": Q.c1_classify_documents,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
@@ -225,6 +226,17 @@ _P14_VINO = (
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "events_json_props": """
+            SELECT event_type,
+                   COUNT(*) AS eventos,
+                   CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS con_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS suma_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "txt_pii_scan": """
             WITH aug AS (
               SELECT doc_id,

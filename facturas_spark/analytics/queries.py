@@ -2021,3 +2021,25 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured sidecar parsing (every crawl/event pipeline carries
+    a JSON metadata column): extract ``$.k`` from the events props JSON
+    string, then integer-exact stats per event_type. get_json_object is
+    JVM-side (Jackson); at scale this is a map stage fused into the scan —
+    no UDF, no shuffle beyond the final per-type aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("eventos"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("con_k"),
+            F.sum("k").alias("suma_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
