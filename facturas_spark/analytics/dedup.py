@@ -1144,7 +1144,9 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_packing(
+    spark: SparkSession, sf_dir: str, shards: int | None = None
+) -> DataFrame:
     """Token-budget document packing (sequence packing for LLM training):
     assign docs, in deterministic doc_id order, to consecutive packs of
     <= 512 whitespace tokens via running-sum bucketing — pack_id =
@@ -1159,20 +1161,34 @@ def corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     budget = 512
     toks = F.size(_words(F.col("text")))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = docs.select("doc_id", toks.alias("tokens")).withColumn(
+    base = docs.select("doc_id", toks.alias("tokens"))
+    if shards is None:
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        group_cols = ["pack_id"]
+    else:
+        # cluster-scale layout: the running sum never leaves its shard, so
+        # the window is an ordinary per-partition scan — no global sort,
+        # no single-task stage; pack identity becomes (shard, pack_id)
+        base = base.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(shards)))
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        group_cols = ["shard", "pack_id"]
+    packed = base.withColumn(
         "pack_id",
         F.floor((F.sum("tokens").over(w) - F.col("tokens")) / budget).cast("bigint"),
     )
     return (
-        packed.groupBy("pack_id")
+        packed.groupBy(*group_cols)
         .agg(
             F.count("*").alias("docs"),
             F.sum("tokens").alias("tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy("pack_id")
+        .orderBy(*group_cols)
     )
 
 
