@@ -93,3 +93,46 @@ def test_sniff_never_raises_and_unknown_is_octet_stream(payload):
     )
     if not any(payload.startswith(m) for m in known_magic):
         assert mime == "application/octet-stream"
+
+
+# ---- extraction-kernel fuzz: crawl reality is arbitrary bytes ----------
+@settings(max_examples=60, deadline=None)
+@given(
+    html=st.one_of(st.none(), st.binary(max_size=400)),
+    text=st.one_of(st.none(), st.text(max_size=400)),
+)
+def test_extract_header_kernel_total_on_arbitrary_input(html, text):
+    """The fused header kernel must be TOTAL over crawl reality — None,
+    arbitrary binary (invalid UTF-8 included), control chars, lone
+    surrogates in text — returning exactly one well-typed row per doc."""
+    from facturas_spark.extraction.udf import extract_batch_header
+
+    out = extract_batch_header([html], [text])
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert isinstance(row["extracted_text"], str)
+    assert row["tipo_documento"] in (
+        "factura", "albaran", "ticket", "presupuesto", "desconocido", "otro",
+    ) or isinstance(row["tipo_documento"], str)
+    assert 0.0 <= row["confianza_global"] <= 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=300))
+def test_image_decoders_raise_cleanly_on_garbage(payload):
+    """Codec totality contract: garbage bytes either decode (if they
+    accidentally form a valid header) or raise ValueError/struct.error —
+    never an unbounded allocation or a foreign exception type."""
+    import struct
+
+    from facturas_spark.sources.codecs import decode_bmp, decode_png, decode_wav
+
+    for dec in (decode_bmp, decode_png, decode_wav):
+        try:
+            dec(payload)
+        except (ValueError, struct.error, IndexError, EOFError):
+            pass
+        except Exception as e:  # zlib garbage inside a valid PNG frame
+            import zlib
+
+            assert isinstance(e, zlib.error), (dec.__name__, type(e), e)
