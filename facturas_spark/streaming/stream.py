@@ -22,6 +22,7 @@ from facturas_spark.extraction.udf import extract_doc_udf
 
 __all__ = [
     "stream_extract_pages",
+    "stream_extract_to_bucketed",
     "stream_windowed_events",
     "stream_dedup_urls",
 ]
@@ -158,3 +159,77 @@ def stream_windowed_events(
             "total_valor",
         )
     )
+
+
+def stream_extract_to_bucketed(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+) -> None:
+    """availableNow stream -> header extraction -> url-hash-bucketed APPEND
+    sink with epoch-id idempotence — the canonical exactly-once
+    foreachBatch recipe joining the streaming path to the batch layout
+    (sources/io.py): the file-source checkpoint guarantees each input file
+    enters exactly one epoch, and the epoch ledger makes a RETRIED epoch a
+    no-op, so a failure between the parquet write and the checkpoint
+    commit cannot duplicate rows. Downstream readers see the same
+    bucket=K partition layout the batch job writes.
+
+    (Dynamic partition OVERWRITE — the batch job's idempotence mechanism —
+    would be wrong here: epoch 2 would clobber epoch 1's buckets. Append +
+    epoch dedup is the streaming-correct equivalent.)
+
+    Operational contract: the checkpoint and the epoch ledger are one
+    unit — epoch ids restart at 0 when the checkpoint is lost, so keep
+    both or delete both. (Deleting only the checkpoint degrades to
+    replay-suppression: correct for pure retries, wrong if new files
+    arrived since — the standard epoch-dedup trade-off.)"""
+    import json
+    import os
+
+    from facturas_spark.extraction.udf import extract_header_udf
+    from facturas_spark.pipeline import with_salt_bucket
+
+    ledger_dir = os.path.join(out_dir, "_epoch_manifest")
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def committed_epochs() -> set[int]:
+        return {
+            int(name[len("epoch="):-len(".json")])
+            for name in os.listdir(ledger_dir)
+            if name.startswith("epoch=") and name.endswith(".json")
+        }
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs():
+            return  # retried epoch: already durably written
+        extracted = (
+            batch_df.withColumn(
+                "_d", extract_header_udf(F.col("html"), F.col("text"))
+            )
+            .select("url", "warc_ts", "lang", F.col("_d.*"))
+        )
+        out = with_salt_bucket(extracted, n_buckets=n_buckets)
+        (
+            out.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, "extracted"))
+        )
+        tmp = os.path.join(ledger_dir, f".epoch={epoch_id}.json.tmp")
+        final = os.path.join(ledger_dir, f"epoch={epoch_id}.json")
+        with open(tmp, "w") as f:
+            json.dump({"epoch": int(epoch_id)}, f)
+        os.replace(tmp, final)  # atomic: the commit point
+
+    q = (
+        spark.readStream.schema(PAGES_DDL)
+        .format("parquet")
+        .load(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

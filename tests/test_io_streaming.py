@@ -394,3 +394,42 @@ def test_bucketed_join_without_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_stream_to_bucketed_exactly_once(spark, tmp_path):
+    """Streaming -> bucketed sink: (1) drains files into the bucket=K
+    layout; (2) a rerun with the checkpoint intact appends ONLY new files;
+    (3) a rerun with the checkpoint DELETED (worst-case retry: every epoch
+    replays) appends nothing — the epoch ledger makes replays no-ops."""
+    from facturas_spark.streaming.stream import PAGES_DDL, stream_extract_to_bucketed
+    from facturas_spark.synth import corpus_rows
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def drop(rows):
+        # write through Spark so the parquet timestamp physical type matches
+        # what the stream's reader schema expects
+        spark.createDataFrame(rows, PAGES_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    drop(corpus_rows(10, seed=1))
+    stream_extract_to_bucketed(spark, str(in_dir), str(out_dir), str(ckpt))
+    read = lambda: spark.read.parquet(str(out_dir / "extracted"))  # noqa: E731
+    assert read().count() == 10
+    assert "bucket" in read().columns
+
+    # new file -> only its rows appended
+    drop(corpus_rows(6, seed=2))
+    stream_extract_to_bucketed(spark, str(in_dir), str(out_dir), str(ckpt))
+    assert read().count() == 16
+
+    # checkpoint lost -> all epochs replay -> ledger suppresses every write
+    import shutil
+
+    shutil.rmtree(ckpt)
+    stream_extract_to_bucketed(spark, str(in_dir), str(out_dir), str(ckpt))
+    assert read().count() == 16
+    assert read().select("url").distinct().count() == 16
