@@ -224,6 +224,11 @@ def run_scaling() -> dict:
                 env={**os.environ,
                      "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "24g")},
             )
+            if out.returncode != 0 or not out.stdout.strip():
+                raise RuntimeError(
+                    f"scale-one {cores} failed (rc={out.returncode}); "
+                    f"stderr tail: {out.stderr[-2000:]}"
+                )
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             if cores not in results or r["sec"] < results[cores]["sec"]:
@@ -285,15 +290,15 @@ def _compact(out: dict, limit: int = 1700) -> dict:
     slim = dict(out)
     ranked = sorted(out["queries"].items(), key=lambda kv: kv[1], reverse=True)
     keep = len(ranked)
-    while keep > 5:
+    while keep >= 0:
         slim["queries"] = dict(
             sorted(ranked[:keep])  # alphabetical for diffability
         )
         slim["queries_elided"] = len(ranked) - keep
         slim["queries_full_file"] = "BENCH_full.json"
-        if len(json.dumps(slim)) <= limit:
+        if len(json.dumps(slim)) <= limit or keep == 0:
             return slim
-        keep -= 5
+        keep = max(keep - 5, 0)
     return slim
 
 

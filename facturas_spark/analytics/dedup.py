@@ -1004,8 +1004,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("pid").alias("exact_match"))
     )
 
-    sh_b = _shingle_table(batch)
-    sh_c = _shingle_table(corpus)
+    # each shingle table feeds BOTH the band join and the Jaccard verify —
+    # persist so tokenization + minhash signatures compute once per side
+    # (session-lifetime cache, same trade dedup_lsh_clusters makes)
+    sh_b = _shingle_table(batch).persist()
+    sh_c = _shingle_table(corpus).persist()
     cand = (
         _band_table(sh_b)
         .withColumnRenamed("doc_id", "bid")

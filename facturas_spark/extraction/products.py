@@ -109,7 +109,9 @@ _PRICE_PATTERNS = [
 ]
 
 
-_PRICE_EOL = re.compile(r"(\d+[,\.]\d{2})$")
+# the no-euro-marker fast path applies exactly bank pattern [4]; alias it
+# so the two can never drift apart
+_PRICE_EOL = _PRICE_PATTERNS[4]
 
 
 def extract_price(text: str | None) -> float | None:

@@ -232,6 +232,14 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                 m = meta_cache.get(mid)
                 if m is None:
                     m = meta_cache[mid] = decode_y4m_header(bytes(p))
+                if m["n_frames"] <= 0:
+                    # header-only (truncated) stream: the JVM grid still
+                    # emits ts 0.0 — null the stats instead of a negative
+                    # seek that would kill the task
+                    idxs.append(None)
+                    means.append(None)
+                    stds.append(None)
+                    continue
                 k = min(int(t * m["fps"]), m["n_frames"] - 1)
                 luma = decode_y4m_frame(p, m, k)
                 idxs.append(k)
@@ -273,8 +281,18 @@ def audio_features(media: DataFrame) -> DataFrame:
                 dur = len(samples) / rate
                 durs.append(dur)
                 buckets.append(int(math.floor(dur / 10.0)))
+                # truncated/empty PCM is routine in crawled audio: the
+                # operator must stay total (empty -> silent-zero features),
+                # not fail the whole Arrow batch on np.mean([]) / rfft([])
+                if len(x) == 0:
+                    rmss.append(0.0)
+                    embs.append([0.0] * _N_FFT_BANDS)
+                    continue
                 rmss.append(float(np.sqrt(np.mean(x * x))))
                 spec = np.abs(np.fft.rfft(x[: 4096])) ** 2
+                if len(spec) < 2:
+                    embs.append([0.0] * _N_FFT_BANDS)
+                    continue
                 edges = np.unique(
                     np.geomspace(1, len(spec) - 1, _N_FFT_BANDS + 1).astype(int)
                 )

@@ -168,29 +168,29 @@ def stream_extract_to_bucketed(
     checkpoint_dir: str,
     n_buckets: int = 8,
 ) -> None:
-    """availableNow stream -> header extraction -> url-hash-bucketed APPEND
-    sink with epoch-id idempotence — the canonical exactly-once
-    foreachBatch recipe joining the streaming path to the batch layout
-    (sources/io.py): the file-source checkpoint guarantees each input file
-    enters exactly one epoch, and the epoch ledger makes a RETRIED epoch a
-    no-op, so a failure between the parquet write and the checkpoint
-    commit cannot duplicate rows. Downstream readers see the same
-    bucket=K partition layout the batch job writes.
+    """availableNow stream -> header extraction -> exactly-once bucketed
+    sink, joining the streaming path to the batch layout (sources/io.py).
 
-    (Dynamic partition OVERWRITE — the batch job's idempotence mechanism —
-    would be wrong here: epoch 2 would clobber epoch 1's buckets. Append +
-    epoch dedup is the streaming-correct equivalent.)
+    Idempotence comes from the WRITE, not from bookkeeping: each epoch
+    owns the directory ``extracted/epoch=<id>`` and overwrites it whole,
+    so the worst-case failure — crash AFTER the parquet write but BEFORE
+    the streaming checkpoint commit — just makes the replayed epoch
+    rewrite an identical directory. (A plain append sink duplicates the
+    epoch on exactly that crash; the batch job's dynamic partition
+    overwrite is also wrong here — epoch 2 would clobber epoch 1's
+    buckets.) The epoch ledger is the retry fast path + observability.
+    Downstream readers read ``extracted/`` recursively; epoch and bucket
+    surface as partition columns, bucket remaining the url-hash layout
+    the batch job writes.
 
     Operational contract: the checkpoint and the epoch ledger are one
     unit — epoch ids restart at 0 when the checkpoint is lost, so keep
-    both or delete both. (Deleting only the checkpoint degrades to
-    replay-suppression: correct for pure retries, wrong if new files
-    arrived since — the standard epoch-dedup trade-off.)"""
+    both or delete both (a replayed epoch id overwrites that epoch's
+    directory with whatever the new epoch contains)."""
     import json
     import os
 
-    from facturas_spark.extraction.udf import extract_header_udf
-    from facturas_spark.pipeline import with_salt_bucket
+    from facturas_spark.pipeline import extract_pages, with_salt_bucket
 
     ledger_dir = os.path.join(out_dir, "_epoch_manifest")
     os.makedirs(ledger_dir, exist_ok=True)
@@ -204,24 +204,18 @@ def stream_extract_to_bucketed(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in committed_epochs():
-            return  # retried epoch: already durably written
-        extracted = (
-            batch_df.withColumn(
-                "_d", extract_header_udf(F.col("html"), F.col("text"))
-            )
-            .select("url", "warc_ts", "lang", F.col("_d.*"))
-        )
-        out = with_salt_bucket(extracted, n_buckets=n_buckets)
+            return  # fast path: retried epoch already durably committed
+        out = with_salt_bucket(extract_pages(batch_df), n_buckets=n_buckets)
         (
-            out.write.mode("append")
+            out.write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(out_dir, "extracted"))
+            .parquet(os.path.join(out_dir, "extracted", f"epoch={epoch_id}"))
         )
         tmp = os.path.join(ledger_dir, f".epoch={epoch_id}.json.tmp")
         final = os.path.join(ledger_dir, f"epoch={epoch_id}.json")
         with open(tmp, "w") as f:
             json.dump({"epoch": int(epoch_id)}, f)
-        os.replace(tmp, final)  # atomic: the commit point
+        os.replace(tmp, final)
 
     q = (
         spark.readStream.schema(PAGES_DDL)

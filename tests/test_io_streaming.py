@@ -421,14 +421,23 @@ def test_stream_to_bucketed_exactly_once(spark, tmp_path):
     assert read().count() == 10
     assert "bucket" in read().columns
 
+    # THE crash window: parquet written, but neither the ledger entry nor
+    # the streaming checkpoint committed -> the epoch replays and must
+    # overwrite its own directory, not append to it
+    import shutil
+
+    (out_dir / "_epoch_manifest" / "epoch=0.json").unlink()
+    shutil.rmtree(ckpt)
+    stream_extract_to_bucketed(spark, str(in_dir), str(out_dir), str(ckpt))
+    assert read().count() == 10
+    assert read().select("url").distinct().count() == 10
+
     # new file -> only its rows appended
     drop(corpus_rows(6, seed=2))
     stream_extract_to_bucketed(spark, str(in_dir), str(out_dir), str(ckpt))
     assert read().count() == 16
 
     # checkpoint lost -> all epochs replay -> ledger suppresses every write
-    import shutil
-
     shutil.rmtree(ckpt)
     stream_extract_to_bucketed(spark, str(in_dir), str(out_dir), str(ckpt))
     assert read().count() == 16
