@@ -404,16 +404,12 @@ def _min_label_components(
 # suite's most expensive op, and dedup_canonical_corpus consumes exactly
 # dedup_clusters' output — computing it twice per session is pure waste.
 # Keyed by (sc id, sf_dir, kind); values stay persisted.
-_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cached_components(spark: SparkSession, sf_dir: str, kind: str, make) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
-    if key not in _CLUSTER_CACHE:
-        # localCheckpoint: materialized AND plan-truncated (a persist here
-        # would keep the loop's whole nested plan alive for re-analysis)
-        _CLUSTER_CACHE[key] = make().localCheckpoint(eager=True)
-    return _CLUSTER_CACHE[key]
+    from facturas_spark.analytics.cache import session_cached
+
+    return session_cached(spark, sf_dir, f"components:{kind}", make)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,7 +62,20 @@ def _platos_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     model cartas without a printed price -> NULL, the reference's
     'SIN PRECIO' class); food_cost_total = the order's net line spend
     scaled by a deterministic per-order factor (1 + o_orderkey % 6) / 10
-    so the food-cost %% spread exercises every rentability bucket."""
+    so the food-cost %% spread exercises every rentability bucket.
+
+    Session-cached: esc_food_cost_platos and esc_resumen_global both
+    consume this orders⨝lineitem aggregation, so the first caller
+    materializes it and the second reuses it (at cluster scale: a
+    persisted staging table instead of the local checkpoint)."""
+    from facturas_spark.analytics.cache import session_cached
+
+    return session_cached(
+        spark, sf_dir, "platos_base", lambda: _platos_base_plan(spark, sf_dir)
+    )
+
+
+def _platos_base_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facturas_spark.analytics.queries import _rev_e4
 
     orders = _t(spark, sf_dir, "orders")
