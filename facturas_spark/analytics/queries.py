@@ -523,6 +523,7 @@ def ocr_layout_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "tokens": [dict(tok.asDict()) if hasattr(tok, "asDict") else dict(tok) for tok in p["tokens"]],
                     "lines": [dict(x.asDict()) if hasattr(x, "asDict") else dict(x) for x in p["lines"]],
                     "blocks": [dict(x.asDict()) if hasattr(x, "asDict") else dict(x) for x in p["blocks"]],
+                    "paragraphs": [dict(x.asDict()) if hasattr(x, "asDict") else dict(x) for x in p["paragraphs"]],
                     "tables": [
                         {
                             "header_cells": [dict(c.asDict()) if hasattr(c, "asDict") else dict(c) for c in tb["header_cells"]],

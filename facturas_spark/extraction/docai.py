@@ -29,6 +29,7 @@ __all__ = [
     "docai_to_ocr_doc",
     "docai_form_fields",
     "docai_entities",
+    "docai_walk_coordinates",
 ]
 
 
@@ -94,10 +95,103 @@ def docai_to_ocr_doc(doc: dict[str, Any], url: str = "docai://fixture") -> dict:
                 "tokens": spans("tokens"),
                 "lines": spans("lines"),
                 "blocks": spans("blocks"),
+                "paragraphs": spans("paragraphs"),
                 "tables": tables_out,
             }
         )
     return {"url": url, "text": text, "pages": pages_out}
+
+
+# the full-walk variant's containers, reference order + priors
+# (process-invoice/index.ts:3923-3932): the first four mirror the T3 walk,
+# the last four are the form-parser additions at a flat 0.8 prior
+_WALK_CONTAINERS = (
+    ("blocks", "block", 0.7),
+    ("paragraphs", "paragraph", 0.75),
+    ("lines", "line", 0.85),
+    ("tokens", "token", 0.9),
+    ("formFields", "formField", 0.8),
+    ("tables", "table", 0.8),
+    ("tableRows", "tableRow", 0.8),
+    ("tableCells", "tableCell", 0.8),
+)
+
+
+def _anchor_text(text: str, layout: dict[str, Any] | None) -> str:
+    """getTextFromAnchor over ALL textSegments (index.ts:3902-3918):
+    concatenate every valid [start,end) slice, then trim."""
+    from facturas_spark.extraction.spans import text_from_segments
+
+    segs = ((layout or {}).get("textAnchor") or {}).get("textSegments") or []
+    pairs = []
+    for s in segs:
+        try:
+            pairs.append((int(s.get("startIndex", 0)), int(s["endIndex"])))
+        except (KeyError, TypeError, ValueError):
+            continue
+    return text_from_segments(text, pairs)
+
+
+def docai_walk_coordinates(doc: dict[str, Any]) -> dict[str, dict]:
+    """T3 full-walk variant (process-invoice/index.ts:3894-3977): walk all
+    EIGHT container kinds of a raw Document-AI response — blocks,
+    paragraphs, lines, tokens at the layout priors plus formFields,
+    tables, tableRows, tableCells at 0.8 — and emit the reference's
+    ``coordenadasCampos`` map keyed ``pagina_{p}_{kind}_{i}`` (1-based).
+
+    Text resolution follows the reference's fallback chain
+    (index.ts:3941-3955): item.layout anchor, then fieldName anchor, then
+    fieldValue anchor, then a 'Tabla: h1 | h2; ...' render of headerRows,
+    then a 'Filas: ...' render of bodyRows; an element whose chain yields
+    nothing gets the placeholder ``Elemento {kind} {i}``. Elements
+    without resolvable coordinates are dropped (extractCoordinates
+    returns null — index.ts:375-379)."""
+    text = doc.get("text") or ""
+    out: dict[str, dict] = {}
+    for p_idx, page in enumerate(doc.get("pages") or []):
+        dim = page.get("dimension") or {}
+        w = float(dim.get("width") or 595.0)
+        h = float(dim.get("height") or 842.0)
+        for field, key, conf in _WALK_CONTAINERS:
+            for i, item in enumerate(page.get(field) or []):
+                item_text = ""
+                if (item.get("layout") or {}).get("textAnchor"):
+                    item_text = _anchor_text(text, item.get("layout"))
+                elif (item.get("fieldName") or {}).get("textAnchor"):
+                    item_text = _anchor_text(text, item.get("fieldName"))
+                elif (item.get("fieldValue") or {}).get("textAnchor"):
+                    item_text = _anchor_text(text, item.get("fieldValue"))
+                elif item.get("headerRows"):
+                    item_text = "Tabla: " + "; ".join(
+                        " | ".join(
+                            _anchor_text(text, c.get("layout"))
+                            for c in (row.get("cells") or [])
+                        )
+                        for row in item["headerRows"]
+                    )
+                elif item.get("bodyRows"):
+                    item_text = "Filas: " + "; ".join(
+                        " | ".join(
+                            _anchor_text(text, c.get("layout"))
+                            for c in (row.get("cells") or [])
+                        )
+                        for row in item["bodyRows"]
+                    )
+                # coordinate precedence as in extractCoordinates: the
+                # item's layout encodings first, then item-level boxes
+                box = normalize_box(item.get("layout"), w, h) or normalize_box(
+                    item, w, h
+                )
+                if box is None:
+                    continue
+                out[f"pagina_{p_idx + 1}_{key}_{i + 1}"] = {
+                    **box,
+                    "confidence": conf,
+                    "texto": item_text or f"Elemento {key} {i + 1}",
+                    "pagina": p_idx + 1,
+                    "tipo": key,
+                }
+    return out
 
 
 def docai_form_fields(doc: dict[str, Any]) -> list[tuple[str, str, float]]:

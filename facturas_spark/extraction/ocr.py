@@ -41,37 +41,53 @@ OCR_DOC_DDL = (
     "url string, text string, pages array<struct<"
     "page_no: int, width: double, height: double, "
     f"tokens: {_SPAN_DDL}, lines: {_SPAN_DDL}, blocks: {_SPAN_DDL}, "
+    f"paragraphs: {_SPAN_DDL}, "
     "tables: array<struct<"
     "  header_cells: array<struct<start: long, end: long>>, "
     "  body_rows: array<array<struct<start: long, end: long>>>>>"
     ">>"
 )
 
-_KIND_PRIORS = {"blocks": 0.7, "paragraphs": 0.75, "lines": 0.85, "tokens": 0.9}
+# (container field, reference key, confidence prior) in the reference's
+# walk order — process-invoice/index.ts:1125-1130: block 0.7 /
+# paragraph 0.75 / line 0.85 / token 0.9
+_CONTAINERS = (
+    ("blocks", "block", 0.7),
+    ("paragraphs", "paragraph", 0.75),
+    ("lines", "line", 0.85),
+    ("tokens", "token", 0.9),
+)
+_KIND_PRIORS = {field: conf for field, _key, conf in _CONTAINERS}
 
 
 def walk_layout(text: str, pages: list[dict]) -> list[dict]:
     """T3: emit one element per layout container with byte-identical span
     text, pixel coords, and the reference's per-kind confidence prior.
-    Element ids follow the reference shape ``pagina_{p}_{kind}_{i}``."""
+    Element ids follow the reference shape exactly —
+    ``pagina_{p}_{kind}_{i}`` with the SINGULAR container key and both
+    indices 1-based (index.ts:1141 ``pagina_${pageIndex+1}_${key}_${idx+1}``).
+    Containers walked in reference order: blocks, paragraphs, lines,
+    tokens. Elements whose anchor reconstructs to empty text (invalid or
+    out-of-bounds segments) are skipped, matching the reference's trimmed
+    getTextFromAnchor + null-coords gate."""
     elements: list[dict] = []
     for p, page in enumerate(pages or []):
-        for kind in ("blocks", "lines", "tokens"):
-            for i, el in enumerate(page.get(kind) or []):
+        for field, key, conf in _CONTAINERS:
+            for i, el in enumerate(page.get(field) or []):
                 span_text = text_from_segments(text, [(el.get("start"), el.get("end"))])
                 if not span_text:
                     continue
                 elements.append(
                     {
-                        "id": f"pagina_{p + 1}_{kind}_{i}",
+                        "id": f"pagina_{p + 1}_{key}_{i + 1}",
                         "page_no": page.get("page_no", p + 1),
-                        "kind": kind,
+                        "kind": key,
                         "texto": span_text,
                         "x": el.get("x"),
                         "y": el.get("y"),
                         "w": el.get("w"),
                         "h": el.get("h"),
-                        "conf": _KIND_PRIORS[kind],
+                        "conf": conf,
                     }
                 )
     return elements

@@ -348,6 +348,21 @@ def synth_ocr_doc(i: int, seed: int = 42) -> dict:
                     table_cells[(r - 4, c)] = span
     blocks.append({"start": 0, "end": pos - 1, "x": 50.0, "y": 70.0,
                    "w": width - 100.0, "h": row_h * len(rows_words), "conf": 0.9})
+    # paragraphs: consecutive line pairs (Document AI paragraphs sit
+    # between lines and blocks in the layout hierarchy; the walk assigns
+    # them the 0.75 prior — index.ts:1128)
+    paragraphs = []
+    for r0 in range(0, len(lines), 2):
+        pair = lines[r0 : r0 + 2]
+        paragraphs.append(
+            {
+                "start": pair[0]["start"], "end": pair[-1]["end"],
+                "x": 60.0, "y": pair[0]["y"],
+                "w": max(ln["w"] for ln in pair),
+                "h": sum(ln["h"] for ln in pair),
+                "conf": 0.95,
+            }
+        )
     text = "".join(text_parts)
 
     header_cells = [
@@ -368,6 +383,7 @@ def synth_ocr_doc(i: int, seed: int = 42) -> dict:
     page = {
         "page_no": 1, "width": width, "height": height,
         "tokens": tokens, "lines": lines, "blocks": blocks,
+        "paragraphs": paragraphs,
         "tables": [{"header_cells": header_cells, "body_rows": body_rows}],
     }
     return {
@@ -397,6 +413,7 @@ def ocr_rows(n_docs: int, seed: int = 42) -> list[tuple]:
                 [tuple(t[k] for k in ("start", "end", "x", "y", "w", "h", "conf")) for t in p["tokens"]],
                 [tuple(t[k] for k in ("start", "end", "x", "y", "w", "h", "conf")) for t in p["lines"]],
                 [tuple(t[k] for k in ("start", "end", "x", "y", "w", "h", "conf")) for t in p["blocks"]],
+                [tuple(t[k] for k in ("start", "end", "x", "y", "w", "h", "conf")) for t in p["paragraphs"]],
                 [
                     (
                         [(c["start"], c["end"]) for c in tb["header_cells"]],

@@ -65,17 +65,45 @@ def test_t1_t3_byte_identical_spans(ocr_doc):
     from facturas_spark.extraction.ocr import walk_layout
 
     els = walk_layout(ocr_doc["text"], ocr_doc["pages"])
-    assert len(els) == 337  # 66 blocks + 84 lines + 187 tokens, all valid
+    # 66 blocks + 66 paragraphs + 84 lines + 187 tokens, all valid
+    assert len(els) == 403
     for e in els:
         assert e["texto"] == e["texto"].strip() and e["texto"]
         assert e["texto"] in ocr_doc["text"]
-    lines = {e["texto"] for e in els if e["kind"] == "lines"}
+    lines = {e["texto"] for e in els if e["kind"] == "line"}
     assert "DIMARBA" in lines
     assert "C.I.F. B11039138" in lines          # supplier CIF
     assert "C.I.F. B56390065" in lines          # client CIF
     assert "43001874" in lines                  # the real invoice number
     assert "OL/000175 Fecha: 14/07/2025" in lines  # the ALB ref line
     assert "TOTAL FACTURA:" in lines
+
+
+def test_t3_full_walk_variant(docai_doc):
+    """The formFields/tables walk variant (index.ts:3894-3977) on the real
+    fixture. Pins two reference behaviors:
+
+    - tables DO emit (they carry a layout with boundingPoly): 5 elements
+      at the flat 0.8 prior, keyed 1-based with the singular kind;
+    - formFields emit NOTHING even though the page has 18 — the fixture
+      keeps boundingPoly inside fieldName/fieldValue, but
+      extractCoordinates only checks item.layout / item.boundingBox /
+      item.boundingPoly (index.ts:350-374), finds none, and returns null.
+      Faithful means reproducing that miss, not fixing it."""
+    from facturas_spark.extraction.docai import docai_walk_coordinates
+
+    coords = docai_walk_coordinates(docai_doc)
+    tipos = {}
+    for v in coords.values():
+        tipos[v["tipo"]] = tipos.get(v["tipo"], 0) + 1
+    assert tipos == {"block": 66, "paragraph": 66, "line": 84, "token": 187, "table": 5}
+    assert "formField" not in tipos  # the pinned null-coords miss
+    t1 = coords["pagina_1_table_1"]
+    assert t1["confidence"] == 0.8 and t1["pagina"] == 1
+    assert t1["texto"].startswith("ALBARÁN")
+    # paragraph prior 0.75, layout kinds keep their T3 priors
+    assert coords["pagina_1_paragraph_1"]["confidence"] == 0.75
+    assert coords["pagina_1_block_1"]["confidence"] == 0.7
 
 
 def test_p1_table_line_items(ocr_doc):

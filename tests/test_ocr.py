@@ -28,20 +28,28 @@ def test_walk_layout_byte_identical():
         for el in els:
             assert el["texto"] == el["texto"].strip()
             assert len(el["texto"]) > 0
-        # confidence priors per kind
+        # confidence priors per kind (reference singular keys, index.ts:1125-1130)
         kinds = {e["kind"]: e["conf"] for e in els}
-        assert kinds["blocks"] == 0.7
-        assert kinds["lines"] == 0.85
-        assert kinds["tokens"] == 0.9
+        assert kinds["block"] == 0.7
+        assert kinds["paragraph"] == 0.75
+        assert kinds["line"] == 0.85
+        assert kinds["token"] == 0.9
         # block 0 covers the whole text
-        block = next(e for e in els if e["kind"] == "blocks")
+        block = next(e for e in els if e["kind"] == "block")
         assert block["texto"] == doc["text"].strip()
+        # ids are 1-based with the singular container key (index.ts:1141)
+        assert block["id"] == "pagina_1_block_1"
+        # paragraphs pair consecutive lines: first paragraph = lines 1+2
+        line_texts = [e["texto"] for e in els if e["kind"] == "line"]
+        para = next(e for e in els if e["kind"] == "paragraph")
+        assert para["texto"].startswith(line_texts[0])
+        assert para["texto"].endswith(line_texts[1])
 
 
 def test_walk_layout_drops_out_of_bounds():
     doc = DOCS[0]
     n_tokens_in = len(doc["pages"][0]["tokens"])
-    els = [e for e in walk_layout(doc["text"], doc["pages"]) if e["kind"] == "tokens"]
+    els = [e for e in walk_layout(doc["text"], doc["pages"]) if e["kind"] == "token"]
     assert len(els) == n_tokens_in - 1  # the deliberate OOB token dropped
 
 
