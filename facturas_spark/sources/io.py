@@ -18,7 +18,6 @@ leaves only uncommitted buckets to redo.
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 
@@ -57,30 +56,34 @@ def write_bucketed(df: DataFrame, path: str, n_buckets: int = 16) -> None:
 
 @dataclass
 class LineageManifest:
-    """Committed-bucket ledger: one JSON file per committed bucket under
-    ``<dir>/_manifest/bucket=<k>.json`` with rows + metric digest."""
+    """Committed-bucket ledger: one JSON marker per committed bucket under
+    ``<dir>/_manifest/bucket=<k>.json`` with rows + metric digest.
+
+    I/O goes through :class:`facturas_spark.sources.fs.CommitFS` — the
+    JVM Hadoop FileSystem API — so the ledger works unchanged against
+    ``file://`` here and ``hdfs://``/``s3a://`` on a cluster (rename
+    commit where rename is atomic, direct single-object PUT where it is
+    not). Pure-Python callers with no JVM get a POSIX fallback with the
+    same crash-safety contract."""
 
     manifest_dir: str
 
     def __post_init__(self) -> None:
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        from facturas_spark.sources.fs import CommitFS
+
+        self._fs = CommitFS(self.manifest_dir)
 
     def committed(self) -> dict[int, dict]:
         out = {}
-        for name in os.listdir(self.manifest_dir):
+        for name in self._fs.list_names():
             if name.startswith("bucket=") and name.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    entry = json.load(f)
+                entry = self._fs.read_json(name)
                 out[int(entry["bucket"])] = entry
         return out
 
     def commit(self, bucket: int, rows: int, digest: str) -> None:
         entry = {"bucket": bucket, "rows": rows, "digest": digest}
-        tmp = os.path.join(self.manifest_dir, f".bucket={bucket}.json.tmp")
-        final = os.path.join(self.manifest_dir, f"bucket={bucket}.json")
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        os.replace(tmp, final)  # atomic: a crash never leaves a half commit
+        self._fs.write_json(f"bucket={bucket}.json", entry)
 
 
 def run_with_resume(

@@ -187,18 +187,20 @@ def stream_extract_to_bucketed(
     unit — epoch ids restart at 0 when the checkpoint is lost, so keep
     both or delete both (a replayed epoch id overwrites that epoch's
     directory with whatever the new epoch contains)."""
-    import json
     import os
 
     from facturas_spark.pipeline import extract_pages, with_salt_bucket
+    from facturas_spark.sources.fs import CommitFS
 
-    ledger_dir = os.path.join(out_dir, "_epoch_manifest")
-    os.makedirs(ledger_dir, exist_ok=True)
+    # epoch ledger through the Hadoop FileSystem API: same code path for
+    # file:// here and hdfs://-or-s3a:// sinks on a cluster (CommitFS
+    # picks rename-commit vs direct-PUT per scheme)
+    ledger = CommitFS(os.path.join(out_dir, "_epoch_manifest"), spark=spark)
 
     def committed_epochs() -> set[int]:
         return {
             int(name[len("epoch="):-len(".json")])
-            for name in os.listdir(ledger_dir)
+            for name in ledger.list_names()
             if name.startswith("epoch=") and name.endswith(".json")
         }
 
@@ -211,11 +213,7 @@ def stream_extract_to_bucketed(
             .partitionBy("bucket")
             .parquet(os.path.join(out_dir, "extracted", f"epoch={epoch_id}"))
         )
-        tmp = os.path.join(ledger_dir, f".epoch={epoch_id}.json.tmp")
-        final = os.path.join(ledger_dir, f"epoch={epoch_id}.json")
-        with open(tmp, "w") as f:
-            json.dump({"epoch": int(epoch_id)}, f)
-        os.replace(tmp, final)
+        ledger.write_json(f"epoch={epoch_id}.json", {"epoch": int(epoch_id)})
 
     q = (
         spark.readStream.schema(PAGES_DDL)

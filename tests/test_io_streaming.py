@@ -442,3 +442,32 @@ def test_stream_to_bucketed_exactly_once(spark, tmp_path):
     stream_extract_to_bucketed(spark, str(in_dir), str(out_dir), str(ckpt))
     assert read().count() == 16
     assert read().select("url").distinct().count() == 16
+
+
+def test_commitfs_hadoop_route(spark, tmp_path):
+    """CommitFS must take the JVM Hadoop FileSystem route when a session
+    is active (the object-store-safe path), and the marker protocol must
+    hold: tmp files are never visible as committed names, re-commit
+    overwrites idempotently."""
+    from facturas_spark.sources.fs import CommitFS
+
+    fs = CommitFS(str(tmp_path / "ledger"), spark=spark)
+    assert fs._jfs is not None  # JVM route, not the POSIX fallback
+    assert fs._scheme == "file"
+    fs.write_json("bucket=1.json", {"bucket": 1, "rows": 10})
+    fs.write_json("bucket=2.json", {"bucket": 2, "rows": 20})
+    fs.write_json("bucket=1.json", {"bucket": 1, "rows": 10})  # idempotent
+    names = [n for n in fs.list_names() if n.endswith(".json")]
+    assert sorted(names) == ["bucket=1.json", "bucket=2.json"]
+    assert not [n for n in fs.list_names() if n.endswith(".tmp")]
+    assert fs.read_json("bucket=1.json")["rows"] == 10
+
+
+def test_lineage_manifest_uses_hadoop_fs(spark, tmp_path):
+    """The manifest the resume job writes must route through CommitFS's
+    JVM path while a session is up — the same code that serves s3a:// in
+    production."""
+    m = LineageManifest(str(tmp_path / "_m"))
+    assert m._fs._jfs is not None
+    m.commit(7, 42, "digest")
+    assert m.committed()[7] == {"bucket": 7, "rows": 42, "digest": "digest"}
