@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cotejo_inverso_pipeline": Q.cotejo_inverso_pipeline,
         "ocr_layout_extraction": Q.ocr_layout_extraction,
         "multimodal_features": Q.multimodal_features,
+        # -- added in round 4: deterministic embedder facets
+        "embed_fingerprint_stats": D.embed_fingerprint_stats,
+        "extract_embed_ann": D.extract_embed_ann,
         # -- changed or added in round 3: need fresh driver rows
         "dedup_embedding_lsh": D.dedup_embedding_lsh,
         "dedup_lsh_clusters": D.dedup_lsh_clusters,
@@ -226,6 +229,48 @@ _P14_VINO = (
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "embed_fingerprint_stats": """
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS s
+              FROM documents WHERE doc_id < 150
+            ), grams AS (
+              SELECT doc_id, md5(substr(s, CAST(i AS INTEGER), 3)) AS h
+              FROM d, LATERAL unnest(range(1, len(s) - 1)) AS t(i)
+              WHERE len(s) >= 3
+            ), buckets AS (
+              -- bucket = int(md5[:4], 16) %% 64 depends only on the last
+              -- two hex digits (4096 and 256 are both 0 mod 64)
+              SELECT doc_id,
+                     ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 64 AS bucket,
+                     CASE WHEN strpos('0123456789abcdef', substr(h, 5, 1)) - 1 < 8
+                          THEN 1 ELSE -1 END AS sgn
+              FROM grams
+            ), vec AS (
+              SELECT doc_id, bucket, SUM(sgn) AS v
+              FROM buckets GROUP BY doc_id, bucket
+            ), mx AS (
+              SELECT doc_id, MAX(v) AS mv FROM vec GROUP BY doc_id
+            ), stats AS (
+              SELECT vec.doc_id,
+                     COUNT(*) FILTER (WHERE v <> 0) AS nnz,
+                     SUM(v) AS checksum,
+                     SUM(v * v) AS sumsq,
+                     MIN(bucket) FILTER (WHERE v = mv) AS max_dim
+              FROM vec JOIN mx ON vec.doc_id = mx.doc_id
+              GROUP BY vec.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(GREATEST(len(s) - 2, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(nnz, 0) AS BIGINT) AS nnz,
+                   CAST(COALESCE(checksum, 0) AS BIGINT) AS checksum,
+                   CAST(COALESCE(sumsq, 0) AS BIGINT) AS sumsq,
+                   CAST(max_dim AS BIGINT) AS max_dim,
+                   ROUND(sqrt(CAST(COALESCE(sumsq, 0) AS DOUBLE)), 4) AS l2
+            FROM d LEFT JOIN stats ON d.doc_id = stats.doc_id
+            ORDER BY d.doc_id
+        """,
         "events_json_props": """
             SELECT event_type,
                    COUNT(*) AS eventos,

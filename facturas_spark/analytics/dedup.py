@@ -1260,6 +1260,112 @@ def txt_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-embedder verification facet (oracle-twinned): per doc
+    over doc_id < 150, integer-exact stats of the hashed char-3-gram
+    projection (extraction/embed.py — the engine's stand-in for the
+    reference's OpenAI embedding write, index.ts:5370-5519):
+
+    - n_grams   — 3-gram count of the normalized text
+    - nnz       — buckets with a nonzero signed count
+    - checksum  — sum of the signed counts (integer, order-free)
+    - sumsq     — sum of squared counts (the squared L2 norm, integer)
+    - max_dim   — smallest TOUCHED bucket holding the maximum count
+                  (touched-only so sign cancellation can't tie against
+                  never-touched zero dims); NULL when no grams
+    - l2        — round(sqrt(sumsq), 4)
+
+    Every stat before l2 is an integer, so the DuckDB twin (same md5
+    bucket/sign arithmetic in SQL) matches bit-for-bit regardless of
+    partitioning. Scale: pure map stage + presentation sort."""
+    from pyspark.sql.functions import pandas_udf
+
+    from facturas_spark.extraction.embed import EMBED_DIM, _normalize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    @pandas_udf("n_grams long, nnz long, checksum long, sumsq long, max_dim long")
+    def stats(text):
+        import hashlib
+
+        import pandas as pd
+
+        out = []
+        for t in text:
+            s = _normalize(t)
+            touched: dict[int, int] = {}
+            for i in range(len(s) - 2):
+                h = hashlib.md5(s[i : i + 3].encode("utf-8")).hexdigest()
+                b = int(h[:4], 16) % EMBED_DIM
+                touched[b] = touched.get(b, 0) + (1 if int(h[4], 16) < 8 else -1)
+            n_grams = max(len(s) - 2, 0)
+            if touched:
+                mx = max(touched.values())
+                max_dim = min(b for b, v in touched.items() if v == mx)
+            else:
+                max_dim = None
+            out.append(
+                (
+                    n_grams,
+                    sum(1 for v in touched.values() if v != 0),
+                    sum(touched.values()),
+                    sum(v * v for v in touched.values()),
+                    max_dim,
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["n_grams", "nnz", "checksum", "sumsq", "max_dim"]
+        )
+
+    return (
+        docs.select("doc_id", stats("text").alias("s"))
+        .select("doc_id", "s.*")
+        .withColumn("l2", F.round(F.sqrt(F.col("sumsq").cast("double")), 4))
+        .orderBy("doc_id")
+    )
+
+
+def extract_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic pipeline, rows-only: extraction (boilerplate
+    strip + field extraction over the pages shape) -> deterministic
+    embedding of the EXTRACTED text -> brute-force cosine top-10 against
+    a fixed query embedding. This is the reference's full
+    process-invoice -> embeddings -> semantic-search loop
+    (index.ts:4181-5519) with the network stages replaced by the
+    deterministic embedder; no oracle because the extraction UDF is not
+    SQL-expressible.
+
+    Scale: extraction+embed fuse into one map stage; the top-k is a
+    TakeOrdered (no global sort); the query vector is a literal (no
+    driver collect)."""
+    from facturas_spark.extraction.embed import embed_udf, embed_vector
+    from facturas_spark.pipeline import extract_pages
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pages = docs.select(
+        F.concat(F.lit("synthetic://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    extracted = extract_pages(pages).select("url", "extracted_text")
+    emb = extracted.withColumn("embedding", embed_udf("extracted_text")).filter(
+        F.col("embedding").isNotNull()
+    )
+    qvec = embed_vector("aceite de oliva virgen extra")
+    emb = emb.withColumn(
+        "qe", F.array(*[F.lit(float(x)) for x in qvec])
+    )
+    return (
+        emb.select(
+            "url", F.round(_cosine("embedding", "qe"), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "url")
+        .limit(10)
+    )
+
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head (tokenizer/vocab building): explode words ->
     count -> top 50 by (count desc, token asc). One partial-agg shuffle on
