@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from facturas_spark.analytics import corpus_clean as CC
 from facturas_spark.analytics import dedup as D
 from facturas_spark.extraction.products import _CATEGORIES as _P15_CATEGORIES
 from facturas_spark.extraction.products import _KB as _P11_KB
@@ -90,7 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cotejo_inverso_pipeline": Q.cotejo_inverso_pipeline,
         "ocr_layout_extraction": Q.ocr_layout_extraction,
         "multimodal_features": Q.multimodal_features,
-        # -- added in round 4: deterministic embedder facets
+        # -- added in round 4: corpus-clean pipeline + embedder facets
+        "corpus_clean_stats": CC.corpus_clean_stats,
         "embed_fingerprint_stats": D.embed_fingerprint_stats,
         "extract_embed_ann": D.extract_embed_ann,
         # -- changed or added in round 3: need fresh driver rows
@@ -226,9 +228,200 @@ _P14_VINO = (
 )
 
 
+# corpus-clean twin pieces: interpolated from the SAME module constants
+# the Spark chain uses, so the banks cannot drift
+from facturas_spark.analytics.corpus_clean import (  # noqa: E402
+    MARKERS_EN as _CC_EN,
+    MARKERS_ES as _CC_ES,
+    PACK_BUDGET as _CC_BUDGET,
+    PII_EMAIL as _CC_EMAIL,
+    PII_IPV4 as _CC_IPV4,
+    PII_PHONE as _CC_PHONE,
+    QUOTA_K as _CC_K,
+    STOPWORDS_BI as _CC_STOP,
+)
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in items) + "]"
+
+
+def _sql_rx(p: str) -> str:
+    # DuckDB standard string literals do not process backslash escapes,
+    # so the raw regex interpolates verbatim (no doubling!)
+    return p
+
+
+_CC_WORDS = (
+    "list_filter(string_split_regex(lower(trim({c})), '\\s+'), x -> x <> '')"
+)
+_CC_NRED = " + ".join(
+    f"len(regexp_extract_all(text, '{_sql_rx(p)}'))"
+    for p in (_CC_EMAIL, _CC_PHONE, _CC_IPV4)
+)
+_CC_SIG = ", ".join(
+    f"list_min(list_transform(s, t -> md5(t || ':{i}'))) AS h{i}" for i in range(8)
+)
+_CC_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, md5(h{2 * j} || h{2 * j + 1}) AS key FROM sig"
+    for j in range(4)
+)
+
+_CORPUS_CLEAN_SQL = f"""
+    WITH RECURSIVE inj AS (
+      SELECT doc_id, source,
+             COALESCE(text, '')
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' tel: 612 345 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                     ELSE '' END AS text
+      FROM documents
+    ), f0 AS MATERIALIZED (
+      SELECT doc_id, source,
+             {_CC_WORDS.format(c="text")} AS w,
+             trim(text) <> '' AS s0,
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_sql_rx(_CC_EMAIL)}', '<EMAIL>', 'g'),
+                 '{_sql_rx(_CC_PHONE)}', '<PHONE>', 'g'),
+                 '{_sql_rx(_CC_IPV4)}', '<IP>', 'g') AS scrubbed,
+             {_CC_NRED} AS n_red
+      FROM inj
+    ), f1 AS (
+      SELECT *,
+             s0 AND (len(list_filter(w, x -> list_contains({_sql_list(_CC_EN)}, x))) > 0
+                     OR len(list_filter(w, x -> list_contains({_sql_list(_CC_ES)}, x))) > 0) AS s1,
+             len(w) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+               / greatest(len(w), 1) AS mean_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / greatest(len(w), 1) AS alpha_frac,
+             len(list_intersect(list_distinct(w), {_sql_list(_CC_STOP)})) AS n_stop
+      FROM f0
+    ), f2 AS (
+      SELECT *,
+             (s1 AND n_words >= 10 AND n_words <= 100000
+                 AND mean_len >= 2 AND mean_len <= 10
+                 AND alpha_frac >= 0.8 AND n_stop >= 2) AS s2
+      FROM f1
+    ), rb AS (
+      SELECT doc_id, w FROM f2 WHERE s2 AND len(w) >= 3
+    ), rg2 AS (
+      SELECT doc_id, unnest(list_transform(range(0, len(w) - 1),
+               i -> w[i + 1] || ' ' || w[i + 2])) AS g
+      FROM rb
+    ), rc2 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM rg2 GROUP BY 1, 2
+    ), rr2 AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2 FROM rc2 GROUP BY 1
+    ), rg3 AS (
+      SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS g
+      FROM rb
+    ), rc3 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM rg3 GROUP BY 1, 2
+    ), rr3 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup3
+      FROM rc3 GROUP BY 1
+    ), f3 AS MATERIALIZED (
+      SELECT f2.*, COALESCE(s2 AND top2 <= 0.20 AND dup3 <= 0.30, FALSE) AS s3
+      FROM f2 LEFT JOIN rr2 USING (doc_id) LEFT JOIN rr3 USING (doc_id)
+    ), ex AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(scrubbed)) AS exact_keep
+      FROM f3 WHERE s3
+    ), f5 AS MATERIALIZED (
+      SELECT f3.*, COALESCE(s3 AND exact_keep, FALSE) AS s5
+      FROM f3 LEFT JOIN ex USING (doc_id)
+    ), sw AS (
+      SELECT doc_id, {_CC_WORDS.format(c="scrubbed")} AS words
+      FROM f5 WHERE s5
+    ), sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, len(words) - 2),
+               i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
+      FROM sw WHERE len(words) >= 3
+    ), sig AS (
+      SELECT doc_id, {_CC_SIG} FROM sh
+    ), bands AS (
+      {_CC_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id1, id2
+      FROM cand JOIN sh a ON id1 = a.doc_id JOIN sh b ON id2 = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    ), und AS MATERIALIZED (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ), labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ), f6 AS MATERIALIZED (
+      SELECT f5.*,
+             (s5 AND (cluster_id IS NULL OR cluster_id = doc_id)) AS s6
+      FROM f5 LEFT JOIN labels USING (doc_id)
+    ), q AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM f6 WHERE s6
+    ), f7 AS MATERIALIZED (
+      SELECT f6.*, COALESCE(s6 AND rn <= {_CC_K}, FALSE) AS s7
+      FROM f6 LEFT JOIN q USING (doc_id)
+    ), pk AS (
+      SELECT doc_id,
+             CAST(floor((SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                         - toks) / {float(_CC_BUDGET)}) AS BIGINT) AS pack_id
+      FROM (
+        SELECT doc_id, len({_CC_WORDS.format(c="scrubbed")}) AS toks
+        FROM f7 WHERE s7
+      )
+    ), flags AS MATERIALIZED (
+      SELECT f7.*, pk.pack_id FROM f7 LEFT JOIN pk USING (doc_id)
+    ), agg AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN s0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+             CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+             CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+             CAST(COALESCE(SUM(CASE WHEN s3 THEN n_red ELSE 0 END), 0) AS BIGINT) AS red,
+             CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS k5,
+             CAST(SUM(CASE WHEN s6 THEN 1 ELSE 0 END) AS BIGINT) AS k6,
+             CAST(SUM(CASE WHEN s7 THEN 1 ELSE 0 END) AS BIGINT) AS k7,
+             CAST(COUNT(DISTINCT CASE WHEN s7 THEN pack_id END) AS BIGINT) AS packs
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT '0_nonempty' AS stage, total AS docs_in, k0 AS docs_out,
+             total - k0 AS dropped, CAST(0 AS BIGINT) AS metric FROM agg
+      UNION ALL SELECT '1_langid', k0, k1, k0 - k1, 0 FROM agg
+      UNION ALL SELECT '2_gopher', k1, k2, k1 - k2, 0 FROM agg
+      UNION ALL SELECT '3_repetition', k2, k3, k2 - k3, 0 FROM agg
+      UNION ALL SELECT '4_pii_scrub', k3, k3, 0, red FROM agg
+      UNION ALL SELECT '5_dedup_exact', k3, k5, k3 - k5, 0 FROM agg
+      UNION ALL SELECT '6_dedup_near', k5, k6, k5 - k6, 0 FROM agg
+      UNION ALL SELECT '7_source_quota', k6, k7, k6 - k7, 0 FROM agg
+      UNION ALL SELECT '8_packing', k7, k7, 0, packs FROM agg
+    ) ORDER BY stage
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "corpus_clean_stats": _CORPUS_CLEAN_SQL,
         "embed_fingerprint_stats": """
             WITH d AS (
               SELECT doc_id,
@@ -1435,7 +1628,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
               FROM documents WHERE doc_id < 40
-            ), sh AS (
+            ), sh AS MATERIALIZED (
               SELECT doc_id,
                      list_distinct(list_transform(range(0, len(words) - 2),
                        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
@@ -1731,7 +1924,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
               FROM documents WHERE doc_id < 40
-            ), sh AS (
+            ), sh AS MATERIALIZED (
               SELECT doc_id,
                      list_distinct(list_transform(range(0, len(words) - 2),
                        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
@@ -1741,7 +1934,7 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.01
-            ), und AS (
+            ), und AS MATERIALIZED (
               SELECT id1 AS a, id2 AS b FROM pairs
               UNION ALL SELECT id2, id1 FROM pairs
             ), reach(a, b) AS (
@@ -1757,7 +1950,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
               FROM documents WHERE doc_id < 40
-            ), sh AS (
+            ), sh AS MATERIALIZED (
               SELECT doc_id,
                      list_distinct(list_transform(range(0, len(words) - 2),
                        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
@@ -1767,7 +1960,7 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.01
-            ), und AS (
+            ), und AS MATERIALIZED (
               SELECT id1 AS a, id2 AS b FROM pairs
               UNION ALL SELECT id2, id1 FROM pairs
             ), reach(a, b) AS (
@@ -1790,7 +1983,7 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS words
               FROM documents
               WHERE trim(COALESCE(text, '')) <> ''
-            ), sh AS (
+            ), sh AS MATERIALIZED (
               SELECT doc_id,
                      list_distinct(list_transform(range(0, len(words) - 2),
                        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])) AS s
@@ -1809,7 +2002,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cand JOIN sh a ON id1 = a.doc_id JOIN sh b ON id2 = b.doc_id
               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-            ), und AS (
+            ), und AS MATERIALIZED (
               SELECT id1 AS a, id2 AS b FROM pairs
               UNION ALL SELECT id2, id1 FROM pairs
             ), reach(a, b) AS (

@@ -1,0 +1,375 @@
+"""The production corpus-cleaning pipeline: one lineage-managed pass.
+
+Round-3 review: the LLM-corpus quality operators existed only as
+independent bounded driver queries (`doc_id < 200/300/500` windows in
+``analytics/dedup.py``); a user cleaning a crawl runs them as ONE chained
+job. This module is that chain — the corpus-side analogue of the
+extraction side's ``process-invoice`` handler
+(/root/reference/supabase/functions/process-invoice/index.ts:4181-5365),
+re-expressed over the full ``documents`` table with no demo bounds:
+
+    0 nonempty     trim(text) <> ''
+    1 langid       keep docs with >=1 en/es marker token
+    2 gopher       Rae et al. 2021 rules: word count in [10, 1e5],
+                   mean word length in [2, 10], >=80%% alphabetic words,
+                   >=2 distinct stopwords (en ∪ es list — the corpus is
+                   bilingual)
+    3 repetition   C4/Gopher: top-2-gram fraction <= 0.20 AND repeated-
+                   3-gram fraction <= 0.30
+    4 pii scrub    email/phone/IPv4 spans -> <EMAIL>/<PHONE>/<IP>
+                   (counts reported; no docs dropped)
+    5 dedup exact  md5 fingerprint of the SCRUBBED text, keep min doc_id
+    6 dedup near   MinHash(8)/LSH(4 bands) candidates over scrubbed-text
+                   shingles -> Jaccard >= 0.5 verify -> connected
+                   components, keep each cluster's min doc_id
+    7 source quota keep first K per source under the md5(doc_id) shuffle
+                   order (exact caps, row_number)
+    8 packing      512-token budget packs by running sum in doc_id order
+
+Scale shape: stages 0-5 are map stages + two keyed shuffles (the
+repetition n-gram counts and the fingerprint window); stage 6 is the
+banded candidate join (never all-pairs) + the iterative component loop;
+7 is one shuffle on source; 8's global window runs per-shard at cluster
+scale (``corpus_packing(shards=N)`` is the same expression). Decision
+thresholds compare UNROUNDED integer ratios — both engines evaluate the
+identical IEEE division, so the DuckDB funnel twin matches exactly.
+
+The per-doc flag frame is computed once (localCheckpoint) and serves
+both the funnel stats and the cleaned-corpus projection; the
+spark-submit job (``facturas_spark/jobs/clean_corpus.py``) adds
+stage-granular manifest resume on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from facturas_spark.analytics.dedup import (
+    LSH_JACCARD_THRESHOLD,
+    _band_table,
+    _jaccard,
+    _min_label_components,
+    _shingle_table,
+    _t,
+    _words,
+)
+
+__all__ = [
+    "MARKERS_EN",
+    "MARKERS_ES",
+    "STOPWORDS_BI",
+    "PII_EMAIL",
+    "PII_PHONE",
+    "PII_IPV4",
+    "per_doc_flags",
+    "clean_funnel",
+    "cleaned_corpus",
+    "corpus_clean_stats",
+]
+
+# language-marker token lists — same banks as txt_langid (dedup.py)
+MARKERS_EN = ["the", "of", "and", "to", "in", "a", "is"]
+MARKERS_ES = ["el", "la", "de", "que", "los", "las", "una", "y"]
+# gopher stopword rule, bilingual union (en list = txt_gopher_quality's)
+STOPWORDS_BI = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"] + MARKERS_ES
+
+# PII patterns — same shapes as txt_pii_scan; single source of truth so
+# the Spark chain, the job, and the DuckDB twin can't drift
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\b[679]\d{2}[ .-]?\d{3}[ .-]?\d{3}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+PACK_BUDGET = 512
+QUOTA_K = 15  # stats-query default; the job parameterizes
+
+
+def _marker_hits(words, markers: list[str]):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def per_doc_flags(
+    docs: DataFrame, quota_k: int = QUOTA_K, pack_budget: int = PACK_BUDGET
+) -> DataFrame:
+    """One row per input doc with cumulative stage-survival flags
+    (s0..s7), the scrubbed text, PII span counts, and pack assignment.
+    Columns: doc_id, source, s0..s3, n_red, s5, s6, s7, scrubbed,
+    tokens, pack_id (tokens/pack_id only for final survivors)."""
+    base = docs.select("doc_id", "source", "text")
+
+    words = _words(F.col("text"))
+    w = F.element_at(F.transform(F.array(words), lambda ws: ws), 1)  # let-bind
+
+    s0 = F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    en = _marker_hits(F.col("w"), MARKERS_EN)
+    es = _marker_hits(F.col("w"), MARKERS_ES)
+    n = F.size("w")
+    sum_len = F.aggregate("w", F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_len = sum_len / F.greatest(n, F.lit(1))
+    alpha_frac = F.size(F.filter("w", lambda x: x.rlike("[a-z]"))) / F.greatest(
+        n, F.lit(1)
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("w"), F.array(*[F.lit(s) for s in STOPWORDS_BI])
+        )
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    n_red = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), F.lit(0)))
+    )
+
+    f0 = base.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        s0.alias("s0"),
+        scrub.alias("scrubbed"),
+        n_red.alias("n_red"),
+    ).select(
+        "doc_id",
+        "source",
+        "s0",
+        "scrubbed",
+        "n_red",
+        (F.col("s0") & ((en > 0) | (es > 0))).alias("s1"),
+        n.alias("n_words"),
+        mean_len.alias("mean_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+    )
+    f0 = f0.withColumn(
+        "s2",
+        F.col("s1")
+        & (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_len") >= 2)
+        & (F.col("mean_len") <= 10)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("n_stop") >= 2),
+    )
+
+    # stage 3: repetition stats only for stage-2 survivors (explode cost
+    # is bounded by the surviving set)
+    surv2 = docs.join(
+        f0.filter(F.col("s2")).select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    wcol = _words(F.col("text"))
+    rep_base = surv2.select("doc_id", wcol.alias("w")).filter(F.size("w") >= 3)
+
+    def grams_of(k: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.size("w") - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", i + j + 1) for j in range(k)]
+            ),
+        )
+
+    def rep_stats(k: int, out_col, expr):
+        return (
+            rep_base.select("doc_id", F.explode(grams_of(k)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(expr.alias(out_col))
+        )
+
+    g2 = rep_stats(2, "top2", F.max("c") / F.sum("c"))
+    g3 = rep_stats(
+        3,
+        "dup3",
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.sum("c"),
+    )
+    f1 = (
+        f0.join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+        .withColumn(
+            "s3",
+            F.col("s2") & (F.col("top2") <= 0.20) & (F.col("dup3") <= 0.30),
+        )
+        .withColumn("s3", F.coalesce("s3", F.lit(False)))
+    )
+
+    # stage 5: exact dedup on the scrubbed fingerprint among s3 survivors
+    ex = (
+        f1.filter(F.col("s3"))
+        .select("doc_id", F.md5("scrubbed").alias("fp"))
+        .withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
+        .select("doc_id", (F.col("doc_id") == F.col("min_id")).alias("exact_keep"))
+    )
+    f2 = f1.join(ex, "doc_id", "left").withColumn(
+        "s5", F.col("s3") & F.coalesce("exact_keep", F.lit(False))
+    )
+
+    # stage 6: near-dup LSH chain over the scrubbed text of s5 survivors
+    sh = _shingle_table(
+        f2.filter(F.col("s5")).select("doc_id", F.col("scrubbed").alias("text"))
+    ).persist()
+    bands = _band_table(sh)
+    cand = (
+        bands.select("band", "key", F.col("doc_id").alias("id1"))
+        .join(bands.select("band", "key", F.col("doc_id").alias("id2")), ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.toDF("id1", "sh1"), "id1")
+        .join(sh.toDF("id2", "sh2"), "id2")
+        .filter(_jaccard(F.col("sh1"), F.col("sh2")) >= LSH_JACCARD_THRESHOLD)
+        .select("id1", "id2")
+    )
+    labels = _min_label_components(verified)
+    f3 = f2.join(labels, "doc_id", "left").withColumn(
+        "s6",
+        F.col("s5")
+        & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))),
+    )
+
+    # stage 7: per-source quota among s6 survivors
+    qw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    quota = (
+        f3.filter(F.col("s6"))
+        .select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(qw))
+        .select("doc_id", (F.col("rn") <= quota_k).alias("quota_keep"))
+    )
+    f4 = f3.join(quota, "doc_id", "left").withColumn(
+        "s7", F.col("s6") & F.coalesce("quota_keep", F.lit(False))
+    )
+
+    # stage 8: token-budget packing of the final survivors
+    pw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packs = (
+        f4.filter(F.col("s7"))
+        .select("doc_id", F.size(_words(F.col("scrubbed"))).alias("tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor((F.sum("tokens").over(pw) - F.col("tokens")) / pack_budget).cast(
+                "bigint"
+            ),
+        )
+    )
+    return f4.join(packs, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "s0",
+        "s1",
+        "s2",
+        "s3",
+        "n_red",
+        "s5",
+        "s6",
+        "s7",
+        "scrubbed",
+        "tokens",
+        "pack_id",
+    )
+
+
+def clean_funnel(flags: DataFrame) -> DataFrame:
+    """Stage-by-stage funnel: one row per stage with docs_in/docs_out/
+    dropped and a stage metric (PII spans redacted; packs created)."""
+    i64 = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    agg = flags.agg(
+        F.count("*").alias("total"),
+        i64("s0").alias("c0"),
+        i64("s1").alias("c1"),
+        i64("s2").alias("c2"),
+        i64("s3").alias("c3"),
+        F.coalesce(
+            F.sum(F.when(F.col("s3"), F.col("n_red")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("red"),
+        i64("s5").alias("c5"),
+        i64("s6").alias("c6"),
+        i64("s7").alias("c7"),
+        F.count_distinct(F.when(F.col("s7"), F.col("pack_id"))).alias("packs"),
+    )
+    rows = [
+        ("0_nonempty", "total", "c0", None),
+        ("1_langid", "c0", "c1", None),
+        ("2_gopher", "c1", "c2", None),
+        ("3_repetition", "c2", "c3", None),
+        ("4_pii_scrub", "c3", "c3", "red"),
+        ("5_dedup_exact", "c3", "c5", None),
+        ("6_dedup_near", "c5", "c6", None),
+        ("7_source_quota", "c6", "c7", None),
+        ("8_packing", "c7", "c7", "packs"),
+    ]
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(stage).alias("stage"),
+                        F.col(i).cast("long").alias("docs_in"),
+                        F.col(o).cast("long").alias("docs_out"),
+                        (F.col(i) - F.col(o)).cast("long").alias("dropped"),
+                        (
+                            F.col(m).cast("long") if m else F.lit(0).cast("long")
+                        ).alias("metric"),
+                    )
+                    for stage, i, o, m in rows
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.*")
+
+
+def cleaned_corpus(flags: DataFrame) -> DataFrame:
+    """The surviving corpus: scrubbed text + pack assignment, the frame
+    the job writes out."""
+    return (
+        flags.filter(F.col("s7"))
+        .select("doc_id", "source", F.col("scrubbed").alias("text"), "tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+def with_synth_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-shaped suffixes (same expression as txt_pii_scan,
+    dedup.py): the synthetic corpus is PII-free, which would leave the
+    scrub stage a wall of zeros; injecting email/phone/IP shapes on
+    doc_id % 7/11/13 gives the scrub + count expressions real positive
+    AND negative signal. Applied by the STATS query only — the
+    production job runs the pure corpus."""
+    did = F.col("doc_id")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact: user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" tel: 612 345 "), F.lpad((did % 1000).cast("string"), 3, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" ip 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn("text", t)
+
+
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the full-corpus cleaning funnel, oracle-twinned.
+    The flag frame is checkpointed once; the funnel is one aggregate."""
+    docs = with_synth_pii(_t(spark, sf_dir, "documents"))
+    flags = per_doc_flags(docs).localCheckpoint(eager=True)
+    return clean_funnel(flags).orderBy("stage")

@@ -1,0 +1,118 @@
+"""spark-submit entry point for the corpus-cleaning pipeline.
+
+Usage (cluster or local):
+
+    spark-submit --py-files facturas_spark.zip \\
+        facturas_spark/jobs/clean_corpus.py \\
+        --input /data/documents_parquet --output /data/clean \\
+        [--quota-k 15] [--pack-budget 512] [--cores 32]
+
+The corpus-side twin of ``jobs/extract_job.py`` — the single
+lineage-managed pass the reference runs as its one end-to-end handler
+(process-invoice/index.ts:4181-5365), here chaining langid -> gopher ->
+repetition -> PII scrub -> exact+near dedup -> source quota -> packing
+over the FULL input table (``analytics/corpus_clean.py``; no demo
+bounds).
+
+Resume is stage-granular through the same CommitFS marker protocol the
+extraction job uses (object-store-safe; ``sources/fs.py``):
+
+    flags  — the heavy single-pass per-doc decision frame (every filter,
+             both dedup chains, quota + packing assignments) written to
+             ``<out>/flags``; everything downstream derives from this
+             parquet, so a crash later never recomputes the chain.
+    clean  — surviving corpus (scrubbed text + pack assignment) written
+             to ``<out>/clean``.
+    stats  — the 9-row stage funnel written to ``<out>/stats`` AND
+             recorded in the manifest entry (the job's metrics).
+
+A re-run skips committed stages (idempotent: each stage overwrites its
+own directory before its marker commits). Cluster sizing notes mirror
+extract_job.py: shuffle partitions ~2-3x cores (the chain shuffles on
+(doc_id, gram), fingerprint, band key, source), AQE on for skew, and
+the packing window runs per-shard at scale (``--pack-shards``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True, help="documents parquet path")
+    parser.add_argument("--output", required=True, help="output dir")
+    parser.add_argument("--quota-k", type=int, default=15)
+    parser.add_argument("--pack-budget", type=int, default=512)
+    parser.add_argument("--cores", type=int, default=None, help="local-mode cores")
+    parser.add_argument(
+        "--synth-pii",
+        action="store_true",
+        help="inject deterministic PII-shaped suffixes (test corpora are "
+        "PII-free; gives the scrub stage signal)",
+    )
+    args = parser.parse_args(argv)
+
+    from facturas_spark.analytics.corpus_clean import (
+        clean_funnel,
+        cleaned_corpus,
+        per_doc_flags,
+        with_synth_pii,
+    )
+    from facturas_spark.session import get_spark
+    from facturas_spark.sources.fs import CommitFS
+
+    spark = get_spark("facturas-clean-corpus", cores=args.cores)
+    manifest = CommitFS(os.path.join(args.output, "_manifest"), spark=spark)
+    done = {
+        n[len("stage="):-len(".json")]
+        for n in manifest.list_names()
+        if n.startswith("stage=") and n.endswith(".json")
+    }
+    result: dict = {"skipped": sorted(done), "stages": {}}
+
+    flags_path = os.path.join(args.output, "flags")
+    if "flags" not in done:
+        docs = spark.read.parquet(args.input)
+        if args.synth_pii:
+            docs = with_synth_pii(docs)
+        flags = per_doc_flags(
+            docs, quota_k=args.quota_k, pack_budget=args.pack_budget
+        )
+        flags.write.mode("overwrite").parquet(flags_path)
+        rows = spark.read.parquet(flags_path).count()
+        manifest.write_json("stage=flags.json", {"stage": "flags", "rows": rows})
+        result["stages"]["flags"] = {"rows": rows}
+
+    flags_df = spark.read.parquet(flags_path)
+
+    if "clean" not in done:
+        clean_path = os.path.join(args.output, "clean")
+        cleaned_corpus(flags_df).write.mode("overwrite").parquet(clean_path)
+        rows = spark.read.parquet(clean_path).count()
+        manifest.write_json("stage=clean.json", {"stage": "clean", "rows": rows})
+        result["stages"]["clean"] = {"rows": rows}
+
+    if "stats" not in done:
+        stats_path = os.path.join(args.output, "stats")
+        funnel = clean_funnel(flags_df).orderBy("stage")
+        funnel.coalesce(1).write.mode("overwrite").parquet(stats_path)
+        stats_rows = [r.asDict() for r in spark.read.parquet(stats_path).orderBy("stage").collect()]
+        manifest.write_json(
+            "stage=stats.json", {"stage": "stats", "funnel": stats_rows}
+        )
+        result["stages"]["stats"] = {"funnel": stats_rows}
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

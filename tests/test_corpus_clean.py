@@ -1,0 +1,81 @@
+"""Corpus-cleaning chain tests (analytics/corpus_clean.py)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from facturas_spark.analytics.corpus_clean import (
+    PII_EMAIL,
+    cleaned_corpus,
+    clean_funnel,
+    corpus_clean_stats,
+    per_doc_flags,
+    with_synth_pii,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def flags(spark):
+    docs = with_synth_pii(spark.read.parquet(f"{SF}/documents.parquet"))
+    return per_doc_flags(docs).localCheckpoint(eager=True)
+
+
+def test_funnel_is_a_chain(flags):
+    rows = {r.stage: r for r in clean_funnel(flags).collect()}
+    order = [
+        "0_nonempty", "1_langid", "2_gopher", "3_repetition", "4_pii_scrub",
+        "5_dedup_exact", "6_dedup_near", "7_source_quota", "8_packing",
+    ]
+    assert set(rows) == set(order)
+    for name in order:
+        r = rows[name]
+        assert 0 <= r.docs_out <= r.docs_in
+        assert r.dropped == r.docs_in - r.docs_out
+    # consecutive stages hand off exactly
+    for a, b in zip(order, order[1:]):
+        assert rows[b].docs_in == rows[a].docs_out
+    # scrub and packing never drop
+    assert rows["4_pii_scrub"].dropped == 0
+    assert rows["8_packing"].dropped == 0
+    # injected PII produced redactions; packing produced packs
+    assert rows["4_pii_scrub"].metric > 0
+    assert rows["8_packing"].metric >= 1
+
+
+def test_cleaned_corpus_consistency(flags):
+    clean = cleaned_corpus(flags).collect()
+    funnel = {r.stage: r for r in clean_funnel(flags).collect()}
+    assert len(clean) == funnel["8_packing"].docs_out
+    email_rx = re.compile(PII_EMAIL)
+    for r in clean:
+        assert not email_rx.search(r.text), "scrub must remove email shapes"
+        assert r.tokens >= 1 and r.pack_id >= 0
+
+
+def test_quota_and_flags_internal_consistency(flags):
+    # survival flags are cumulative: s_{k+1} implies s_k
+    bad = flags.filter(
+        (F.col("s1") & ~F.col("s0"))
+        | (F.col("s2") & ~F.col("s1"))
+        | (F.col("s3") & ~F.col("s2"))
+        | (F.col("s5") & ~F.col("s3"))
+        | (F.col("s6") & ~F.col("s5"))
+        | (F.col("s7") & ~F.col("s6"))
+    ).count()
+    assert bad == 0
+    # source quota respected among final survivors
+    per_src = (
+        flags.filter("s7").groupBy("source").count().agg(F.max("count")).first()[0]
+    )
+    assert per_src <= 15
+
+
+def test_stats_query_runs(spark):
+    rows = corpus_clean_stats(spark, SF).collect()
+    assert [r.stage for r in rows] == sorted(r.stage for r in rows)
+    assert len(rows) == 9
