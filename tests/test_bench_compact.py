@@ -46,3 +46,11 @@ def test_compact_keeps_slowest_queries():
 def test_compact_noop_when_small():
     small = _fake_suite(5)
     assert bench._compact(small) == small
+
+
+def test_compact_drops_per_round_detail():
+    big = _fake_suite(96)
+    big["rounds"] = [dict(big["queries"]), dict(big["queries"])]
+    out = bench._compact(big)
+    assert "rounds" not in out
+    assert len(json.dumps(out)) <= 1700

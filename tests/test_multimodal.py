@@ -116,7 +116,14 @@ def test_image_features_real_decode(spark):
     assert set(rows) == {i for i in range(N) if i % 3 == 0}
     for mid, r in rows.items():
         payload, meta = bytes(raw[mid][2]), raw[mid][3]
-        px = decode_png(payload) if meta[4] == "image/png" else decode_bmp(payload)
+        if meta[4] == "image/png":
+            px = decode_png(payload)
+        elif meta[4] == "image/jpeg":
+            from facturas_spark.sources.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload)
+        else:
+            px = decode_bmp(payload)
         # decoded dims equal the sidecar meta AND the pixel array
         assert (r.width, r.height) == (meta[0], meta[1]) == px.shape[1::-1]
         luma = px @ np.array([0.299, 0.587, 0.114])
@@ -185,3 +192,33 @@ def test_no_shuffle_in_feature_plans(spark):
     for df in (image_features(m), audio_features(m), frame_sample(m), media_sniff(m)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_real_docai_page_image_decodes(spark):
+    """Real-world codec validation: the reference fixture ships the
+    Document-AI page render (1681x2379 PNG, libpng-encoded by Google's
+    pipeline, NOT by our encoder). Our pure-stdlib PNG decoder must
+    reproduce its dims and a plausible document luma (white page)."""
+    import base64
+    import json
+
+    import numpy as np
+
+    from facturas_spark.sources.codecs import decode_png, sniff_media
+
+    raw = json.load(open("/root/reference/dashboard-facturas-claude/JSON_MUESTRA"))
+    doc = raw.get("document", raw)
+    img = doc["pages"][0]["image"]
+    payload = base64.b64decode(img["content"])
+    assert sniff_media(payload) == "image/png"
+    px = decode_png(payload)
+    assert px.shape == (img["height"], img["width"], 3) == (2379, 1681, 3)
+    assert 230 <= float(px.mean()) <= 255  # a scanned white invoice
+
+
+def test_media_corpus_exercises_jpeg(spark):
+    from facturas_spark.sources.multimodal import synth_media_rows
+
+    rows = synth_media_rows(30, seed=42)
+    mimes = {r[3][4] for r in rows if r[1] == "image"}
+    assert mimes == {"image/bmp", "image/png", "image/jpeg"}
