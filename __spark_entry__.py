@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_stats": CC.corpus_clean_stats,
         "embed_fingerprint_stats": D.embed_fingerprint_stats,
         "extract_embed_ann": D.extract_embed_ann,
+        "iva_tipos_breakdown": E.iva_tipos_breakdown,
         # -- code TOUCHED in round 4 (shared-base cache; T3 paragraph walk;
         #    component-cache refactor): need fresh driver rows
         "esc_resumen_global": E.esc_resumen_global,
@@ -105,8 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m14_duplicate_orders": D.m14_duplicate_orders,
         "txt_bpe_token_stats": D.txt_bpe_token_stats,
         "master_products": M.master_products,
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
         # ---------------- driver window boundary (50) ----------------
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
         # below: green in r03 (fresh evidence last round) or r01/r02 bank
         # whose semantics round-4 queries re-exercise (langid/simhash/
         # minhash variants inside corpus_clean_stats; ann variants under
@@ -423,6 +424,26 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "iva_tipos_breakdown": """
+            WITH t AS (
+              SELECT l_orderkey AS factura_id,
+                     [4, 10, 21][(l_partkey % 3) + 1] AS tipo_iva,
+                     CAST(l_extendedprice * 100 AS BIGINT)
+                       * (100 - CAST(l_discount * 100 AS BIGINT)) AS _r4
+              FROM lineitem WHERE l_orderkey <= 2000
+            ), a AS (
+              SELECT factura_id, tipo_iva, SUM(_r4) AS _net4
+              FROM t GROUP BY 1, 2
+            ), c AS (
+              SELECT factura_id, tipo_iva, (2 * _net4 + 100) // 200 AS _base_c
+              FROM a
+            )
+            SELECT factura_id, tipo_iva,
+                   CAST(_base_c AS DOUBLE) / 100.0 AS base_imponible,
+                   CAST((2 * _base_c * tipo_iva + 100) // 200 AS DOUBLE) / 100.0
+                     AS cuota_iva
+            FROM c ORDER BY factura_id, tipo_iva
+        """,
         "corpus_clean_stats": _CORPUS_CLEAN_SQL,
         "embed_fingerprint_stats": """
             WITH d AS (

@@ -369,7 +369,15 @@ def with_synth_pii(docs: DataFrame) -> DataFrame:
 
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: the full-corpus cleaning funnel, oracle-twinned.
-    The flag frame is checkpointed once; the funnel is one aggregate."""
-    docs = with_synth_pii(_t(spark, sf_dir, "documents"))
-    flags = per_doc_flags(docs).localCheckpoint(eager=True)
+    The flag frame (the whole chain's heavy lineage) is session-cached —
+    materialized once per (session, sf), the same trade the component
+    labels and the plato base make; the funnel is then one aggregate."""
+    from facturas_spark.analytics.cache import session_cached
+
+    flags = session_cached(
+        spark,
+        sf_dir,
+        "corpus_clean_flags",
+        lambda: per_doc_flags(with_synth_pii(_t(spark, sf_dir, "documents"))),
+    )
     return clean_funnel(flags).orderBy("stage")

@@ -55,6 +55,11 @@ def test_sql_queries_have_no_python(spark):
     # operators are plain join+min-agg built-ins.
     oracle_backed.discard("dedup_clusters")
     oracle_backed.discard("dedup_canonical_corpus")  # builds on the loop
+    # the embedder facet IS an Arrow kernel surface (the hashed-3-gram
+    # projection, vectorized pandas_udf) — oracle-twinned for exactness
+    # but per-doc Python by design, like the rows-only pipelines
+    oracle_backed.discard("embed_fingerprint_stats")
+    oracle_backed.discard("corpus_clean_stats")  # built-ins + the loop
     for name, fn in qs.items():
         if name not in oracle_backed:
             continue
