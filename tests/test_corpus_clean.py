@@ -79,3 +79,38 @@ def test_stats_query_runs(spark):
     rows = corpus_clean_stats(spark, SF).collect()
     assert [r.stage for r in rows] == sorted(r.stage for r in rows)
     assert len(rows) == 9
+
+
+def test_clean_job_stage_resume(spark, tmp_path):
+    """The spark-submit job's stage-granular resume: first run computes
+    all three stages; a full rerun skips everything; deleting one stage
+    marker recomputes exactly that stage from the materialized flags."""
+    import json
+
+    from facturas_spark.jobs.clean_corpus import main
+
+    out = str(tmp_path / "cleanjob")
+    docs = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(docs)
+
+    import contextlib
+    import io as _io
+
+    def run():
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert main(["--input", docs, "--output", out, "--synth-pii"]) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    r1 = run()
+    assert set(r1["stages"]) == {"flags", "clean", "stats"}
+    funnel1 = r1["stages"]["stats"]["funnel"]
+    assert [f["stage"] for f in funnel1][0] == "0_nonempty"
+
+    r2 = run()
+    assert r2["stages"] == {} and set(r2["skipped"]) == {"flags", "clean", "stats"}
+
+    (tmp_path / "cleanjob" / "_manifest" / "stage=stats.json").unlink()
+    r3 = run()
+    assert set(r3["stages"]) == {"stats"}
+    assert r3["stages"]["stats"]["funnel"] == funnel1  # derived from flags parquet
