@@ -160,6 +160,14 @@ def per_doc_flags(
         & (F.col("alpha_frac") >= 0.8)
         & (F.col("n_stop") >= 2),
     )
+    # the chain is diamond-shaped: f0/f1/f2 each feed BOTH the main frame
+    # and a survivor-only aggregation branch that joins back. Without
+    # persistence Catalyst re-evaluates the whole upstream (scan + word
+    # split + regex scrub) once per reference — ~6 scans of the corpus in
+    # one job. Persisting the three reused joints makes it one scan; at
+    # cluster scale these are MEMORY_AND_DISK frames a real job would
+    # stage anyway (the spark-submit job materializes flags to parquet).
+    f0 = f0.persist()
 
     # stage 3: repetition stats only for stage-2 survivors (explode cost
     # is bounded by the surviving set)
@@ -200,6 +208,7 @@ def per_doc_flags(
             F.col("s2") & (F.col("top2") <= 0.20) & (F.col("dup3") <= 0.30),
         )
         .withColumn("s3", F.coalesce("s3", F.lit(False)))
+        .persist()
     )
 
     # stage 5: exact dedup on the scrubbed fingerprint among s3 survivors
@@ -211,7 +220,7 @@ def per_doc_flags(
     )
     f2 = f1.join(ex, "doc_id", "left").withColumn(
         "s5", F.col("s3") & F.coalesce("exact_keep", F.lit(False))
-    )
+    ).persist()
 
     # stage 6: near-dup LSH chain over the scrubbed text of s5 survivors
     sh = _shingle_table(
@@ -236,7 +245,7 @@ def per_doc_flags(
         "s6",
         F.col("s5")
         & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))),
-    )
+    ).persist()
 
     # stage 7: per-source quota among s6 survivors
     qw = Window.partitionBy("source").orderBy(
@@ -250,7 +259,7 @@ def per_doc_flags(
     )
     f4 = f3.join(quota, "doc_id", "left").withColumn(
         "s7", F.col("s6") & F.coalesce("quota_keep", F.lit(False))
-    )
+    ).persist()
 
     # stage 8: token-budget packing of the final survivors
     pw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
