@@ -90,13 +90,13 @@ def _marker_hits(words, markers: list[str]):
     return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
 
 
-def per_doc_flags(
-    docs: DataFrame, quota_k: int = QUOTA_K, pack_budget: int = PACK_BUDGET
-) -> DataFrame:
-    """One row per input doc with cumulative stage-survival flags
-    (s0..s7), the scrubbed text, PII span counts, and pack assignment.
-    Columns: doc_id, source, s0..s3, n_red, s5, s6, s7, scrubbed,
-    tokens, pack_id (tokens/pack_id only for final survivors)."""
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """Stages 0-4 (the per-doc map/agg filters: nonempty, langid, gopher,
+    repetition, PII scrub) as one frame with cumulative flags s0..s3 +
+    scrubbed text + redaction counts. This is the batch chain's front
+    half AND the per-micro-batch stage of the streaming increment
+    (``streaming/stream.py:stream_clean_increment``) — corpus-wide
+    stages (dedup/quota/packing) stay out of it by design."""
     base = docs.select("doc_id", "source", "text")
 
     words = _words(F.col("text"))
@@ -200,7 +200,7 @@ def per_doc_flags(
         "dup3",
         F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.sum("c"),
     )
-    f1 = (
+    return (
         f0.join(g2, "doc_id", "left")
         .join(g3, "doc_id", "left")
         .withColumn(
@@ -210,6 +210,16 @@ def per_doc_flags(
         .withColumn("s3", F.coalesce("s3", F.lit(False)))
         .persist()
     )
+
+
+def per_doc_flags(
+    docs: DataFrame, quota_k: int = QUOTA_K, pack_budget: int = PACK_BUDGET
+) -> DataFrame:
+    """One row per input doc with cumulative stage-survival flags
+    (s0..s7), the scrubbed text, PII span counts, and pack assignment.
+    Columns: doc_id, source, s0..s3, n_red, s5, s6, s7, scrubbed,
+    tokens, pack_id (tokens/pack_id only for final survivors)."""
+    f1 = quality_frame(docs)
 
     # stage 5: exact dedup on the scrubbed fingerprint among s3 survivors
     ex = (

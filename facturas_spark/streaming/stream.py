@@ -25,6 +25,7 @@ __all__ = [
     "stream_extract_to_bucketed",
     "stream_windowed_events",
     "stream_dedup_urls",
+    "stream_clean_increment",
 ]
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -217,6 +218,145 @@ def stream_extract_to_bucketed(
 
     q = (
         spark.readStream.schema(PAGES_DDL)
+        .format("parquet")
+        .load(input_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+DOCS_DDL = "doc_id long, source string, lang string, text string"
+
+
+def stream_clean_increment(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The continuously-fed corpus cleaner: NEW documents stream in, pass
+    the per-doc quality stages (nonempty/langid/gopher/repetition/PII
+    scrub — ``analytics/corpus_clean.quality_frame``), are deduplicated
+    against the ALREADY-INGESTED corpus without re-deduping the corpus
+    (the ``dedup_incremental`` shape), and the survivors append
+    exactly-once. This is the streaming form of ``jobs/clean_corpus.py``
+    — the daily-crawl-increment production loop.
+
+    Corpus state layout (all columnar, partition-per-epoch, all written
+    by this sink so re-reads include prior epochs):
+
+      <corpus>/docs/epoch=N   kept docs (doc_id, source, text=scrubbed)
+      <corpus>/fps/epoch=N    exact-dedup fingerprint index (doc_id, fp)
+      <corpus>/bands/epoch=N  MinHash band index (doc_id, band, key)
+
+    Scale notes: the fingerprint and band joins are equi-joins against
+    PERSISTED indexes (never recomputed from corpus text); Jaccard
+    verification re-shingles ONLY the corpus docs that band-collide with
+    the batch (a point-lookup join on doc_id — tiny vs the corpus).
+    Exactly-once by the same per-epoch-overwrite-directory protocol as
+    stream_extract_to_bucketed, ledger through CommitFS."""
+    import os
+
+    from facturas_spark.analytics.corpus_clean import quality_frame
+    from facturas_spark.analytics.dedup import (
+        LSH_JACCARD_THRESHOLD,
+        _band_table,
+        _jaccard,
+        _shingle_table,
+    )
+    from facturas_spark.sources.fs import CommitFS
+
+    ledger = CommitFS(os.path.join(corpus_dir, "_epoch_manifest"), spark=spark)
+
+    def committed_epochs() -> set[int]:
+        return {
+            int(name[len("epoch="):-len(".json")])
+            for name in ledger.list_names()
+            if name.startswith("epoch=") and name.endswith(".json")
+        }
+
+    def read_or_empty(path: str, ddl: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], ddl)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in committed_epochs():
+            return
+        f1 = quality_frame(batch_df)
+        surv = f1.filter(F.col("s3")).select(
+            "doc_id", "source", F.col("scrubbed").alias("text")
+        )
+
+        prior_fp = read_or_empty(
+            os.path.join(corpus_dir, "fps"), "doc_id long, fp string"
+        ).select(F.col("doc_id").alias("pid"), "fp")
+        prior_bands = read_or_empty(
+            os.path.join(corpus_dir, "bands"),
+            "doc_id long, band int, key string",
+        ).select(F.col("doc_id").alias("cid"), "band", "key")
+        prior_docs = read_or_empty(
+            os.path.join(corpus_dir, "docs"), DOCS_DDL.replace(" lang string,", "")
+        ).select(F.col("doc_id").alias("cid"), F.col("text").alias("ctext"))
+
+        # exact phase: batch fp vs corpus index + batch-internal min-arrival
+        bfp = surv.withColumn("fp", F.md5("text"))
+        from pyspark.sql.window import Window
+
+        bfp = bfp.withColumn(
+            "_min", F.min("doc_id").over(Window.partitionBy("fp"))
+        ).withColumn("_batch_first", F.col("doc_id") == F.col("_min"))
+        ex_hit = bfp.join(prior_fp, "fp", "left_semi").select("doc_id")
+        exact_kept = (
+            bfp.filter(F.col("_batch_first"))
+            .join(ex_hit, "doc_id", "left_anti")
+            .select("doc_id", "source", "text", "fp")
+            .persist()
+        )
+
+        # near phase: batch bands vs PERSISTED corpus band index; verify
+        # re-shingles only the collided corpus docs
+        sh_b = _shingle_table(exact_kept.select("doc_id", "text")).persist()
+        bands_b = _band_table(sh_b)
+        cand = (
+            bands_b.withColumnRenamed("doc_id", "bid")
+            .join(prior_bands, ["band", "key"])
+            .select("bid", "cid")
+            .distinct()
+        )
+        cand_corpus_sh = _shingle_table(
+            cand.select("cid").distinct()
+            .join(prior_docs, "cid")
+            .select(F.col("cid").alias("doc_id"), F.col("ctext").alias("text"))
+        ).toDF("cid", "s2")
+        near_hit = (
+            cand.join(sh_b.toDF("bid", "s1"), "bid")
+            .join(cand_corpus_sh, "cid")
+            .filter(_jaccard(F.col("s1"), F.col("s2")) >= LSH_JACCARD_THRESHOLD)
+            .select(F.col("bid").alias("doc_id"))
+            .distinct()
+        )
+        kept = exact_kept.join(near_hit, "doc_id", "left_anti").persist()
+
+        # exactly-once appends: each epoch owns its directories wholesale
+        ep = f"epoch={epoch_id}"
+        kept.select("doc_id", "source", "text").write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "docs", ep)
+        )
+        kept.select("doc_id", "fp").write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "fps", ep)
+        )
+        _band_table(_shingle_table(kept.select("doc_id", "text"))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(corpus_dir, "bands", ep))
+        ledger.write_json(f"epoch={epoch_id}.json", {"epoch": int(epoch_id)})
+
+    q = (
+        spark.readStream.schema(DOCS_DDL)
         .format("parquet")
         .load(input_dir)
         .writeStream.foreachBatch(sink)

@@ -471,3 +471,58 @@ def test_lineage_manifest_uses_hadoop_fs(spark, tmp_path):
     assert m._fs._jfs is not None
     m.commit(7, 42, "digest")
     assert m.committed()[7] == {"bucket": 7, "rows": 42, "digest": "digest"}
+
+
+def test_stream_clean_increment(spark, tmp_path):
+    """Streaming corpus-clean increment: batch 1 seeds the corpus through
+    the quality stages; batch 2 carries an exact duplicate and a near
+    duplicate of corpus docs plus fresh docs — both dup kinds must be
+    dropped against the PERSISTED indexes, fresh docs kept; an immediate
+    re-run drains nothing (checkpoint) and replayed epochs are no-ops
+    (ledger)."""
+    from facturas_spark.streaming.stream import stream_clean_increment
+
+    in_dir = tmp_path / "in"
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    base = (
+        "the quick brown fox and the lazy dog of the farm run in a field "
+        "of corn with a river and the old mill behind the hill"
+    )
+    def doc(i, text, source="web"):
+        return (i, source, "en", text)
+
+    b1 = [doc(i, f"{base} variant number {i} marker{i}") for i in range(5)]
+    spark.createDataFrame(b1, "doc_id long, source string, lang string, text string") \
+        .write.mode("append").parquet(str(in_dir))
+    stream_clean_increment(spark, str(in_dir), corpus, ckpt)
+
+    kept1 = spark.read.parquet(f"{corpus}/docs")
+    n1 = kept1.count()
+    assert n1 == 5  # all pass quality, none duplicate
+
+    # batch 2: 10 = exact dup of doc 2's text; 11 = near dup of doc 3
+    # (same long text, one word changed -> Jaccard >> 0.5); 12 = fresh
+    b2 = [
+        doc(10, f"{base} variant number 2 marker2"),
+        doc(11, f"{base} variant number 3 marker3 extra"),
+        doc(12, f"{base} a completely different tail about boats and the sea "
+                "with sails and the wind of the north"),
+    ]
+    spark.createDataFrame(b2, "doc_id long, source string, lang string, text string") \
+        .write.mode("append").parquet(str(in_dir))
+    stream_clean_increment(spark, str(in_dir), corpus, ckpt)
+
+    kept = {r.doc_id for r in spark.read.parquet(f"{corpus}/docs").collect()}
+    assert 10 not in kept, "exact duplicate must drop against the fp index"
+    assert 11 not in kept, "near duplicate must drop against the band index"
+    assert 12 in kept
+    assert kept == {0, 1, 2, 3, 4, 12}
+
+    # idempotent drain: nothing new -> corpus unchanged
+    stream_clean_increment(spark, str(in_dir), corpus, ckpt)
+    assert spark.read.parquet(f"{corpus}/docs").count() == 6
+    # index layers stay in lockstep with docs
+    assert spark.read.parquet(f"{corpus}/fps").count() == 6

@@ -234,3 +234,17 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_clean_chain_plan_properties(spark):
+    """The corpus-clean chain must keep the properties its 100 TB story
+    claims: near-dup candidates only from the banded equi-join (no
+    cartesian/nested-loop anywhere in the flag frame's plan) and no
+    Python eval nodes (every stage is built-ins)."""
+    from facturas_spark.analytics.corpus_clean import per_doc_flags, with_synth_pii
+
+    docs = with_synth_pii(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = _plan(per_doc_flags(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
