@@ -123,8 +123,16 @@ def synth_media_rows(n: int, seed: int = 42) -> list[tuple]:
             frames = np.stack(
                 [(base.astype(int) + 11 * j) % 256 for j in range(nf)]
             ).astype(np.uint8)
-            payload = encode_y4m(frames, _VIDEO_FPS)
-            meta = (w, h, dur, None, "video/y4m")
+            # alternate the two real video containers: raw planar Y4M and
+            # compressed MJPEG AVI (per-frame baseline JPEG)
+            if (i // 3) % 2:
+                from facturas_spark.sources.avi import encode_avi_mjpeg
+
+                payload = encode_avi_mjpeg(frames, _VIDEO_FPS, quality=92)
+                meta = (w, h, dur, None, "video/avi")
+            else:
+                payload = encode_y4m(frames, _VIDEO_FPS)
+                meta = (w, h, dur, None, "video/y4m")
         rows.append((i, kind, bytearray(payload), meta))
     return rows
 
@@ -239,13 +247,23 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
     )
 
     def decode_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from facturas_spark.sources.avi import decode_avi_frame, decode_avi_header
+        from facturas_spark.sources.codecs import sniff_media
+
         meta_cache: dict[int, dict] = {}
         for pdf in it:
             means, stds, idxs = [], [], []
             for mid, p, t in zip(pdf["media_id"], pdf["payload"], pdf["ts_s"]):
                 m = meta_cache.get(mid)
                 if m is None:
-                    m = meta_cache[mid] = decode_y4m_header(bytes(p))
+                    # container dispatch: Y4M (uncompressed planar) or
+                    # MJPEG AVI (per-frame JPEG); both expose the same
+                    # random-access (header, frame k) contract
+                    if sniff_media(p) == "video/avi":
+                        m = dict(decode_avi_header(bytes(p)), _avi=True)
+                    else:
+                        m = dict(decode_y4m_header(bytes(p)), _avi=False)
+                    meta_cache[mid] = m
                 if m["n_frames"] <= 0:
                     # header-only (truncated) stream: the JVM grid still
                     # emits ts 0.0 — null the stats instead of a negative
@@ -255,7 +273,11 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                     stds.append(None)
                     continue
                 k = min(int(t * m["fps"]), m["n_frames"] - 1)
-                luma = decode_y4m_frame(p, m, k)
+                luma = (
+                    decode_avi_frame(p, m, k)
+                    if m["_avi"]
+                    else decode_y4m_frame(p, m, k)
+                )
                 idxs.append(k)
                 means.append(float(luma.mean()) / 255.0)
                 stds.append(float(luma.std()) / 255.0)

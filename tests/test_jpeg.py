@@ -73,3 +73,27 @@ def test_rejects_non_jpeg_and_progressive():
     bogus = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
     with pytest.raises(ValueError):
         decode_jpeg(bogus + b"\xff\xd9")
+
+
+def test_avi_mjpeg_roundtrip_and_random_access():
+    from facturas_spark.sources.avi import (
+        decode_avi_frame,
+        decode_avi_header,
+        encode_avi_mjpeg,
+    )
+    from facturas_spark.sources.codecs import sniff_media
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = np.stack(
+        [((xx * 3 + yy * 5 + 17 * i) % 256).astype(np.uint8) for i in range(6)]
+    )
+    data = encode_avi_mjpeg(frames, fps=2, quality=92)
+    assert sniff_media(data) == "video/avi"
+    m = decode_avi_header(data)
+    assert (m["width"], m["height"], m["fps"], m["n_frames"]) == (32, 24, 2.0, 6)
+    # random access: frame 4 decodes without touching frames 0-3
+    f4 = decode_avi_frame(data, m, 4)
+    assert f4.shape == (24, 32)
+    assert float(np.abs(f4.astype(int) - frames[4].astype(int)).mean()) < 3.0
+    with pytest.raises(ValueError):
+        decode_avi_header(b"RIFF\x00\x00\x00\x00WAVE")

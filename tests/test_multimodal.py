@@ -156,12 +156,21 @@ def test_frame_sample_grid_and_luma(spark):
         assert ts[0] == 0.0
         if len(ts) > 1:
             assert ts[1] - ts[0] == 2.0  # 1/fps spacing
-        meta = decode_y4m_header(payload)
-        for f in frames:
-            # luma stats match a direct decode of the same frame
-            luma = decode_y4m_frame(payload, meta, f.frame_idx)
-            assert abs(f.luma_mean - luma.mean() / 255.0) < 1e-9
-            assert abs(f.luma_std - luma.std() / 255.0) < 1e-9
+        if raw[mid][3][4] == "video/avi":
+            from facturas_spark.sources.avi import decode_avi_frame, decode_avi_header
+
+            meta = decode_avi_header(payload)
+            for f in frames:
+                luma = decode_avi_frame(payload, meta, f.frame_idx)
+                assert abs(f.luma_mean - luma.mean() / 255.0) < 1e-9
+                assert abs(f.luma_std - luma.std() / 255.0) < 1e-9
+        else:
+            meta = decode_y4m_header(payload)
+            for f in frames:
+                # luma stats match a direct decode of the same frame
+                luma = decode_y4m_frame(payload, meta, f.frame_idx)
+                assert abs(f.luma_mean - luma.mean() / 255.0) < 1e-9
+                assert abs(f.luma_std - luma.std() / 255.0) < 1e-9
 
 
 def test_audio_features_real_decode(spark):
