@@ -185,7 +185,18 @@ def image_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             widths, heights, means, hashes = [], [], [], []
             for p in pdf["payload"]:
-                px = _decode_image(p)
+                # a crawl-scale corpus WILL contain truncated/corrupt
+                # payloads; they must surface as null feature rows, not
+                # dead tasks (same contract as the extraction UDF on
+                # hostile html)
+                try:
+                    px = _decode_image(p)
+                except Exception:
+                    widths.append(None)
+                    heights.append(None)
+                    means.append(None)
+                    hashes.append(None)
+                    continue
                 luma = px @ np.array([0.299, 0.587, 0.114])
                 widths.append(px.shape[1])
                 heights.append(px.shape[0])
@@ -258,11 +269,15 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                 if m is None:
                     # container dispatch: Y4M (uncompressed planar) or
                     # MJPEG AVI (per-frame JPEG); both expose the same
-                    # random-access (header, frame k) contract
-                    if sniff_media(p) == "video/avi":
-                        m = dict(decode_avi_header(bytes(p)), _avi=True)
-                    else:
-                        m = dict(decode_y4m_header(bytes(p)), _avi=False)
+                    # random-access (header, frame k) contract. Corrupt
+                    # containers become null frame rows, not dead tasks.
+                    try:
+                        if sniff_media(p) == "video/avi":
+                            m = dict(decode_avi_header(bytes(p)), _avi=True)
+                        else:
+                            m = dict(decode_y4m_header(bytes(p)), _avi=False)
+                    except Exception:
+                        m = {"n_frames": 0}
                     meta_cache[mid] = m
                 if m["n_frames"] <= 0:
                     # header-only (truncated) stream: the JVM grid still

@@ -231,3 +231,27 @@ def test_media_corpus_exercises_jpeg(spark):
     rows = synth_media_rows(30, seed=42)
     mimes = {r[3][4] for r in rows if r[1] == "image"}
     assert mimes == {"image/bmp", "image/png", "image/jpeg"}
+
+
+def test_hostile_payloads_null_not_crash(spark):
+    """Corrupt/truncated media payloads must yield null feature rows —
+    never a dead task (the crawl-scale contract)."""
+    import numpy as np
+
+    from facturas_spark.sources.codecs import encode_bmp
+    from facturas_spark.sources.multimodal import MEDIA_DDL, frame_sample, image_features
+
+    good = encode_bmp(np.zeros((8, 8, 3), dtype=np.uint8))
+    rows = [
+        (0, "image", bytearray(good), (8, 8, None, None, "image/bmp")),
+        (1, "image", bytearray(b"\xff\xd8\xffgarbage"), (8, 8, None, None, "image/jpeg")),
+        (2, "image", bytearray(b""), (8, 8, None, None, "image/bmp")),
+        (3, "video", bytearray(b"RIFF\x10\x00\x00\x00AVI garbage"), (8, 8, 4.0, None, "video/avi")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_DDL)
+    feats = {r.media_id: r for r in image_features(df).collect()}
+    assert feats[0].phash is not None
+    assert feats[1].phash is None and feats[1].width is None
+    assert feats[2].phash is None
+    vid = frame_sample(df, fps=0.5).collect()
+    assert all(r.frame_idx is None for r in vid if r.media_id == 3)
