@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_fingerprint_stats": D.embed_fingerprint_stats,
         "extract_embed_ann": D.extract_embed_ann,
         "iva_tipos_breakdown": E.iva_tipos_breakdown,
+        "txt_substring_dup": D.txt_substring_dup,
         # -- code TOUCHED in round 4 (shared-base cache; T3 paragraph walk;
         #    component-cache refactor): need fresh driver rows
         "esc_resumen_global": E.esc_resumen_global,
@@ -103,10 +104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_spend_per_product": Q.q11_spend_per_product,
         "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
         "m4_similarity_pairs": D.m4_similarity_pairs,
-        "m14_duplicate_orders": D.m14_duplicate_orders,
         "txt_bpe_token_stats": D.txt_bpe_token_stats,
         "master_products": M.master_products,
         # ---------------- driver window boundary (50) ----------------
+        "m14_duplicate_orders": D.m14_duplicate_orders,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         # below: green in r03 (fresh evidence last round) or r01/r02 bank
         # whose semantics round-4 queries re-exercise (langid/simhash/
@@ -424,6 +425,29 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "txt_substring_dup": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '') AS w
+              FROM documents WHERE trim(COALESCE(text, '')) <> ''
+            ), base AS (
+              SELECT doc_id, w FROM d WHERE len(w) >= 20
+            ), spans AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(w) - 19),
+                       i -> md5(array_to_string(w[i + 1:i + 20], ' ')))) AS h
+              FROM base
+            ), counts AS (
+              SELECT h, COUNT(*) AS c FROM spans GROUP BY h
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                   ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 4) AS dup_frac
+            FROM spans JOIN counts USING (h)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "iva_tipos_breakdown": """
             WITH t AS (
               SELECT l_orderkey AS factura_id,

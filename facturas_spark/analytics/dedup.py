@@ -1379,3 +1379,47 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("occurrences"), "token")
         .limit(50)
     )
+
+
+def txt_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication scan (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array exact
+    substring pass, re-expressed relationally): every 20-word window of
+    every doc becomes an md5 fingerprint; a span is DUPLICATED when its
+    fingerprint occurs more than once in the corpus (within- or
+    cross-document, the paper's definition). Per doc: window count,
+    duplicated-window count, duplicated fraction.
+
+    Scale shape: explode windows -> one count shuffle on the fingerprint
+    -> one doc_id reduce; fingerprints replace the suffix array (the
+    array finds arbitrary-length repeats; fixed-K windows are the
+    standard relational approximation and what the paper's 50-token
+    threshold pass computes). No pairwise comparison anywhere."""
+    K = 20
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    )
+    words = _words(F.col("text"))
+    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= K)
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - K),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, K))),
+            )
+        ).alias("h"),
+    )
+    counts = spans.groupBy("h").agg(F.count("*").alias("c"))
+    return (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+        )
+        .orderBy("doc_id")
+    )
