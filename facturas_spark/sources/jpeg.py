@@ -332,10 +332,175 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code")
 
 
+def _next_marker_pos(data: bytes, p: int) -> int:
+    """First byte of the next real marker (not a stuffed 0xFF00, not RSTn)
+    at or after p."""
+    n = len(data)
+    while p < n - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def _decode_scan(
+    data: bytes,
+    start: int,
+    frame: dict,
+    coeffs: list[np.ndarray],
+    scan: list[tuple[int, int, int]],
+    band: tuple[int, int, int, int],
+    huff: dict,
+    restart_interval: int,
+) -> int:
+    """Entropy-decode one scan (baseline or progressive) into the
+    per-component coefficient state. Returns the absolute position of the
+    marker that ends the scan."""
+    Ss, Se, Ah, Al = band
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    fh, fw = frame["h"], frame["w"]
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    br = _BitReader(data[start:])
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def dc_unit(ci: int, dct, blk) -> None:
+        if Ah == 0:
+            size = _huff_decode(br, dct)
+            diff = _extend(br.bits(size), size) if size else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << Al
+        else:
+            if br.bit():
+                blk[0] |= 1 << Al
+
+    def ac_first(act, blk) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = Ss if Ss else 1
+        while k <= Se:
+            rs = _huff_decode(br, act)
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += 16
+            else:
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                blk[k] = _extend(br.bits(size), size) << Al
+                k += 1
+
+    def ac_refine(act, blk) -> None:
+        # successive-approximation AC refinement (T.81 G.1.2.3; semantics
+        # re-derived to match the libjpeg-documented behavior): a
+        # correction bit is read for EVERY nonzero-history coefficient
+        # visited; run lengths count only zero-history positions
+        nonlocal eobrun
+        p1 = 1 << Al
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = _huff_decode(br, act)
+                r, size = rs >> 4, rs & 15
+                if size == 0 and r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                val = 0
+                if size:
+                    val = p1 if br.bit() else -p1
+                while k <= Se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if br.bit() and ((abs(v) >> Al) & 1) == 0:
+                            blk[k] = v + (p1 if v > 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= Se:
+                    blk[k] = val
+                k += 1
+            else:
+                return  # band completed without EOB
+        if eobrun > 0:
+            while k <= Se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.bit() and ((abs(v) >> Al) & 1) == 0:
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                k += 1
+            eobrun -= 1
+
+    def unit(ci: int, dc_id: int, ac_id: int, by: int, bx: int) -> None:
+        blk = coeffs[ci][by, bx]
+        if Ss == 0:
+            dc_unit(ci, huff[(0, dc_id)], blk)
+            if Se == 0:
+                return
+        if Ah == 0:
+            ac_first(huff[(1, ac_id)], blk)
+        else:
+            ac_refine(huff[(1, ac_id)], blk)
+
+    def restart() -> None:
+        nonlocal eobrun
+        br.align_to_marker()
+        for i in range(len(preds)):
+            preds[i] = 0
+        eobrun = 0
+
+    n_done = 0
+    if len(scan) > 1 or (Ss == 0 and Se > 0 and len(comps) > 1):
+        # interleaved: MCU = h x v blocks per scan component
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n_done and n_done % restart_interval == 0:
+                    restart()
+                for ci, dc_id, ac_id in scan:
+                    c = comps[ci]
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            unit(ci, dc_id, ac_id, my * c["v"] + v, mx * c["h"] + hh)
+                n_done += 1
+    else:
+        # non-interleaved: units are the single component's blocks at its
+        # OWN resolution (not the padded MCU grid)
+        ci, dc_id, ac_id = scan[0]
+        c = comps[ci]
+        cw = (fw * c["h"] + hmax - 1) // hmax
+        ch = (fh * c["v"] + vmax - 1) // vmax
+        nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n_done and n_done % restart_interval == 0:
+                    restart()
+                unit(ci, dc_id, ac_id, by, bx)
+                n_done += 1
+    return _next_marker_pos(data, start + br.pos)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential decode -> (h, w, 3) uint8 RGB (grayscale
-    replicates into 3 channels). Raises ValueError on non-baseline
-    (progressive SOF2 etc.) streams."""
+    """JPEG decode -> (h, w, 3) uint8 RGB (grayscale replicates into 3
+    channels). Handles baseline sequential (SOF0/1) AND progressive
+    (SOF2: spectral selection + successive approximation, the libjpeg
+    default script shape) with restart markers and sampling factors up
+    to 2x2. Arithmetic-coded and hierarchical streams raise ValueError."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -344,8 +509,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart_interval = 0
-    scan: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
-    entropy_start = None
+    coeffs: list[np.ndarray] | None = None
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -369,19 +533,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     np.int64
                 )
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding (lossless/arithmetic/hierarchical)")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -394,6 +556,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if coeffs is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mx = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+                my = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+                coeffs = [
+                    np.zeros((my * c["v"], mx * c["h"], 64), dtype=np.int32)
+                    for c in frame["comps"]
+                ]
             ns = body[0]
             scan = []
             for s in range(ns):
@@ -402,75 +575,41 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     i for i, c in enumerate(frame["comps"]) if c["id"] == cs
                 )
                 scan.append((idx, tt >> 4, tt & 0xF))
-            entropy_start = pos + seglen
-            break
+            Ss, Se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            band = (Ss, Se, ahal >> 4, ahal & 0xF)
+            pos = _decode_scan(
+                data, pos + seglen, frame, coeffs, scan, band, huff, restart_interval
+            )
+            continue
         pos += seglen
 
-    if frame is None or entropy_start is None:
+    if frame is None or coeffs is None:
         raise ValueError("truncated JPEG")
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     fh, fw = frame["h"], frame["w"]
-    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    ]
 
-    br = _BitReader(data[entropy_start:])
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_to_marker()
-                preds = [0] * len(comps)
-            for ci, dc_id, ac_id in scan:
-                c = comps[ci]
-                qt = qts[c["tq"]]
-                dct = huff[(0, dc_id)]
-                act = huff[(1, ac_id)]
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _huff_decode(br, dct)
-                        diff = _extend(br.bits(size), size) if size else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * qt
-                        blk = _T.T @ coef.reshape(8, 8) @ _T + 128.0
-                        y0 = (my * c["v"] + v) * 8
-                        x0 = (mx * c["h"] + hh) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_count += 1
-
-    # crop to nominal size (per component resolution) and upsample
     full = []
-    for c, p in zip(comps, planes):
+    for c, zz in zip(comps, coeffs):
+        qt = qts[c["tq"]]
+        nby, nbx = zz.shape[0], zz.shape[1]
+        deq = zz.astype(np.float64) * qt[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        # batched separable IDCT: T.T @ X @ T over all blocks at once
+        px = np.einsum("ij,abjk,kl->abil", _T.T, blocks, _T) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         ch = (fh * c["v"] + vmax - 1) // vmax
         cw = (fw * c["h"] + hmax - 1) // hmax
-        p = p[:ch, :cw]
+        plane = plane[:ch, :cw]
         if c["v"] != vmax or c["h"] != hmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:fh, :fw])
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(plane[:fh, :fw])
 
     if len(full) == 1:
         y = np.clip(full[0], 0, 255).astype(np.uint8)
@@ -480,3 +619,200 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------- progressive encoder
+def _component_coeffs(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(ph, pw) padded plane -> (nby, nbx, 64) zigzag-order quantized
+    coefficients (same rounding as the baseline encoder)."""
+    ph, pw = plane.shape
+    nby, nbx = ph // 8, pw // 8
+    out = np.zeros((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _T @ blk @ _T.T
+            out[by, bx] = np.round(coef.ravel()[_ZIGZAG] / qt)
+    return out
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Progressive JFIF encode (T.81 Annex G) with a 4-phase successive-
+    approximation script: DC first at Al=1, DC refinement, per-component
+    AC 1-63 first at Al=1, per-component AC refinement to Al=0. Uses the
+    Annex-K Huffman tables, so EOB runs are emitted per block (the
+    standard tables carry no EOBn symbols — libjpeg builds custom ones);
+    the DECODER's EOB-run path is exercised by real libjpeg streams.
+
+    Because every pass encodes the SAME quantized coefficients the
+    baseline encoder produces, ``decode_jpeg(encode_jpeg_progressive(x))``
+    is bit-identical to ``decode_jpeg(encode_jpeg(x))`` — the roundtrip
+    oracle for the refinement machinery."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ncomp = len(planes)
+    qts = [qt_l] + [qt_c] * (ncomp - 1)
+    coeffs = [
+        _component_coeffs(
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge"), qt
+        )
+        for p, qt in zip(planes, qts)
+    ]
+    nby, nbx = ph // 8, pw // 8
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(qt[z]) for z in range(64)
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc)
+        out += bytes(bits) + bytes(vals)
+
+    dc_codes = [_canonical_codes(*_DC_LUMA)] + [
+        _canonical_codes(*_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac_codes = [_canonical_codes(*_AC_LUMA)] + [
+        _canonical_codes(*_AC_CHROMA)
+    ] * (ncomp - 1)
+
+    def sos_header(comp_ids: list[int], Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        ns = len(comp_ids)
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            hdr += struct.pack("BB", cid, (td << 4) | td)
+        return hdr + struct.pack("BBB", Ss, Se, (Ah << 4) | Al)
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                dc = int(coeffs[ci][by, bx, 0]) >> 1
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                size, bits_v = _magnitude(diff)
+                c, ln = dc_codes[ci][size]
+                bw.write(c, ln)
+                if size:
+                    bw.write(bits_v, size)
+    bw.flush()
+    out += bw.buf
+
+    # --- scan 2: DC refinement, Al=0 (one raw bit per block) ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                bw.write(int(coeffs[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+
+    # --- per component: AC first (Al=1) then AC refinement (Al=0) ---
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], 1, 63, 0, 1)
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = coeffs[ci][by, bx]
+                run = 0
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    a = abs(v) >> 1
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[ci][0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    vv = a if v > 0 else -a
+                    size, bits_v = _magnitude(vv)
+                    c, ln = ac_codes[ci][(run << 4) | size]
+                    bw.write(c, ln)
+                    bw.write(bits_v, size)
+                    run = 0
+                if run:
+                    c, ln = ac_codes[ci][0x00]  # unit EOB
+                    bw.write(c, ln)
+        bw.flush()
+        out += bw.buf
+
+        out += sos_header([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = coeffs[ci][by, bx]
+                # EOB = last newly-visible coefficient; zero runs beyond it
+                # fold into the block's EOB instead of ZRLs (G.1.2.3 —
+                # the decoder's ZRL walk only spans positions it will
+                # actually visit before the next placed coefficient)
+                eob = 0
+                for k in range(1, 64):
+                    if abs(int(blk[k])) == 1:
+                        eob = k
+                run = 0
+                backlog: list[int] = []
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    a = abs(v)
+                    if a == 0:
+                        run += 1
+                        continue
+                    # flush pending ZRLs at ANY nonzero encounter (before
+                    # buffering its correction bit) while a newly-visible
+                    # coefficient still lies ahead
+                    while run > 15 and k <= eob:
+                        c, ln = ac_codes[ci][0xF0]
+                        bw.write(c, ln)
+                        for bit in backlog:
+                            bw.write(bit, 1)
+                        backlog = []
+                        run -= 16
+                    if a > 1:  # history-nonzero: buffered correction bit
+                        backlog.append(a & 1)
+                        continue
+                    # newly visible (|v| == 1)
+                    c, ln = ac_codes[ci][(run << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for bit in backlog:
+                        bw.write(bit, 1)
+                    backlog = []
+                    run = 0
+                if run > 0 or backlog:
+                    c, ln = ac_codes[ci][0x00]  # unit EOB closes the block
+                    bw.write(c, ln)
+                    for bit in backlog:
+                        bw.write(bit, 1)
+        bw.flush()
+        out += bw.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -66,13 +66,17 @@ def test_textured_content_degrades_not_explodes():
     assert _psnr(out, img) > 18  # noise is the JPEG worst case
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_truncated():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\nnotajpeg")
-    # synthesize a progressive SOF2 header: SOI + SOF2 segment
+    # a progressive SOF2 header with no scan data is truncated, not valid
     bogus = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
     with pytest.raises(ValueError):
         decode_jpeg(bogus + b"\xff\xd9")
+    # arithmetic-coded (SOF9) streams are explicitly unsupported
+    arith = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(ValueError):
+        decode_jpeg(arith + b"\xff\xd9")
 
 
 def test_avi_mjpeg_roundtrip_and_random_access():
@@ -97,3 +101,50 @@ def test_avi_mjpeg_roundtrip_and_random_access():
     assert float(np.abs(f4.astype(int) - frames[4].astype(int)).mean()) < 3.0
     with pytest.raises(ValueError):
         decode_avi_header(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_progressive_identical_to_baseline():
+    """Progressive and baseline encode the SAME quantized coefficients,
+    so the decodes must match bit-for-bit — this is the ground-truth
+    oracle for the successive-approximation machinery (DC shift+refine,
+    AC spectral selection at Al=1, AC refinement correction bits, the
+    jcphuff ZRL-before-correction-bit discipline)."""
+    from facturas_spark.sources.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:33, 0:47]
+    structured = np.stack(
+        [xx * 255 // 46, yy * 255 // 32, (xx + yy) * 127 // 78 + 64], axis=-1
+    ).astype(np.uint8)
+    structured = ((structured.astype(int) + rng.randint(0, 40, structured.shape)) % 256).astype(np.uint8)
+    cases = [
+        (structured, 85),
+        (_gradient(40, 56), 90),
+        (rng.randint(0, 256, (24, 40)).astype(np.uint8), 80),
+        (rng.randint(0, 256, (29, 21, 3)).astype(np.uint8), 50),
+    ]
+    for img, q in cases:
+        a = decode_jpeg(encode_jpeg(img, q))
+        b = decode_jpeg(encode_jpeg_progressive(img, q))
+        assert np.array_equal(a, b), (img.shape, q)
+
+
+def test_decodes_reference_progressive_photo():
+    """The reference repo ships a REAL WhatsApp photo — a 900x1600
+    libjpeg progressive stream (8 scans, successive approximation,
+    4:2:0). Our decoder must produce a plausible natural image from it:
+    right dims, photo-like smoothness (mean |gradient| far below global
+    std — a Huffman desync yields noise with gradient ~ std), and
+    strongly correlated color channels."""
+    b = open(
+        "/root/reference/Imagen de WhatsApp 2025-08-17 a las 14.01.54_bbefa6bc.jpg",
+        "rb",
+    ).read()
+    px = decode_jpeg(b)
+    assert px.shape == (1600, 900, 3)
+    luma = px.astype(float) @ np.array([0.299, 0.587, 0.114])
+    assert 150 < luma.mean() < 180  # photographed white-ish document
+    grad = np.abs(np.diff(luma, axis=1)).mean()
+    assert grad < luma.std() / 5
+    r, g = px[..., 0].ravel().astype(float), px[..., 1].ravel().astype(float)
+    assert np.corrcoef(r, g)[0, 1] > 0.95
