@@ -67,7 +67,16 @@ def extract_main_text(html_payload: bytes | str | None) -> str:
     if html_payload is None:
         return ""
     if isinstance(html_payload, (bytes, bytearray)):
-        raw = bytes(html_payload).decode("utf-8", errors="replace")
+        if bytes(html_payload[:4]) == b"%PDF":
+            # PDF payloads: pull text from the content streams
+            # (sources/pdf.py), then fall through the same per-line
+            # normalization as plain text. The sniff is a 4-byte compare,
+            # so the html/text hot path is untouched.
+            from facturas_spark.sources.pdf import pdf_extract_text
+
+            raw = pdf_extract_text(bytes(html_payload))
+        else:
+            raw = bytes(html_payload).decode("utf-8", errors="replace")
     else:
         raw = html_payload
     if not raw:
