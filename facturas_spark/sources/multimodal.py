@@ -148,6 +148,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from facturas_spark.sources.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(payload))
+    if mime == "image/gif":
+        from facturas_spark.sources.gif import decode_gif
+
+        return decode_gif(bytes(payload))
     raise ValueError(f"no codec for {mime}")
 
 

@@ -148,3 +148,26 @@ def test_decodes_reference_progressive_photo():
     assert grad < luma.std() / 5
     r, g = px[..., 0].ravel().astype(float), px[..., 1].ravel().astype(float)
     assert np.corrcoef(r, g)[0, 1] > 0.95
+
+
+def test_gif_lzw_roundtrip():
+    from facturas_spark.sources.gif import decode_gif, encode_gif
+    from facturas_spark.sources.codecs import sniff_media
+
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (37, 53)).astype(np.uint8)
+    data = encode_gif(g)
+    assert sniff_media(data) == "image/gif"
+    out = decode_gif(data)
+    assert np.array_equal(out[..., 0], g) and np.array_equal(out[..., 2], g)
+    # limited palette color, exact
+    pal = rng.randint(0, 256, (17, 3)).astype(np.uint8)
+    img = pal[rng.randint(0, 17, (29, 41))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    # large enough to exercise LZW code-width growth and clear codes
+    big = rng.randint(0, 256, (120, 160)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big))[..., 0], big)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        encode_gif(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8))  # >256 colors
