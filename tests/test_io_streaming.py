@@ -526,3 +526,66 @@ def test_stream_clean_increment(spark, tmp_path):
     assert spark.read.parquet(f"{corpus}/docs").count() == 6
     # index layers stay in lockstep with docs
     assert spark.read.parquet(f"{corpus}/fps").count() == 6
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Real watermark semantics, not just a plan check: append-mode
+    windowed aggregation across two availableNow drains. Batch 1
+    advances event time far past the watermark horizon; batch 2 replays
+    events OLDER than the horizon (late data) plus one fresh event.
+    The late rows must not resurrect or alter their closed windows."""
+    from datetime import datetime
+
+    from facturas_spark.streaming.stream import stream_windowed_events
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ck")
+    ddl = "ts timestamp, event_type string, value double"
+
+    def drain():
+        ev = spark.readStream.schema(ddl).format("parquet").load(in_dir)
+        q = (
+            stream_windowed_events(ev, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda h, m=0: datetime(2025, 3, 1, h, m)  # noqa: E731
+    b1 = [
+        (t(1, 10), "purchase", 10.0),
+        (t(1, 40), "purchase", 5.0),
+        (t(2, 15), "view", 1.0),
+        (t(9, 0), "view", 2.0),  # advances watermark to 07:00
+    ]
+    spark.createDataFrame(b1, ddl).write.mode("append").parquet(in_dir)
+    drain()
+    got1 = {
+        (r.inicio.hour, r.event_type): r.eventos
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # windows closed by the advanced watermark are emitted once
+    assert got1[(1, "purchase")] == 2
+    assert got1[(2, "view")] == 1
+
+    # batch 2: two LATE purchase events for the already-closed 01:00
+    # window (far below the 07:00 horizon) + one live event
+    b2 = [
+        (t(1, 20), "purchase", 99.0),
+        (t(1, 50), "purchase", 99.0),
+        (t(9, 30), "view", 3.0),
+    ]
+    spark.createDataFrame(b2, ddl).write.mode("append").parquet(in_dir)
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    purchase_1h = [
+        r for r in rows if r.inicio.hour == 1 and r.event_type == "purchase"
+    ]
+    # the closed window appears exactly once, count still 2: late rows dropped
+    assert len(purchase_1h) == 1
+    assert purchase_1h[0].eventos == 2 and purchase_1h[0].total_valor == 15.0
