@@ -213,12 +213,16 @@ def quality_frame(docs: DataFrame) -> DataFrame:
 
 
 def per_doc_flags(
-    docs: DataFrame, quota_k: int = QUOTA_K, pack_budget: int = PACK_BUDGET
+    docs: DataFrame,
+    quota_k: int = QUOTA_K,
+    pack_budget: int = PACK_BUDGET,
+    pack_shards: int | None = None,
 ) -> DataFrame:
     """One row per input doc with cumulative stage-survival flags
     (s0..s7), the scrubbed text, PII span counts, and pack assignment.
     Columns: doc_id, source, s0..s3, n_red, s5, s6, s7, scrubbed,
-    tokens, pack_id (tokens/pack_id only for final survivors)."""
+    tokens, pack_shard, pack_id (packing cols only for final
+    survivors; pack_shard null in the global-window default)."""
     f1 = quality_frame(docs)
 
     # stage 5: exact dedup on the scrubbed fingerprint among s3 survivors
@@ -271,17 +275,31 @@ def per_doc_flags(
         "s7", F.col("s6") & F.coalesce("quota_keep", F.lit(False))
     ).persist()
 
-    # stage 8: token-budget packing of the final survivors
-    pw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packs = (
-        f4.filter(F.col("s7"))
-        .select("doc_id", F.size(_words(F.col("scrubbed"))).alias("tokens"))
-        .withColumn(
-            "pack_id",
-            F.floor((F.sum("tokens").over(pw) - F.col("tokens")) / pack_budget).cast(
-                "bigint"
-            ),
+    # stage 8: token-budget packing of the final survivors. Global
+    # running sum by default (the oracle-checkable core); pack_shards
+    # partitions the window by hash(doc_id) % N so the cumsum never
+    # crosses executors at cluster scale (same expression, pack identity
+    # becomes (pack_shard, pack_id) — corpus_packing's technique)
+    surv = f4.filter(F.col("s7")).select(
+        "doc_id", F.size(_words(F.col("scrubbed"))).alias("tokens")
+    )
+    if pack_shards is None:
+        pw = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        surv = surv.withColumn("pack_shard", F.lit(None).cast("bigint"))
+    else:
+        surv = surv.withColumn(
+            "pack_shard", F.pmod(F.col("doc_id"), F.lit(pack_shards))
         )
+        pw = (
+            Window.partitionBy("pack_shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    packs = surv.withColumn(
+        "pack_id",
+        F.floor((F.sum("tokens").over(pw) - F.col("tokens")) / pack_budget).cast(
+            "bigint"
+        ),
     )
     return f4.join(packs, "doc_id", "left").select(
         "doc_id",
@@ -296,6 +314,7 @@ def per_doc_flags(
         "s7",
         "scrubbed",
         "tokens",
+        "pack_shard",
         "pack_id",
     )
 
@@ -316,7 +335,15 @@ def clean_funnel(flags: DataFrame) -> DataFrame:
         i64("s5").alias("c5"),
         i64("s6").alias("c6"),
         i64("s7").alias("c7"),
-        F.count_distinct(F.when(F.col("s7"), F.col("pack_id"))).alias("packs"),
+        F.count_distinct(
+            F.when(
+                F.col("s7"),
+                F.struct(
+                    F.coalesce(F.col("pack_shard"), F.lit(-1)).alias("sh"),
+                    F.col("pack_id").alias("p"),
+                ),
+            )
+        ).alias("packs"),
     )
     rows = [
         ("0_nonempty", "total", "c0", None),
@@ -355,7 +382,14 @@ def cleaned_corpus(flags: DataFrame) -> DataFrame:
     the job writes out."""
     return (
         flags.filter(F.col("s7"))
-        .select("doc_id", "source", F.col("scrubbed").alias("text"), "tokens", "pack_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("scrubbed").alias("text"),
+            "tokens",
+            "pack_shard",
+            "pack_id",
+        )
         .orderBy("doc_id")
     )
 

@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--output", required=True, help="output dir")
     parser.add_argument("--quota-k", type=int, default=15)
     parser.add_argument("--pack-budget", type=int, default=512)
+    parser.add_argument(
+        "--pack-shards",
+        type=int,
+        default=None,
+        help="shard the packing window by hash(doc_id) %% N (cluster scale: "
+        "the running sum never crosses executors; pack identity becomes "
+        "(pack_shard, pack_id))",
+    )
     parser.add_argument("--cores", type=int, default=None, help="local-mode cores")
     parser.add_argument(
         "--synth-pii",
@@ -84,7 +92,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.synth_pii:
             docs = with_synth_pii(docs)
         flags = per_doc_flags(
-            docs, quota_k=args.quota_k, pack_budget=args.pack_budget
+            docs,
+            quota_k=args.quota_k,
+            pack_budget=args.pack_budget,
+            pack_shards=args.pack_shards,
         )
         flags.write.mode("overwrite").parquet(flags_path)
         rows = spark.read.parquet(flags_path).count()

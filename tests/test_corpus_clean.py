@@ -114,3 +114,24 @@ def test_clean_job_stage_resume(spark, tmp_path):
     r3 = run()
     assert set(r3["stages"]) == {"stats"}
     assert r3["stages"]["stats"]["funnel"] == funnel1  # derived from flags parquet
+
+
+def test_sharded_packing_variant(spark):
+    """pack_shards=N: identical survivors, per-shard budget respected,
+    every doc keeps its pack assignment within its own shard."""
+    from pyspark.sql import functions as F
+
+    docs = with_synth_pii(spark.read.parquet(f"{SF}/documents.parquet"))
+    sharded = per_doc_flags(docs, pack_shards=4).localCheckpoint(eager=True)
+    survivors = sharded.filter("s7")
+    glob = per_doc_flags(docs).localCheckpoint(eager=True)
+    assert survivors.count() == glob.filter("s7").count()
+    rows = survivors.select("doc_id", "tokens", "pack_shard", "pack_id").collect()
+    assert all(r.pack_shard == r.doc_id % 4 for r in rows)
+    # per (shard, pack): running-sum packing invariant — removing the last
+    # doc of a pack brings it under budget
+    by_pack: dict = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_pack.setdefault((r.pack_shard, r.pack_id), []).append(r.tokens)
+    for toks in by_pack.values():
+        assert sum(toks[:-1]) < 512
