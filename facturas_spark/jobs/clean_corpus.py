@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
         help="inject deterministic PII-shaped suffixes (test corpora are "
         "PII-free; gives the scrub stage signal)",
     )
+    parser.add_argument(
+        "--iceberg-table",
+        default=None,
+        help="ALSO write the cleaned corpus to this Iceberg table "
+        "(catalog.db.table) via overwritePartitions — idempotent like "
+        "the parquet stages; requires the iceberg-spark-runtime jar "
+        "(skipped with a warning when absent, parquet output stands)",
+    )
     args = parser.parse_args(argv)
 
     from facturas_spark.analytics.corpus_clean import (
@@ -110,6 +118,20 @@ def main(argv: list[str] | None = None) -> int:
         rows = spark.read.parquet(clean_path).count()
         manifest.write_json("stage=clean.json", {"stage": "clean", "rows": rows})
         result["stages"]["clean"] = {"rows": rows}
+        if args.iceberg_table:
+            from facturas_spark.sources.iceberg import iceberg_available
+
+            if iceberg_available(spark, args.iceberg_table.split(".", 1)[0]):
+                spark.read.parquet(clean_path).writeTo(
+                    args.iceberg_table
+                ).createOrReplace()
+                result["stages"]["clean"]["iceberg_table"] = args.iceberg_table
+            else:
+                print(
+                    "WARN: no Iceberg runtime on the classpath; cleaned "
+                    "corpus written to parquet only",
+                    file=sys.stderr,
+                )
 
     if "stats" not in done:
         stats_path = os.path.join(args.output, "stats")

@@ -94,13 +94,21 @@ def synth_media_rows(n: int, seed: int = 42) -> list[tuple]:
         if kind == "image":
             w, h = 64 + (k % 4) * 16, 48 + (k % 3) * 12
             px = _image_pixels(k, w, h)
-            # rotate PNG / BMP / JPEG so every image codec path (incl. the
-            # lossy baseline-JPEG decoder) is exercised by the demo corpus
-            fmt = ("image/bmp", "image/png", "image/jpeg")[(i // 3) % 3]
+            # rotate BMP / PNG / JPEG / GIF so every image codec path
+            # (incl. the lossy baseline-JPEG decoder and the LZW indexed
+            # path) is exercised by the demo corpus
+            fmt = ("image/bmp", "image/png", "image/jpeg", "image/gif")[(i // 3) % 4]
             if fmt == "image/png":
                 payload = encode_png(px)
             elif fmt == "image/bmp":
                 payload = encode_bmp(px)
+            elif fmt == "image/gif":
+                from facturas_spark.sources.gif import encode_gif
+
+                # GIF is indexed: use the luma plane (exact 256-gray palette)
+                payload = encode_gif(
+                    (px @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+                )
             else:
                 from facturas_spark.sources.jpeg import encode_jpeg
 

@@ -122,6 +122,10 @@ def test_image_features_real_decode(spark):
             from facturas_spark.sources.jpeg import decode_jpeg
 
             px = decode_jpeg(payload)
+        elif meta[4] == "image/gif":
+            from facturas_spark.sources.gif import decode_gif
+
+            px = decode_gif(payload)
         else:
             px = decode_bmp(payload)
         # decoded dims equal the sidecar meta AND the pixel array
@@ -230,7 +234,7 @@ def test_media_corpus_exercises_jpeg(spark):
 
     rows = synth_media_rows(30, seed=42)
     mimes = {r[3][4] for r in rows if r[1] == "image"}
-    assert mimes == {"image/bmp", "image/png", "image/jpeg"}
+    assert mimes == {"image/bmp", "image/png", "image/jpeg", "image/gif"}
 
 
 def test_hostile_payloads_null_not_crash(spark):
