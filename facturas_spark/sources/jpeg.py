@@ -200,9 +200,14 @@ def _encode_component(
     return pred
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
     """Baseline JFIF encode. ``pixels``: (h, w, 3) uint8 RGB or (h, w)
-    uint8 grayscale. 4:4:4 sampling (every component full-res)."""
+    uint8 grayscale. 4:4:4 sampling (every component full-res).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs with DC-prediction resets (the error-resilience feature real
+    camera JPEGs carry; roundtrip-pins the decoder's restart path)."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     qt_l = _scaled_qt(_QT_LUMA, quality)
@@ -241,6 +246,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     for tc, (bits, vals) in tables:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(1, ncomp + 1):
         out += struct.pack("BB", cid, 0x00 if cid == 1 else 0x11)
@@ -253,14 +260,23 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     ac_c = _canonical_codes(*_AC_CHROMA)
     # 4:4:4 interleaved MCU = one 8x8 block per component
     preds = [0] * ncomp
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # close the entropy segment: pad, emit RSTn, reset DC preds
+                bw.flush()
+                out += bw.buf
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                bw = _BitWriter()
+                preds = [0] * ncomp
             for ci in range(ncomp):
                 qt = qt_l if ci == 0 else qt_c
                 dc = dc_l if ci == 0 else dc_c
                 ac = ac_l if ci == 0 else ac_c
                 blk = padded[ci][by : by + 8, bx : bx + 8]
                 preds[ci] = _encode_component(blk, qt, dc, ac, bw, preds[ci])
+            mcu += 1
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI

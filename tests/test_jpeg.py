@@ -171,3 +171,48 @@ def test_gif_lzw_roundtrip():
         decode_gif(b"NOTAGIF")
     with pytest.raises(ValueError):
         encode_gif(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8))  # >256 colors
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn emission + decode: restart intervals of 1/2/5 MCUs must
+    decode bit-identically to the plain stream (same coefficients; the
+    decoder's marker-align + DC-prediction-reset path is exercised)."""
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [xx * 4 % 256, yy * 6 % 256, (xx + yy) * 3 % 256], axis=-1
+    ).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, 88))
+    for ri in (1, 2, 5):
+        data = encode_jpeg(img, 88, restart_interval=ri)
+        assert b"\xff\xdd" in data and b"\xff\xd0" in data
+        assert np.array_equal(decode_jpeg(data), plain)
+
+
+def test_gif_interlaced_decode():
+    """Interlace undo: hand-build a GIF89a with the interlace flag and
+    rows stored in 4-pass order; decode must restore raster order."""
+    import struct
+
+    from facturas_spark.sources.gif import _lzw_encode, decode_gif
+
+    rng = np.random.RandomState(9)
+    h, w = 13, 7
+    grid = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    palette = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(8)
+    data = _lzw_encode([int(v) for v in grid[order].ravel()], 8)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    px = decode_gif(bytes(out))
+    assert np.array_equal(px[..., 0], grid)
