@@ -12,9 +12,12 @@ format — nothing beyond ``struct`` + numpy is needed for a correct
   one numpy matrix product per block batch); chroma upsample for any
   sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0); YCbCr->RGB
   (JFIF full-range BT.601).
-- **encoder** (fixture generator + roundtrip oracle): quality-scaled
-  Annex-K quantization tables, 4:4:4 sampling, Annex-K standard Huffman
-  tables, byte stuffing. Grayscale (1 component) and color supported.
+- **encoders** (fixture generators + roundtrip oracles): quality-scaled
+  Annex-K quantization + Huffman tables, byte stuffing; baseline 4:4:4
+  (gray + color, optional restart markers), baseline 4:2:0 (the camera
+  MCU geometry), and progressive (spectral selection + successive
+  approximation) — each pinned against the decoder, the progressive and
+  4:2:0-neutral-chroma cases bit-identically.
 
 The entropy loop is Python-per-symbol — fine for tests and the bounded
 multimodal demo queries; at production scale the decode UDF swaps in
@@ -28,7 +31,12 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = [
+    "encode_jpeg",
+    "encode_jpeg_progressive",
+    "encode_jpeg_420",
+    "decode_jpeg",
+]
 
 # ----------------------------------------------------------- shared tables
 _ZIGZAG = np.array([
@@ -830,5 +838,76 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85) -> bytes:
         bw.flush()
         out += bw.buf
 
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_420(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JFIF encode with 4:2:0 chroma subsampling (luma 2x2,
+    chroma 1x1 — the MCU geometry virtually all camera/libjpeg color
+    images use). Exists to roundtrip-pin the decoder's interleaved
+    subsampled path: on a neutral-chroma (gray RGB) input the decode is
+    bit-identical to the 4:4:4 encoder's, since the luma pipeline is
+    the same and all chroma coefficients quantize to zero."""
+    if pixels.ndim != 3:
+        raise ValueError("encode_jpeg_420 expects (h, w, 3) RGB")
+    h, w = pixels.shape[:2]
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    qt_c = _scaled_qt(_QT_CHROMA, quality)
+
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    # luma padded to 16-multiples (2x2 blocks per MCU); chroma = 2x2 box
+    # mean of the padded luma grid, one 8x8 block per MCU
+    ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")  # noqa: E731
+    yp = pad(y)
+    cbp = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    crp = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(qt[z]) for z in range(64)
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += struct.pack("BBB", 1, 0x22, 0)  # luma 2x2
+    out += struct.pack("BBB", 2, 0x11, 1)
+    out += struct.pack("BBB", 3, 0x11, 1)
+    for tc, (bits, vals) in (
+        (0x00, _DC_LUMA), (0x10, _AC_LUMA), (0x01, _DC_CHROMA), (0x11, _AC_CHROMA)
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += struct.pack("BB", 1, 0x00) + struct.pack("BB", 2, 0x11) + struct.pack("BB", 3, 0x11)
+    out += b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    dc_l, ac_l = _canonical_codes(*_DC_LUMA), _canonical_codes(*_AC_LUMA)
+    dc_c, ac_c = _canonical_codes(*_DC_CHROMA), _canonical_codes(*_AC_CHROMA)
+    preds = [0, 0, 0]
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for v in range(2):
+                for hh in range(2):
+                    blk = yp[
+                        (2 * my + v) * 8 : (2 * my + v) * 8 + 8,
+                        (2 * mx + hh) * 8 : (2 * mx + hh) * 8 + 8,
+                    ]
+                    preds[0] = _encode_component(blk, qt_l, dc_l, ac_l, bw, preds[0])
+            for ci, plane in ((1, cbp), (2, crp)):
+                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                preds[ci] = _encode_component(
+                    blk, qt_c, dc_c, ac_c, bw, preds[ci]
+                )
+    bw.flush()
+    out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)

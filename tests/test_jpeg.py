@@ -216,3 +216,23 @@ def test_gif_interlaced_decode():
     out += b"\x00\x3b"
     px = decode_gif(bytes(out))
     assert np.array_equal(px[..., 0], grid)
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 interleaved geometry (the real-photo MCU layout): on a
+    neutral-chroma (gray RGB) image all chroma coefficients quantize to
+    zero, so the decode must be BIT-IDENTICAL to the 4:4:4 encoder's;
+    color content decodes at high PSNR with the same shape."""
+    from facturas_spark.sources.jpeg import encode_jpeg_420
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    gray3 = np.repeat(((xx * 3 + yy * 5) % 256).astype(np.uint8)[..., None], 3, axis=-1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_420(gray3, 85)), decode_jpeg(encode_jpeg(gray3, 85))
+    )
+    img = _gradient(40, 56)
+    out = decode_jpeg(encode_jpeg_420(img, 90))
+    assert out.shape == img.shape and _psnr(out, img) > 35
+    odd = np.ascontiguousarray(img[:33, :47])
+    out2 = decode_jpeg(encode_jpeg_420(odd, 90))
+    assert out2.shape == (33, 47, 3) and _psnr(out2, odd) > 33
