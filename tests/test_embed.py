@@ -54,3 +54,30 @@ def test_embed_products_wiring(spark):
     assert len(got[1]) == EMBED_DIM
     # driver-side kernel and the Spark column agree bit-for-bit
     assert got[1] == pytest.approx(embed_vector("aceite de oliva"))
+
+
+def test_embed_properties_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=120, deadline=None)
+    def check(t):
+        import numpy as np
+        import re
+
+        v = embed_counts(t)
+        assert v.shape == (EMBED_DIM,) and v.dtype == np.int64
+        # whitespace/case normalization invariance
+        v2 = embed_counts("  " + t.upper().replace(" ", "\t ") + " ")
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        norm2 = re.sub(r"\s+", " ", ("  " + t.upper().replace(" ", "\t ") + " ").lower()).strip()
+        if norm == norm2:
+            assert (v == v2).all()
+        # total signed mass bounded by gram count
+        assert int(np.abs(v).sum()) <= max(len(norm) - 2, 0)
+        vec = embed_vector(t)
+        if vec is not None:
+            assert abs(float(np.linalg.norm(vec)) - 1.0) < 1e-5
+
+    check()
