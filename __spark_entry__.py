@@ -51,6 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a previous round and untouched since are parked after position 50
     (their green rows are banked in CORRECTNESS_r01/r02.json)."""
     return {
+        # -- NEW in round 4 (late additions): never driver-checked
+        "txt_decontamination": D.txt_decontamination,
+        "txt_unigram_lm_score": D.txt_unigram_lm_score,
+        "dedup_semantic": D.dedup_semantic,
+        "txt_tfidf_keywords": D.txt_tfidf_keywords,
         # -- NEW in round 4: never driver-checked
         "corpus_clean_stats": CC.corpus_clean_stats,
         "embed_fingerprint_stats": D.embed_fingerprint_stats,
@@ -425,6 +430,115 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "txt_decontamination": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '') AS w
+              FROM documents
+            ), base AS (
+              SELECT doc_id, w FROM d WHERE len(w) >= 13
+            ), bench AS (
+              SELECT DISTINCT unnest(list_transform(range(0, len(w) - 12),
+                       i -> md5(array_to_string(w[i + 1:i + 13], ' ')))) AS h
+              FROM base WHERE doc_id % 97 = 0
+            ), train AS (
+              SELECT doc_id, w FROM base WHERE doc_id % 97 <> 0
+            ), spans AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(w) - 12),
+                       i -> md5(array_to_string(w[i + 1:i + 13], ' ')))) AS h
+              FROM train
+            ), hits AS (
+              SELECT doc_id, COUNT(*) AS n_hits
+              FROM spans JOIN bench USING (h) GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.w) - 12 AS BIGINT) AS n_spans,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM train t LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "txt_unigram_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '')) AS token
+              FROM documents
+            ), vocab AS (
+              SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+            ), totals AS (
+              SELECT SUM(c) AS t_total, COUNT(*) AS v_size FROM vocab
+            ), scored AS (
+              SELECT token,
+                     ln(CAST(c + 1 AS DOUBLE) / (t_total + v_size)) AS lp
+              FROM vocab CROSS JOIN totals
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(-lp), 4) AS nll
+            FROM toks JOIN scored USING (token)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_semantic": """
+            WITH e AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+            ), cents AS (
+              SELECT vec_id AS cent_id, embedding AS ce
+              FROM e WHERE vec_id BETWEEN 1 AND 8
+            ), scored AS (
+              SELECT e.vec_id, e.embedding, c.cent_id,
+                     list_sum(list_transform(list_zip(e.embedding, c.ce),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c.ce, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS _s
+              FROM e CROSS JOIN cents c
+            ), assigned AS (
+              SELECT vec_id, embedding, cent_id AS cell
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY _s DESC, cent_id) AS _rn
+                FROM scored
+              ) WHERE _rn = 1
+            ), dup AS (
+              SELECT DISTINCT b.vec_id
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ROUND(
+                      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                    4) >= 0.2
+            )
+            SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+            FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+            ORDER BY a.vec_id
+        """,
+        "txt_tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+            ), nd AS (
+              SELECT COUNT(*) AS n_docs FROM (
+                SELECT doc_id FROM toks GROUP BY doc_id
+              )
+            ), ranked AS (
+              SELECT t.doc_id, t.token, t.tf, d.df,
+                     ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                        ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rank
+              FROM tf t JOIN df d USING (token)
+            )
+            SELECT doc_id, rank, token, tf, df,
+                   ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+            FROM ranked CROSS JOIN nd
+            WHERE rank <= 3
+            ORDER BY doc_id, rank
+        """,
         "txt_substring_dup": """
             WITH d AS (
               SELECT doc_id,

@@ -1423,3 +1423,195 @@ def txt_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def txt_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan (GPT-3 appendix C / PaLM style,
+    public papers): a training document is CONTAMINATED when it shares
+    any 13-word n-gram with an evaluation-benchmark document. The
+    "benchmark" here is the deterministic slice doc_id % 97 == 0 (a
+    stand-in for the real eval set a lab would broadcast); every other
+    doc with >= 13 words is scanned.
+
+    Scale shape: the benchmark n-gram set is SMALL by nature (eval sets
+    are thousands of docs, not billions) -> its md5 fingerprints are
+    broadcast; the corpus side explodes its 13-gram fingerprints and
+    broadcast-hash-joins them — no shuffle of the corpus beyond the final
+    per-doc count reduce, so the scan stays a map-side pass at 100 TB.
+    Same fingerprint technique as txt_substring_dup (fixed-K windows
+    replacing the suffix array)."""
+    K = 13
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    words = _words(F.col("text"))
+
+    def grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - K),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, K))),
+                )
+            ).alias("h"),
+        )
+
+    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= K)
+    bench = grams(base.filter(is_bench)).select("h").distinct()
+    train = base.filter(~is_bench)
+    hits = (
+        grams(train)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id", (F.size("w") - K + 1).cast("bigint").alias("n_spans"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score (the CCNet/Wikipedia-LM filter
+    family, Wenzek et al. 2020, public paper — here the LM is the
+    corpus's own add-one-smoothed unigram model instead of KenLM): per
+    doc, mean negative log-likelihood of its tokens under
+    p(t) = (count(t)+1) / (T+V). Low = head-heavy/templated text,
+    high = rare-token soup; both tails are filter candidates.
+
+    Scale shape: one token-keyed partial-agg shuffle builds the vocab;
+    the corpus totals (T, V) are a 1-row broadcast; scoring joins
+    exploded tokens to the vocab — at 100 TB the join side is the
+    Zipf-headed vocab TOP slice broadcast with an OOV floor, making the
+    score a map-side pass (the exact-join form here is the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("t_total"), F.count("*").alias("v_size")
+    )
+    logp = F.log(
+        (F.col("c") + 1).cast("double") / (F.col("t_total") + F.col("v_size"))
+    )
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "token", logp.alias("lp")
+    )
+    return (
+        toks.join(scored, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.col("lp")), 4).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.2
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): cluster embeddings
+    with a coarse codebook, then prune SEMANTIC duplicates — pairs whose
+    cosine exceeds a threshold — WITHIN each cluster only, keeping the
+    lowest-id member of every duplicate group. The clustering bounds the
+    pairwise comparison to O(sum of cell^2) instead of O(N^2), which is
+    the paper's entire scaling argument.
+
+    Codebook: vectors vec_id 1..8 (the same deterministic k-means
+    stand-in as ann_ivf_topk); window bounded to vec_id < 200 so the
+    oracle pins every pair. A vector is DROPPED when an earlier (lower
+    vec_id) vector in its cell has cosine >= 0.2 with it. Plan:
+    centroids broadcast, one window argmax for assignment, the
+    within-cell self-join keys on the cell id — no theta join across
+    cells."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cents = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", _cosine("embedding", "ce").alias("_s"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("_s").desc(), F.col("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    a = assigned.select("cell", F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = assigned.select("cell", F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(F.round(_cosine("e1", "e2"), 4) >= SEMDEDUP_THRESHOLD)
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            (~F.coalesce("is_dup", F.lit(False))).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def txt_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keyword extraction (corpus indexing /
+    search-feature staple): top-3 tokens per doc. The tfidf column is
+    the classic tf * ln(N/df) weight; the RANKING is the integer-exact
+    order (tf DESC, df ASC, token ASC) so both engines agree bit-for-bit
+    — for a fixed doc it matches the tfidf order whenever tf agrees, and
+    it never depends on cross-engine libm ulps.
+
+    Scale shape: two token-keyed partial-agg shuffles (per-doc tf,
+    corpus df) + one doc-keyed window for the top-3; the corpus doc
+    count is a 1-row broadcast. df is Zipf-headed, so at 100 TB the df
+    side broadcasts its head exactly like the unigram-LM vocab."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = (
+        tf.select("doc_id", "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.filter(F.size(_words(F.col("text"))) > 0).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )

@@ -248,3 +248,35 @@ def test_clean_chain_plan_properties(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_broadcast_no_cartesian(spark):
+    """txt_decontamination must broadcast the (small) benchmark n-gram
+    set and hash-join the exploded corpus side — the corpus never
+    shuffles on the fingerprint, so the scan stays map-side at 100 TB."""
+    plan = _plan(em.queries()["txt_decontamination"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semdedup_cell_equijoin_no_cartesian(spark):
+    """dedup_semantic's pairwise compare must key on the cell id (the
+    SemDeDup O(sum cell^2) bound): no cartesian anywhere; the only
+    broadcast-nested-loop allowed is the 8-row centroid broadcast."""
+    plan = _plan(em.queries()["dedup_semantic"](spark, SF))
+    assert "CartesianProduct" not in plan
+    joined_on_cell = any(
+        "cell" in line
+        for line in plan.splitlines()
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line
+        or "hashpartitioning" in line or "BroadcastHashJoin" in line
+    )
+    assert joined_on_cell, plan
+
+
+def test_unigram_lm_partial_agg_and_broadcast_totals(spark):
+    """Vocab build must partial-aggregate map-side; the (T, V) totals are
+    a 1-row broadcast, never a shuffle of the token stream."""
+    plan = _plan(em.queries()["txt_unigram_lm_score"](spark, SF))
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,140 @@
+"""By-construction semantics tests for the late round-4 quality operators:
+benchmark decontamination, corpus-unigram-LM scoring, SemDeDup semantic
+dedup, and tf-idf keyword extraction. The oracle gate proves cross-engine
+agreement; these pin the ground truth on corpora whose answers are known
+by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def decon_dir(spark, tmp_path_factory):
+    """doc 0 is a benchmark doc (0 % 97 == 0); doc 1 embeds doc 0's full
+    13-word text verbatim inside unrelated padding; doc 2 shares no
+    13-gram with it; doc 3 is too short to have any 13-gram."""
+    bench = " ".join(f"b{i}" for i in range(13))
+    docs = [
+        (0, bench, "en"),
+        (1, "pad1 pad2 " + bench + " pad3 pad4", "en"),
+        (2, " ".join(f"c{i}" for i in range(20)), "en"),
+        (3, "short text only", "en"),
+    ]
+    out = tmp_path_factory.mktemp("decon")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def test_decontamination_flags_verbatim_overlap(spark, decon_dir):
+    from facturas_spark.analytics.dedup import txt_decontamination
+
+    rows = {r["doc_id"]: r for r in txt_decontamination(spark, decon_dir).collect()}
+    # benchmark docs never appear as training rows; too-short docs are out
+    assert set(rows) == {1, 2}
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 1
+    # doc 1 has 17 words -> 5 windows of 13
+    assert rows[1]["n_spans"] == 5
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert rows[2]["n_spans"] == 8
+
+
+@pytest.fixture(scope="module")
+def lm_dir(spark, tmp_path_factory):
+    """Corpus vocab: x appears 2x, y 1x -> T=3, V=2; add-one gives
+    p(x)=3/5, p(y)=2/5."""
+    docs = [(0, "x x", "en"), (1, "y", "en")]
+    out = tmp_path_factory.mktemp("lm")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def test_unigram_lm_exact_values(spark, lm_dir):
+    from facturas_spark.analytics.dedup import txt_unigram_lm_score
+
+    rows = {r["doc_id"]: r for r in txt_unigram_lm_score(spark, lm_dir).collect()}
+    assert rows[0]["n_tokens"] == 2 and rows[1]["n_tokens"] == 1
+    assert rows[0]["nll"] == round(-math.log(3 / 5), 4)   # 0.5108
+    assert rows[1]["nll"] == round(-math.log(2 / 5), 4)   # 0.9163
+    # common-token doc scores LOWER than rare-token doc
+    assert rows[0]["nll"] < rows[1]["nll"]
+
+
+@pytest.fixture(scope="module")
+def sem_dir(spark, tmp_path_factory):
+    """Embedding geometry with known cells: vec 1..8 are the codebook
+    (near-orthogonal axes); vec 10/11 point along axis 1 (same cell as
+    vec 1, cosine >= 0.2 -> dropped); vec 20 is orthogonal to every
+    member of its tie-broken cell 1 -> kept."""
+    def axis(i, dim=8):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    rows = [(i, axis(i - 1), 0) for i in range(1, 9)]
+    rows += [
+        (10, [1.0, 0.01] + [0.0] * 6, 0),
+        (11, [0.9, 0.43] + [0.0] * 6, 0),
+        (20, [0.0] * 7 + [-1.0], 0),
+    ]
+    out = tmp_path_factory.mktemp("sem")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_semdedup_drops_within_cell_neighbors(spark, sem_dir):
+    from facturas_spark.analytics.dedup import dedup_semantic
+
+    rows = {r["vec_id"]: r for r in dedup_semantic(spark, sem_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 20}
+    # the codebook members each head their own cell -> kept
+    assert all(rows[i]["keep"] for i in range(1, 9))
+    # near-axis-1 vectors share vec 1's cell and exceed the threshold
+    assert rows[10]["cell"] == 1 and not rows[10]["keep"]
+    assert rows[11]["cell"] == 1 and not rows[11]["keep"]
+    # orthogonal vector ties to cell 1 but matches nothing -> kept
+    assert rows[20]["cell"] == 1 and rows[20]["keep"]
+
+
+@pytest.fixture(scope="module")
+def tfidf_dir(spark, tmp_path_factory):
+    docs = [
+        (0, "apple apple banana", "en"),
+        (1, "banana cherry", "en"),
+        (2, "cherry cherry cherry", "en"),
+    ]
+    out = tmp_path_factory.mktemp("tfidf")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def test_tfidf_ranking_and_weights(spark, tfidf_dir):
+    from facturas_spark.analytics.dedup import txt_tfidf_keywords
+
+    rows = txt_tfidf_keywords(spark, tfidf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple (tf=2, df=1) outranks banana (tf=1, df=2)
+    assert [r["token"] for r in by_doc[0]] == ["apple", "banana"]
+    assert by_doc[0][0]["tfidf"] == round(2 * math.log(3 / 1), 4)
+    assert by_doc[0][1]["tfidf"] == round(1 * math.log(3 / 2), 4)
+    # doc 1: equal tf=1 -> lower df (nothing has df<2 here) -> token asc
+    assert [r["token"] for r in by_doc[1]] == ["banana", "cherry"]
+    # doc 2: single token, rank 1 only
+    assert [r["token"] for r in by_doc[2]] == ["cherry"]
+    assert by_doc[2][0]["tfidf"] == round(3 * math.log(3 / 2), 4)
+    # ranks are 1..k dense per doc
+    for doc_rows in by_doc.values():
+        assert [r["rank"] for r in doc_rows] == list(range(1, len(doc_rows) + 1))
