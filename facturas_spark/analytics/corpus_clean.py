@@ -47,7 +47,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from facturas_spark.analytics.dedup import (
+    DECON_K,
     LSH_JACCARD_THRESHOLD,
+    _kgram_hashes,
     _band_table,
     _jaccard,
     _min_label_components,
@@ -63,6 +65,7 @@ __all__ = [
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
+    "contaminated_ids",
     "per_doc_flags",
     "clean_funnel",
     "cleaned_corpus",
@@ -391,6 +394,37 @@ def cleaned_corpus(flags: DataFrame) -> DataFrame:
             "pack_id",
         )
         .orderBy("doc_id")
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame, bench_docs: DataFrame, k: int = DECON_K
+) -> DataFrame:
+    """Benchmark-decontamination pre-filter for the clean job (GPT-3
+    appendix C / PaLM, public papers): doc_ids of ``docs`` sharing any
+    k-word n-gram with ``bench_docs`` (an eval-set table with a ``text``
+    column). The benchmark fingerprint set is small by nature and
+    broadcast, so the corpus side stays a map pass + one doc_id distinct
+    — same plan shape as ``dedup.txt_decontamination``."""
+    tok = lambda df: (  # noqa: E731
+        df.select("doc_id", _words(F.col("text")).alias("w")).filter(
+            F.size("w") >= k
+        )
+    )
+    # the bench side needs no stable id — only its fingerprint set
+    bench = (
+        _kgram_hashes(
+            tok(bench_docs.select(F.lit(0).cast("bigint").alias("doc_id"), "text")),
+            k,
+        )
+        .select("h")
+        .distinct()
+    )
+    return (
+        _kgram_hashes(tok(docs), k)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
     )
 
 

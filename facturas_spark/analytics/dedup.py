@@ -1425,6 +1425,24 @@ def txt_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_K = 13  # GPT-3-appendix-C n-gram width
+
+
+def _kgram_hashes(df: DataFrame, k: int) -> DataFrame:
+    """(doc_id, h) rows: md5 of every k-word window of column ``w``
+    (a pre-tokenized array). Shared by the decontamination query and the
+    clean-job pre-filter so the fingerprint family can't drift."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, k))),
+            )
+        ).alias("h"),
+    )
+
+
 def txt_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scan (GPT-3 appendix C / PaLM style,
     public papers): a training document is CONTAMINATED when it shares
@@ -1440,27 +1458,16 @@ def txt_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc count reduce, so the scan stays a map-side pass at 100 TB.
     Same fingerprint technique as txt_substring_dup (fixed-K windows
     replacing the suffix array)."""
-    K = 13
+    K = DECON_K
     docs = _t(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 97 == 0
     words = _words(F.col("text"))
 
-    def grams(df):
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - K),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, K))),
-                )
-            ).alias("h"),
-        )
-
     base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= K)
-    bench = grams(base.filter(is_bench)).select("h").distinct()
+    bench = _kgram_hashes(base.filter(is_bench), K).select("h").distinct()
     train = base.filter(~is_bench)
     hits = (
-        grams(train)
+        _kgram_hashes(train, K)
         .join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))

@@ -5,7 +5,8 @@ Usage (cluster or local):
     spark-submit --py-files facturas_spark.zip \\
         facturas_spark/jobs/clean_corpus.py \\
         --input /data/documents_parquet --output /data/clean \\
-        [--quota-k 15] [--pack-budget 512] [--cores 32]
+        [--quota-k 15] [--pack-budget 512] [--cores 32] \\
+        [--benchmark /data/eval_set_parquet]
 
 The corpus-side twin of ``jobs/extract_job.py`` — the single
 lineage-managed pass the reference runs as its one end-to-end handler
@@ -67,6 +68,14 @@ def main(argv: list[str] | None = None) -> int:
         "PII-free; gives the scrub stage signal)",
     )
     parser.add_argument(
+        "--benchmark",
+        default=None,
+        help="eval-set parquet (needs a text column); docs sharing any "
+        "13-word n-gram with it are dropped BEFORE the quality chain "
+        "(GPT-3/PaLM decontamination; the benchmark fingerprint set is "
+        "broadcast, the corpus side stays a map pass)",
+    )
+    parser.add_argument(
         "--iceberg-table",
         default=None,
         help="ALSO write the cleaned corpus to this Iceberg table "
@@ -79,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
     from facturas_spark.analytics.corpus_clean import (
         clean_funnel,
         cleaned_corpus,
+        contaminated_ids,
         per_doc_flags,
         with_synth_pii,
     )
@@ -99,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         if args.synth_pii:
             docs = with_synth_pii(docs)
+        decon_meta = {}
+        if args.benchmark:
+            bad = contaminated_ids(docs, spark.read.parquet(args.benchmark))
+            n_bad = bad.count()
+            docs = docs.join(bad, "doc_id", "left_anti")
+            decon_meta = {"decontaminated": n_bad}
         flags = per_doc_flags(
             docs,
             quota_k=args.quota_k,
@@ -107,8 +123,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         flags.write.mode("overwrite").parquet(flags_path)
         rows = spark.read.parquet(flags_path).count()
-        manifest.write_json("stage=flags.json", {"stage": "flags", "rows": rows})
-        result["stages"]["flags"] = {"rows": rows}
+        manifest.write_json(
+            "stage=flags.json", {"stage": "flags", "rows": rows, **decon_meta}
+        )
+        result["stages"]["flags"] = {"rows": rows, **decon_meta}
 
     flags_df = spark.read.parquet(flags_path)
 

@@ -135,3 +135,53 @@ def test_sharded_packing_variant(spark):
         by_pack.setdefault((r.pack_shard, r.pack_id), []).append(r.tokens)
     for toks in by_pack.values():
         assert sum(toks[:-1]) < 512
+
+
+def test_clean_job_decontamination(spark, tmp_path):
+    """--benchmark drops docs sharing a 13-gram with the eval set BEFORE
+    the quality chain: the flag frame shrinks by exactly the contaminated
+    docs and reports the count in the manifest entry."""
+    import contextlib
+    import io as _io
+    import json
+
+    from facturas_spark.jobs.clean_corpus import main
+
+    bench_text = " ".join(f"eval{i}" for i in range(13))
+    filler = " ".join(
+        "the be to of and that have with a in word%d" % i for i in range(4)
+    )
+    docs = [
+        (0, filler + " " + bench_text, "en", "s0", 0),   # contaminated
+        (1, filler + " clean tail words", "en", "s0", 0),
+        (2, filler + " other clean words", "en", "s1", 0),
+    ]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(docs_path)
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(bench_text,)], "text string"
+    ).write.parquet(bench_path)
+
+    out = str(tmp_path / "out")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert (
+            main(
+                [
+                    "--input", docs_path,
+                    "--output", out,
+                    "--benchmark", bench_path,
+                ]
+            )
+            == 0
+        )
+    r = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert r["stages"]["flags"] == {"rows": 2, "decontaminated": 1}
+    clean_ids = {
+        row["doc_id"]
+        for row in spark.read.parquet(f"{out}/clean").select("doc_id").collect()
+    }
+    assert 0 not in clean_ids
