@@ -71,7 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
         # -- longest-unchecked bank: green in r01/r02, parked outside every
-        #    window since round 2 — rotated back for fresh evidence
+        #    window since round 2 — rotated back for fresh evidence (the
+        #    4 late-round-4 additions above push the last four of this
+        #    bank — m3/m4 pairs, txt_bpe_token_stats, master_products —
+        #    back past the 50 boundary; their r01/r02 rows stand)
         "c1_classify_documents": Q.c1_classify_documents,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,

@@ -65,7 +65,9 @@ __all__ = [
     "PII_EMAIL",
     "PII_PHONE",
     "PII_IPV4",
+    "benchmark_fingerprints",
     "contaminated_ids",
+    "contaminated_ids_against",
     "per_doc_flags",
     "clean_funnel",
     "cleaned_corpus",
@@ -397,35 +399,52 @@ def cleaned_corpus(flags: DataFrame) -> DataFrame:
     )
 
 
+def _tok_k(df: DataFrame, k: int) -> DataFrame:
+    return df.select("doc_id", _words(F.col("text")).alias("w")).filter(
+        F.size("w") >= k
+    )
+
+
+def benchmark_fingerprints(bench_docs: DataFrame, k: int = DECON_K) -> DataFrame:
+    """Distinct k-gram md5 fingerprints of an eval-set table (needs only a
+    ``text`` column). Small by nature — eval sets are thousands of docs —
+    so callers broadcast it (batch job) or persist it once per stream."""
+    # the bench side needs no stable id — only its fingerprint set
+    return (
+        _kgram_hashes(
+            _tok_k(
+                bench_docs.select(F.lit(0).cast("bigint").alias("doc_id"), "text"), k
+            ),
+            k,
+        )
+        .select("h")
+        .distinct()
+    )
+
+
+def contaminated_ids_against(
+    docs: DataFrame, bench_hashes: DataFrame, k: int = DECON_K
+) -> DataFrame:
+    """doc_ids of ``docs`` whose any k-gram fingerprint appears in
+    ``bench_hashes`` (a pre-built :func:`benchmark_fingerprints` frame).
+    The corpus side stays a map pass + broadcast hash join + one doc_id
+    distinct — no corpus shuffle."""
+    return (
+        _kgram_hashes(_tok_k(docs, k), k)
+        .join(F.broadcast(bench_hashes), "h")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def contaminated_ids(
     docs: DataFrame, bench_docs: DataFrame, k: int = DECON_K
 ) -> DataFrame:
     """Benchmark-decontamination pre-filter for the clean job (GPT-3
     appendix C / PaLM, public papers): doc_ids of ``docs`` sharing any
     k-word n-gram with ``bench_docs`` (an eval-set table with a ``text``
-    column). The benchmark fingerprint set is small by nature and
-    broadcast, so the corpus side stays a map pass + one doc_id distinct
-    — same plan shape as ``dedup.txt_decontamination``."""
-    tok = lambda df: (  # noqa: E731
-        df.select("doc_id", _words(F.col("text")).alias("w")).filter(
-            F.size("w") >= k
-        )
-    )
-    # the bench side needs no stable id — only its fingerprint set
-    bench = (
-        _kgram_hashes(
-            tok(bench_docs.select(F.lit(0).cast("bigint").alias("doc_id"), "text")),
-            k,
-        )
-        .select("h")
-        .distinct()
-    )
-    return (
-        _kgram_hashes(tok(docs), k)
-        .join(F.broadcast(bench), "h")
-        .select("doc_id")
-        .distinct()
-    )
+    column) — same plan shape as ``dedup.txt_decontamination``."""
+    return contaminated_ids_against(docs, benchmark_fingerprints(bench_docs, k), k)
 
 
 def with_synth_pii(docs: DataFrame) -> DataFrame:

@@ -236,6 +236,7 @@ def stream_clean_increment(
     input_dir: str,
     corpus_dir: str,
     checkpoint_dir: str,
+    benchmark_path: str | None = None,
 ) -> None:
     """The continuously-fed corpus cleaner: NEW documents stream in, pass
     the per-doc quality stages (nonempty/langid/gopher/repetition/PII
@@ -271,6 +272,18 @@ def stream_clean_increment(
 
     ledger = CommitFS(os.path.join(corpus_dir, "_epoch_manifest"), spark=spark)
 
+    # optional eval-set decontamination: the benchmark fingerprint set is
+    # built ONCE at stream setup and persisted — every micro-batch then
+    # pays only a broadcast hash join (GPT-3-style 13-gram overlap)
+    bench_hashes = None
+    if benchmark_path is not None:
+        from facturas_spark.analytics.corpus_clean import benchmark_fingerprints
+
+        bench_hashes = benchmark_fingerprints(
+            spark.read.parquet(benchmark_path)
+        ).persist()
+        bench_hashes.count()
+
     def committed_epochs() -> set[int]:
         return {
             int(name[len("epoch="):-len(".json")])
@@ -287,6 +300,16 @@ def stream_clean_increment(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in committed_epochs():
             return
+        if bench_hashes is not None:
+            from facturas_spark.analytics.corpus_clean import (
+                contaminated_ids_against,
+            )
+
+            batch_df = batch_df.join(
+                contaminated_ids_against(batch_df, bench_hashes),
+                "doc_id",
+                "left_anti",
+            )
         f1 = quality_frame(batch_df)
         surv = f1.filter(F.col("s3")).select(
             "doc_id", "source", F.col("scrubbed").alias("text")

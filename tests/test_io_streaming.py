@@ -589,3 +589,37 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the closed window appears exactly once, count still 2: late rows dropped
     assert len(purchase_1h) == 1
     assert purchase_1h[0].eventos == 2 and purchase_1h[0].total_valor == 15.0
+
+
+def test_stream_clean_increment_decontamination(spark, tmp_path):
+    """benchmark_path drops eval-overlapping docs per micro-batch BEFORE
+    the quality stages: a doc embedding a benchmark 13-gram never reaches
+    the corpus, clean docs still land."""
+    from facturas_spark.streaming.stream import stream_clean_increment
+
+    in_dir = tmp_path / "in"
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    base = (
+        "the quick brown fox and the lazy dog of the farm run in a field "
+        "of corn with a river and the old mill behind the hill"
+    )
+    bench_text = " ".join(f"eval{i}" for i in range(13))
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame([(bench_text,)], "text string").write.parquet(bench_path)
+
+    docs = [
+        (0, "web", "en", f"{base} {bench_text}"),          # contaminated
+        (1, "web", "en", f"{base} variant number one"),    # clean
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, source string, lang string, text string"
+    ).write.mode("append").parquet(str(in_dir))
+    stream_clean_increment(
+        spark, str(in_dir), corpus, ckpt, benchmark_path=bench_path
+    )
+
+    kept = {r.doc_id for r in spark.read.parquet(f"{corpus}/docs").collect()}
+    assert kept == {1}
