@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (their green rows are banked in CORRECTNESS_r01/r02.json)."""
     return {
         # -- NEW in round 4 (late additions): never driver-checked
+        "url_quality_filter": D.url_quality_filter,
         "txt_decontamination": D.txt_decontamination,
         "txt_unigram_lm_score": D.txt_unigram_lm_score,
         "dedup_semantic": D.dedup_semantic,
@@ -433,6 +434,39 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "url_quality_filter": """
+            WITH synth AS (
+              SELECT doc_id,
+                     CASE doc_id % 10
+                       WHEN 0 THEN 'ads.tracker.net'
+                       WHEN 1 THEN 'casino-spins.com'
+                       ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+                     END AS host,
+                     CASE WHEN doc_id % 7 = 0 THEN '/signup/item'
+                          ELSE '/articles/item' || CAST(doc_id AS VARCHAR) END AS path,
+                     CASE doc_id % 5 WHEN 0 THEN '.jpg' WHEN 1 THEN '.html'
+                          ELSE '' END AS ext,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN '?utm=1&ref=2&sid=3&track=4&a=5'
+                          ELSE '' END AS qs
+              FROM documents
+            )
+            -- flags derived from the CONSTRUCTION arithmetic (independent
+            -- ground truth; the Spark side parses the assembled string)
+            SELECT doc_id,
+                   'https://' || host || path || ext || qs AS url,
+                   host IN ('ads.tracker.net', 'casino-spins.com',
+                            'malware.example.org') AS blocked_host,
+                   (doc_id % 7 = 0) AS blocked_path,
+                   (doc_id % 11 = 0) AS too_many_params,
+                   (doc_id % 5 = 0) AS bad_ext,
+                   FALSE AS too_long,
+                   NOT (host IN ('ads.tracker.net', 'casino-spins.com',
+                                 'malware.example.org')
+                        OR doc_id % 7 = 0 OR doc_id % 11 = 0
+                        OR doc_id % 5 = 0) AS url_keep
+            FROM synth ORDER BY doc_id
+        """,
         "txt_decontamination": """
             WITH d AS (
               SELECT doc_id,

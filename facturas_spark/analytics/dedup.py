@@ -1622,3 +1622,52 @@ def txt_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+def url_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-quality rule bank (C4/RefinedWeb/UT1-style corpus URL cuts,
+    public practice) over a deterministic URL synthesized from doc_id —
+    the same both-engines synthesis precedent as iva_tipos_breakdown.
+    The Spark side PARSES the url with the production expression bank
+    (``sources/urlfilter.url_quality_flags``: host extraction, keyword
+    scan, param count, extension cut); the DuckDB twin derives each flag
+    from the construction arithmetic — an independent ground truth, so a
+    host-parsing or rule regression on the Spark side hash-mismatches.
+
+    Pure map stage (no UDF, no shuffle beyond the presentation sort);
+    at 100 TB this fuses into the page scan."""
+    from facturas_spark.sources.urlfilter import url_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 10 == 0, F.lit("ads.tracker.net"))
+        .when(d % 10 == 1, F.lit("casino-spins.com"))
+        .otherwise(
+            F.concat(F.lit("site"), (d % 50).cast("string"), F.lit(".example.com"))
+        )
+    )
+    path = F.when(d % 7 == 0, F.lit("/signup/item")).otherwise(
+        F.concat(F.lit("/articles/item"), d.cast("string"))
+    )
+    ext = (
+        F.when(d % 5 == 0, F.lit(".jpg"))
+        .when(d % 5 == 1, F.lit(".html"))
+        .otherwise(F.lit(""))
+    )
+    qs = F.when(d % 11 == 0, F.lit("?utm=1&ref=2&sid=3&track=4&a=5")).otherwise(
+        F.lit("")
+    )
+    pages = docs.withColumn(
+        "url", F.concat(F.lit("https://"), host, path, ext, qs)
+    )
+    return url_quality_flags(pages).select(
+        "doc_id",
+        "url",
+        "blocked_host",
+        "blocked_path",
+        "too_many_params",
+        "bad_ext",
+        "too_long",
+        "url_keep",
+    ).orderBy("doc_id")

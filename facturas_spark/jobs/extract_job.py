@@ -43,6 +43,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--cores", type=int, default=None, help="local-mode cores")
     parser.add_argument("--streaming", action="store_true")
     parser.add_argument(
+        "--url-filter",
+        action="store_true",
+        help="apply the URL-quality rule bank (sources/urlfilter.py: host "
+        "blocklist, junk path keywords, tracking-param overload, asset "
+        "extensions, oversize) before extraction; batch/iceberg modes "
+        "(the streaming path keeps every page — filter its input feed)",
+    )
+    parser.add_argument(
         "--iceberg-table",
         default=None,
         help="write to this Iceberg table (catalog.db.table) instead of the "
@@ -54,6 +62,22 @@ def main(argv: list[str] | None = None) -> int:
     from facturas_spark.session import get_spark
 
     spark = get_spark("facturas-extract-job", cores=args.cores)
+
+    def read_pages():
+        pages = spark.read.parquet(args.input)
+        if args.url_filter:
+            from facturas_spark.sources.urlfilter import url_quality_flags
+
+            flagged = url_quality_flags(pages)
+            pages = flagged.filter("url_keep").drop(
+                "blocked_host",
+                "blocked_path",
+                "too_many_params",
+                "bad_ext",
+                "too_long",
+                "url_keep",
+            )
+        return pages
 
     if args.streaming:
         from facturas_spark.streaming.stream import stream_extract_pages
@@ -73,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
             write_pages,
         )
 
-        pages = spark.read.parquet(args.input)
+        pages = read_pages()
         if iceberg_available(spark, args.iceberg_table.split(".", 1)[0]):
             create_pages_table(spark, args.iceberg_table, n_buckets=args.buckets)
             write_pages(extract_pages(pages), args.iceberg_table)
@@ -93,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from facturas_spark.sources.io import run_with_resume
 
-        pages = spark.read.parquet(args.input)
+        pages = read_pages()
         result = run_with_resume(spark, pages, args.output, n_buckets=args.buckets)
         result["mode"] = "batch"
 

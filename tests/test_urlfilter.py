@@ -1,0 +1,83 @@
+"""URL-quality rule bank: each rule exercised with adversarial URLs, plus
+the extract job's --url-filter pre-filter path."""
+
+from __future__ import annotations
+
+
+def _flags(spark, urls):
+    from facturas_spark.sources.urlfilter import url_quality_flags
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r["url"]: r.asDict() for r in url_quality_flags(df).collect()}
+
+
+def test_each_rule_fires_exactly_where_expected(spark):
+    good = "https://site1.example.com/articles/item1.html"
+    rows = _flags(
+        spark,
+        [
+            good,
+            "https://ads.tracker.net/articles/x",          # blocked host
+            "http://ADS.TRACKER.NET:8080/y",               # case + port + scheme
+            "https://ok.com/account/login",                # path keyword
+            "https://ok.com/a?u=1&r=2&s=3&t=4",            # 4 params
+            "https://ok.com/a?u=1&r=2&s=3",                # 3 params: allowed
+            "https://ok.com/images/pic.JPG",               # extension, case
+            "https://ok.com/app.js?v=1&x=2",               # ext before query
+            "https://ok.com/long/" + "x" * 2100,           # oversize
+        ],
+    )
+    g = rows[good]
+    assert g["url_keep"] and not any(
+        g[k] for k in ("blocked_host", "blocked_path", "too_many_params", "bad_ext", "too_long")
+    )
+    assert rows["https://ads.tracker.net/articles/x"]["blocked_host"]
+    assert rows["http://ADS.TRACKER.NET:8080/y"]["blocked_host"]
+    assert rows["https://ok.com/account/login"]["blocked_path"]
+    assert rows["https://ok.com/a?u=1&r=2&s=3&t=4"]["too_many_params"]
+    assert not rows["https://ok.com/a?u=1&r=2&s=3"]["too_many_params"]
+    assert rows["https://ok.com/images/pic.JPG"]["bad_ext"]
+    assert rows["https://ok.com/app.js?v=1&x=2"]["bad_ext"]
+    assert rows["https://ok.com/long/" + "x" * 2100]["too_long"]
+    for u, r in rows.items():
+        if u != good and u != "https://ok.com/a?u=1&r=2&s=3":
+            assert not r["url_keep"], u
+
+
+def test_null_url_is_dropped_not_crashed(spark):
+    from facturas_spark.sources.urlfilter import url_quality_flags
+
+    df = spark.createDataFrame([(None,), ("https://ok.com/a",)], "url string")
+    out = url_quality_flags(df).collect()
+    assert len(out) == 2  # no raise; empty url keeps (no rule fires)
+
+
+def test_extract_job_url_filter_flag(spark, tmp_path):
+    """--url-filter drops blocklisted pages before extraction; the kept
+    page flows through the normal bucketed-resume path."""
+    import json
+    import contextlib
+    import io as _io
+
+    from facturas_spark.jobs.extract_job import main
+
+    pages = [
+        ("https://ads.tracker.net/spam", None, None, "FACTURA Nº 1 TOTAL: 10,00", "es"),
+        ("https://site.example.com/inv", None, None, "FACTURA Nº 2 TOTAL: 20,00", "es"),
+    ]
+    in_dir = str(tmp_path / "pages")
+    spark.createDataFrame(
+        pages,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.parquet(in_dir)
+    out = str(tmp_path / "out")
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--input", in_dir, "--output", out, "--buckets", "2",
+                     "--url-filter"]) == 0
+    urls = {
+        r["url"]
+        for r in spark.read.parquet(f"{out}/extracted").select("url").collect()
+    }
+    assert urls == {"https://site.example.com/inv"}
