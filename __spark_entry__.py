@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 4 (late additions): never driver-checked
         "url_quality_filter": D.url_quality_filter,
+        "dedup_url_normalize": D.dedup_url_normalize,
+        "host_reputation_filter": D.host_reputation_filter,
         "txt_decontamination": D.txt_decontamination,
         "txt_unigram_lm_score": D.txt_unigram_lm_score,
         "dedup_semantic": D.dedup_semantic,
@@ -434,6 +436,32 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "dedup_url_normalize": """
+            -- canonical form + keep-set derived from the CONSTRUCTION
+            -- arithmetic (independent ground truth; the Spark side runs
+            -- the real normalize_url expression over the messy variants)
+            SELECT doc_id,
+                   'https://site' || CAST(doc_id % 100 AS VARCHAR)
+                     || '.example.com/page' || CAST(doc_id % 100 AS VARCHAR)
+                     AS url_norm,
+                   (doc_id = doc_id % 100) AS keep
+            FROM documents ORDER BY doc_id
+        """,
+        "host_reputation_filter": """
+            WITH base AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+                     CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS doc_ok
+              FROM documents
+            ), rates AS (
+              SELECT host, ROUND(AVG(doc_ok), 4) AS host_rate
+              FROM base GROUP BY host
+            )
+            SELECT b.doc_id, b.host, r.host_rate,
+                   (r.host_rate >= 0.5) AS host_keep
+            FROM base b JOIN rates r USING (host)
+            ORDER BY b.doc_id
+        """,
         "url_quality_filter": """
             WITH synth AS (
               SELECT doc_id,

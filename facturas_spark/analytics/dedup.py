@@ -1671,3 +1671,72 @@ def url_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "too_long",
         "url_keep",
     ).orderBy("doc_id")
+
+
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-canonical-URL (C4's URL normalization pass, public
+    practice): messy URL variants synthesized from doc_id — trailing
+    slash, utm_*/ref tracking params, #fragment, uppercased scheme+host
+    with a default :443 port — are canonicalized by the production
+    ``sources/urlfilter.normalize_url`` expression, and each canonical
+    group keeps its min doc_id. The DuckDB twin emits the canonical form
+    and keep-set straight from the construction arithmetic — independent
+    ground truth for every normalization rule at once.
+
+    One hash shuffle on the canonical URL (the min-window); the
+    normalization itself is a pure map."""
+    from facturas_spark.sources.urlfilter import normalize_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    g = (d % 100).cast("string")
+    core = F.concat(F.lit("site"), g, F.lit(".example.com/page"), g)
+    v = d % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), core))
+        .when(v == 1, F.concat(F.lit("https://"), core, F.lit("/")))
+        .when(
+            v == 2,
+            F.concat(F.lit("https://"), core, F.lit("?utm_source=x&utm_campaign=y&ref=z")),
+        )
+        .when(v == 3, F.concat(F.lit("https://"), core, F.lit("#section2")))
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://SITE"), g, F.lit(".EXAMPLE.COM:443/page"), g
+            )
+        )
+    )
+    w = Window.partitionBy("url_norm")
+    return (
+        docs.withColumn("url_norm", normalize_url(url))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .select("doc_id", "url_norm", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level reputation cut (RefinedWeb-style host filtering,
+    public practice): per-host keep-rate of a per-doc quality proxy
+    (n_chars >= 200), hosts below 0.5 drop ALL their docs. The
+    aggregate-then-join-back shape is the point: host scores are a tiny
+    dim (one row per host) — broadcast back onto the corpus, so the
+    corpus itself shuffles once on host for the rate and never again."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+    base = docs.withColumn("host", host).withColumn(
+        "doc_ok", (F.col("n_chars") >= 200).cast("int")
+    )
+    rates = base.groupBy("host").agg(
+        F.round(F.avg("doc_ok"), 4).alias("host_rate")
+    )
+    return (
+        base.join(F.broadcast(rates), "host")
+        .select(
+            "doc_id",
+            "host",
+            "host_rate",
+            (F.col("host_rate") >= 0.5).alias("host_keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -80,3 +80,56 @@ def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
             ~(blocked_host | blocked_path | too_many_params | bad_ext | too_long),
         )
     )
+
+
+TRACKING_PARAMS = ["ref", "sid", "fbclid", "gclid"]  # plus any utm_* prefix
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form (the C4 dedup-by-URL normalization, public
+    practice): lowercase scheme+host, strip the #fragment, drop tracking
+    query params (utm_* prefix + TRACKING_PARAMS), drop an emptied '?',
+    strip default :80/:443 ports and any trailing '/'.
+
+    Pure built-in expressions (split/filter/array_join/regexp) — fuses
+    into the scan like the rule bank above."""
+    u = F.coalesce(url, F.lit(""))
+    u = F.substring_index(u, "#", 1)  # fragment never reaches the server
+
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    rest = F.when(u.contains("://"), F.substring_index(u, "://", -1)).otherwise(u)
+    hostport = F.substring_index(rest, "/", 1)
+    # path+query = rest minus the leading hostport
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    keep_port = (port != "") & (port != "80") & (port != "443")
+    hostport_norm = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+
+    path = F.substring_index(pathq, "?", 1)
+    qs = F.when(pathq.contains("?"), F.substring_index(pathq, "?", -1)).otherwise(
+        F.lit("")
+    )
+    kept_params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != F.lit(""))
+        & ~F.lower(p).startswith("utm_")
+        & ~F.lower(F.substring_index(p, "=", 1)).isin(TRACKING_PARAMS),
+    )
+    qs_norm = F.array_join(kept_params, "&")
+    # a single trailing '/' is dropped — including the bare-root form, so
+    # 'https://a.com/' and 'https://a.com' collapse to one canonical URL
+    path_norm = F.when(
+        path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+
+    out = F.concat(
+        F.when(u.contains("://"), F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        hostport_norm,
+        path_norm,
+    )
+    return F.when(qs_norm != "", F.concat(out, F.lit("?"), qs_norm)).otherwise(out)

@@ -81,3 +81,31 @@ def test_extract_job_url_filter_flag(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/extracted").select("url").collect()
     }
     assert urls == {"https://site.example.com/inv"}
+
+
+def test_normalize_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from facturas_spark.sources.urlfilter import normalize_url
+
+    cases = [
+        # (input, expected canonical)
+        ("https://A.Com/Path/", "https://a.com/Path"),          # host lower, path case kept
+        ("https://a.com/", "https://a.com"),                    # bare root slash
+        ("https://a.com:443/x", "https://a.com/x"),             # default port
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("https://a.com:8080/x", "https://a.com:8080/x"),       # real port kept
+        ("https://a.com/x?utm_source=1&q=2&REF=3&page=4",
+         "https://a.com/x?q=2&page=4"),                         # tracking cut, order kept
+        ("https://a.com/x?utm_campaign=z", "https://a.com/x"),  # emptied '?' dropped
+        ("https://a.com/x#frag", "https://a.com/x"),
+        ("HTTPS://B.COM/Y", "https://b.com/Y"),
+        (None, ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = [
+        r["n"]
+        for r in df.select(normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    for (inp, want), got in zip(cases, out):
+        assert got == want, (inp, got, want)
