@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality_filter": D.url_quality_filter,
         "dedup_url_normalize": D.dedup_url_normalize,
         "host_reputation_filter": D.host_reputation_filter,
+        "txt_charset_normalize": D.txt_charset_normalize,
         "txt_decontamination": D.txt_decontamination,
         "txt_unigram_lm_score": D.txt_unigram_lm_score,
         "dedup_semantic": D.dedup_semantic,
@@ -436,6 +437,29 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "txt_charset_normalize": """
+            WITH s AS (
+              SELECT doc_id,
+                     COALESCE(text, '') || CASE doc_id % 4
+                       WHEN 0 THEN ' cafe' || chr(769)
+                       WHEN 1 THEN ' caf' || chr(233)
+                       WHEN 2 THEN ' bell' || chr(7) || 'x'
+                       ELSE '' END AS raw
+              FROM documents
+            ), c AS (
+              SELECT doc_id, raw,
+                     nfc_normalize(
+                       regexp_replace(raw,
+                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')
+                     ) AS clean
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(length(raw) AS INT) AS len_raw,
+                   CAST(length(clean) AS INT) AS len_clean,
+                   (clean <> raw) AS changed
+            FROM c ORDER BY doc_id
+        """,
         "dedup_url_normalize": """
             -- canonical form + keep-set derived from the CONSTRUCTION
             -- arithmetic (independent ground truth; the Spark side runs

@@ -1740,3 +1740,47 @@ def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def txt_charset_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTFY-lite text normalization (the mojibake/charset-cleanup stage of
+    every public webtext pipeline): strip C0 control characters (JVM
+    regex) then Unicode-NFC-normalize. Spark has no NFC built-in, so the
+    NFC step is an Arrow-batched pandas UDF — a documented Python
+    exemption like the hash embedder; everything else stays JVM-side.
+
+    Exercised on deterministic suffixes (combining-mark NFD, precomposed
+    NFC, control-char, clean) appended per doc_id so the oracle pins each
+    branch; lengths are code-point counts in BOTH engines. Pure map
+    stage — fuses into the scan at 100 TB."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    # NOTE: no type hints — ``from __future__ import annotations`` makes
+    # them strings, which pandas_udf cannot resolve for a local function
+    @pandas_udf(StringType())
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if isinstance(x, str) else x
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 4 == 0, F.lit(" cafe\u0301"))   # NFD combining mark -> collapses
+        .when(d % 4 == 1, F.lit(" caf\u00e9"))     # already NFC
+        .when(d % 4 == 2, F.lit(" bell\u0007x"))   # C0 control char
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(F.coalesce(F.col("text"), F.lit("")), suffix)
+    stripped = F.regexp_replace(raw, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    out = docs.select("doc_id", raw.alias("raw"), nfc(stripped).alias("clean"))
+    return out.select(
+        "doc_id",
+        F.length("raw").alias("len_raw"),
+        F.length("clean").alias("len_clean"),
+        (F.col("clean") != F.col("raw")).alias("changed"),
+    ).orderBy("doc_id")

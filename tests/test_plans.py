@@ -60,6 +60,9 @@ def test_sql_queries_have_no_python(spark):
     # but per-doc Python by design, like the rows-only pipelines
     oracle_backed.discard("embed_fingerprint_stats")
     oracle_backed.discard("corpus_clean_stats")  # built-ins + the loop
+    # NFC normalization has no Spark built-in — the Arrow pandas UDF is
+    # the documented exemption (control-char strip stays JVM-side)
+    oracle_backed.discard("txt_charset_normalize")
     for name, fn in qs.items():
         if name not in oracle_backed:
             continue

@@ -138,3 +138,21 @@ def test_tfidf_ranking_and_weights(spark, tfidf_dir):
     # ranks are 1..k dense per doc
     for doc_rows in by_doc.values():
         assert [r["rank"] for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+
+
+def test_charset_normalize_branches(spark, tmp_path_factory):
+    """Each suffix branch behaves as constructed: NFD collapses (len
+    shrinks by 1, changed), precomposed NFC is untouched, the control
+    char is stripped (changed), clean text passes through."""
+    docs = [(i, "plain words", "en") for i in range(4)]
+    out = tmp_path_factory.mktemp("charset")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    from facturas_spark.analytics.dedup import txt_charset_normalize
+
+    rows = {r["doc_id"]: r for r in txt_charset_normalize(spark, str(out)).collect()}
+    assert rows[0]["changed"] and rows[0]["len_clean"] == rows[0]["len_raw"] - 1
+    assert not rows[1]["changed"] and rows[1]["len_clean"] == rows[1]["len_raw"]
+    assert rows[2]["changed"] and rows[2]["len_clean"] == rows[2]["len_raw"] - 1
+    assert not rows[3]["changed"]
