@@ -68,6 +68,7 @@ __all__ = [
     "benchmark_fingerprints",
     "contaminated_ids",
     "contaminated_ids_against",
+    "semantic_dedup_ids",
     "per_doc_flags",
     "clean_funnel",
     "cleaned_corpus",
@@ -217,17 +218,105 @@ def quality_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+SEM_DEDUP_TAU = 0.9
+
+
+def semantic_dedup_ids(
+    docs: DataFrame, text_col: str = "text", tau: float = SEM_DEDUP_TAU
+) -> DataFrame:
+    """SemDeDup candidate-drop set (Abbas et al. 2023, public paper) over
+    arbitrary text rows: embed each doc with the deterministic hash
+    embedder (``extraction/embed.py``), generate candidate pairs with the
+    multi-band sign-bucket LSH (disjoint dim slices — NEVER all-pairs,
+    the same banded machinery as ``dedup.dedup_embedding_lsh``),
+    cosine-verify at ``tau``, connected-components label, and return the
+    doc_ids of every component member except its min — the rows to DROP.
+
+    Complements MinHash: a reordered or lightly-rephrased document keeps
+    most of its char-3-grams (cosine high) while its word-shingle Jaccard
+    collapses below the MinHash threshold."""
+    from facturas_spark.analytics.dedup import (
+        EMB_BAND_BITS,
+        N_EMB_BANDS,
+        _emb_band_key,
+    )
+    from facturas_spark.extraction.embed import embed_udf
+
+    emb = (
+        docs.select("doc_id", embed_udf(F.col(text_col)).alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
+        .persist()
+    )
+    entries = F.array(
+        *[
+            F.when(
+                F.size("embedding") >= EMB_BAND_BITS * (j + 1),
+                F.struct(
+                    F.lit(j).alias("band"),
+                    _emb_band_key("embedding", j).alias("key"),
+                ),
+            )
+            for j in range(N_EMB_BANDS)
+        ]
+    )
+    bands = emb.select(
+        "doc_id",
+        F.explode(F.filter(entries, lambda s: s.isNotNull())).alias("b"),
+    ).select("doc_id", "b.band", "b.key")
+    cand = (
+        bands.select("band", "key", F.col("doc_id").alias("id1"))
+        .join(bands.select("band", "key", F.col("doc_id").alias("id2")), ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    e1 = emb.select(
+        F.col("doc_id").alias("id1"), F.col("embedding").alias("e1"), norm.alias("n1")
+    )
+    e2 = emb.select(
+        F.col("doc_id").alias("id2"), F.col("embedding").alias("e2"), norm.alias("n2")
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    verified = (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .filter(dot / (F.col("n1") * F.col("n2")) >= tau)
+        .select("id1", "id2")
+    )
+    labels = _min_label_components(verified)
+    return labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+
+
 def per_doc_flags(
     docs: DataFrame,
     quota_k: int = QUOTA_K,
     pack_budget: int = PACK_BUDGET,
     pack_shards: int | None = None,
+    semantic_tau: float | None = None,
 ) -> DataFrame:
     """One row per input doc with cumulative stage-survival flags
     (s0..s7), the scrubbed text, PII span counts, and pack assignment.
-    Columns: doc_id, source, s0..s3, n_red, s5, s6, s7, scrubbed,
-    tokens, pack_shard, pack_id (packing cols only for final
-    survivors; pack_shard null in the global-window default)."""
+    Columns: doc_id, source, s0..s3, n_red, s5, s6, sem_drop, s7,
+    scrubbed, tokens, pack_shard, pack_id (packing cols only for final
+    survivors; pack_shard null in the global-window default).
+
+    ``semantic_tau`` switches on the SemDeDup stage (Abbas et al. 2023):
+    among near-dup (s6) survivors, docs whose hash-embedding cosine with
+    an earlier survivor reaches tau are dropped (folded into s6;
+    ``sem_drop`` marks them, all-false when off). Catches rephrasings and
+    reorderings that keep shingle-Jaccard below the MinHash threshold —
+    the FineWeb-style heuristics -> MinHash -> semantic chain."""
     f1 = quality_frame(docs)
 
     # stage 5: exact dedup on the scrubbed fingerprint among s3 survivors
@@ -265,6 +354,21 @@ def per_doc_flags(
         F.col("s5")
         & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))),
     ).persist()
+
+    # optional stage 6b: SemDeDup over the s6 survivors' scrubbed text
+    if semantic_tau is not None:
+        sem = semantic_dedup_ids(
+            f3.filter(F.col("s6")).select("doc_id", F.col("scrubbed").alias("text")),
+            tau=semantic_tau,
+        ).withColumn("sem_drop", F.lit(True))
+        f3 = (
+            f3.join(sem, "doc_id", "left")
+            .withColumn("sem_drop", F.coalesce("sem_drop", F.lit(False)))
+            .withColumn("s6", F.col("s6") & ~F.col("sem_drop"))
+            .persist()
+        )
+    else:
+        f3 = f3.withColumn("sem_drop", F.lit(False))
 
     # stage 7: per-source quota among s6 survivors
     qw = Window.partitionBy("source").orderBy(
@@ -316,6 +420,7 @@ def per_doc_flags(
         "n_red",
         "s5",
         "s6",
+        "sem_drop",
         "s7",
         "scrubbed",
         "tokens",

@@ -68,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
         "PII-free; gives the scrub stage signal)",
     )
     parser.add_argument(
+        "--semantic-dedup",
+        type=float,
+        default=None,
+        metavar="TAU",
+        help="SemDeDup stage among near-dup survivors: drop docs whose "
+        "hash-embedding cosine with an earlier survivor reaches TAU "
+        "(catches reorderings/rephrasings MinHash misses; banded "
+        "sign-bucket LSH candidates, never all-pairs)",
+    )
+    parser.add_argument(
         "--benchmark",
         default=None,
         help="eval-set parquet (needs a text column); docs sharing any "
@@ -120,9 +130,17 @@ def main(argv: list[str] | None = None) -> int:
             quota_k=args.quota_k,
             pack_budget=args.pack_budget,
             pack_shards=args.pack_shards,
+            semantic_tau=args.semantic_dedup,
         )
         flags.write.mode("overwrite").parquet(flags_path)
-        rows = spark.read.parquet(flags_path).count()
+        flags_back = spark.read.parquet(flags_path)
+        rows = flags_back.count()
+        if args.semantic_dedup is not None:
+            from pyspark.sql import functions as SF
+
+            decon_meta["semantic_dropped"] = flags_back.agg(
+                SF.sum(SF.col("sem_drop").cast("long"))
+            ).collect()[0][0]
         manifest.write_json(
             "stage=flags.json", {"stage": "flags", "rows": rows, **decon_meta}
         )

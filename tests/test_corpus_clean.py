@@ -185,3 +185,69 @@ def test_clean_job_decontamination(spark, tmp_path):
         for row in spark.read.parquet(f"{out}/clean").select("doc_id").collect()
     }
     assert 0 not in clean_ids
+
+
+def test_semantic_dedup_catches_reordering_minhash_misses(spark, tmp_path):
+    """Word-reversed text has ZERO 3-word-shingle overlap (MinHash keeps
+    both) but ~0.89 hash-embedding cosine — the SemDeDup stage drops the
+    later doc; an unrelated doc survives. Off by default: sem_drop is
+    all-false and s6 unchanged."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.analytics.corpus_clean import per_doc_flags
+
+    base = (
+        "the quick brown fox and the lazy dog of the farm run in a field "
+        "of corn with a river and the old mill behind the hill"
+    )
+    rev = " ".join(reversed(base.split()))
+    other = (
+        "a completely different story about boats and the open sea with "
+        "sails and the wind of the north and a calm blue harbor at dawn"
+    )
+    docs = spark.createDataFrame(
+        [(0, "s0", "en", base), (1, "s0", "en", rev), (2, "s1", "en", other)],
+        "doc_id long, source string, lang string, text string",
+    )
+
+    off = {r["doc_id"]: r for r in per_doc_flags(docs).collect()}
+    assert all(not r["sem_drop"] for r in off.values())
+    assert off[0]["s6"] and off[1]["s6"] and off[2]["s6"]  # MinHash keeps all
+
+    on = {r["doc_id"]: r for r in per_doc_flags(docs, semantic_tau=0.8).collect()}
+    assert on[1]["sem_drop"] and not on[1]["s6"]
+    assert not on[0]["sem_drop"] and on[0]["s6"]
+    assert not on[2]["sem_drop"] and on[2]["s6"]
+
+
+def test_clean_job_semantic_dedup_flag(spark, tmp_path):
+    """--semantic-dedup TAU reports the dropped count and shrinks the
+    cleaned corpus."""
+    import contextlib
+    import io as _io
+    import json
+
+    from facturas_spark.jobs.clean_corpus import main
+
+    base = (
+        "the quick brown fox and the lazy dog of the farm run in a field "
+        "of corn with a river and the old mill behind the hill"
+    )
+    rev = " ".join(reversed(base.split()))
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (0, base, "en", "s0", 0),
+            (1, rev, "en", "s0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "out")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--input", docs_path, "--output", out,
+                     "--semantic-dedup", "0.8"]) == 0
+    r = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert r["stages"]["flags"]["semantic_dropped"] == 1
+    assert r["stages"]["clean"]["rows"] == 1
