@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_normalize": D.dedup_url_normalize,
         "host_reputation_filter": D.host_reputation_filter,
         "txt_charset_normalize": D.txt_charset_normalize,
+        "corpus_chunking": D.corpus_chunking,
         "txt_decontamination": D.txt_decontamination,
         "txt_unigram_lm_score": D.txt_unigram_lm_score,
         "dedup_semantic": D.dedup_semantic,
@@ -437,6 +438,25 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "corpus_chunking": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '') AS w
+              FROM documents
+            ), base AS (
+              SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_id,
+                   CAST(i * 24 AS INT) AS start,
+                   CAST(LEAST(32, n - i * 24) AS INT) AS n_tokens,
+                   md5(array_to_string(
+                     w[i * 24 + 1 : i * 24 + LEAST(32, n - i * 24)], ' '
+                   )) AS chunk_fp
+            FROM base,
+                 UNNEST(range(0, GREATEST(0, (n - 32 + 23) // 24) + 1)) AS t(i)
+            ORDER BY doc_id, chunk_id
+        """,
         "txt_charset_normalize": """
             WITH s AS (
               SELECT doc_id,

@@ -1784,3 +1784,57 @@ def txt_charset_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").alias("len_clean"),
         (F.col("clean") != F.col("raw")).alias("changed"),
     ).orderBy("doc_id")
+
+
+CHUNK_TOKENS = 32   # demo-scale; production uses ~512
+CHUNK_OVERLAP = 8   # stride = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window training-chunk split with overlap (the pretraining
+    tokenize-and-chunk stage — every public LM data pipeline ends here):
+    each doc explodes into chunks of CHUNK_TOKENS words starting every
+    (CHUNK_TOKENS - CHUNK_OVERLAP) words; the final ragged chunk keeps
+    its true length. Emits per chunk: ordinal, start offset, token count
+    and an md5 fingerprint of the chunk text (the join key for chunk-
+    level dedup/shuffling downstream).
+
+    Complements corpus_packing: packing GROUPS short docs up to a token
+    budget; chunking SPLITS long docs down to the window. Scale shape:
+    pure map + explode, no shuffle beyond the presentation sort — the
+    chunk fingerprint feeds the same count/dedup machinery as
+    txt_substring_dup at 100 TB."""
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    docs = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") > 0)
+    n = F.size("w")
+    # windows stop at the FIRST one whose end reaches the doc end (the
+    # HF-tokenizers overflow/stride rule) — only the last chunk is ragged
+    # and no window is fully contained in its predecessor
+    max_i = F.greatest(
+        F.lit(0), F.floor((n - CHUNK_TOKENS + stride - 1) / stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), max_i),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("start"),
+            F.least(F.lit(CHUNK_TOKENS), n - i * stride).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "w",
+                        i * stride + 1,
+                        F.least(F.lit(CHUNK_TOKENS), n - i * stride),
+                    ),
+                )
+            ).alias("chunk_fp"),
+        ),
+    )
+    return (
+        base.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.start", "c.n_tokens", "c.chunk_fp")
+        .orderBy("doc_id", "chunk_id")
+    )

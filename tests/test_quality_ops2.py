@@ -156,3 +156,37 @@ def test_charset_normalize_branches(spark, tmp_path_factory):
     assert not rows[1]["changed"] and rows[1]["len_clean"] == rows[1]["len_raw"]
     assert rows[2]["changed"] and rows[2]["len_clean"] == rows[2]["len_raw"] - 1
     assert not rows[3]["changed"]
+
+
+def test_chunking_covers_every_token_with_overlap(spark, tmp_path_factory):
+    """Chunk windows tile the doc: starts advance by stride, every chunk
+    except the last is full, the union of [start, start+n_tokens) covers
+    [0, n), and consecutive chunks overlap by exactly CHUNK_OVERLAP
+    (except a short tail)."""
+    from facturas_spark.analytics.dedup import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        corpus_chunking,
+    )
+
+    n_words = 100
+    docs = [(0, " ".join(f"w{i}" for i in range(n_words)), "en"), (1, "one", "en")]
+    out = tmp_path_factory.mktemp("chunk")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    rows = corpus_chunking(spark, str(out)).collect()
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    d0 = sorted((r for r in rows if r["doc_id"] == 0), key=lambda r: r["chunk_id"])
+    assert [r["start"] for r in d0] == [i * stride for i in range(len(d0))]
+    assert all(r["n_tokens"] == CHUNK_TOKENS for r in d0[:-1])
+    last = d0[-1]
+    assert last["start"] + last["n_tokens"] == n_words  # full coverage
+    # HF stride rule: stop at the first window reaching the end — for
+    # n=100, chunk=32, stride=24 that is starts 0/24/48/72 (4 windows)
+    assert len(d0) == -(-(n_words - CHUNK_TOKENS) // stride) + 1
+    # single-token doc: one ragged chunk
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(d1) == 1 and d1[0]["n_tokens"] == 1 and d1[0]["start"] == 0
+    # identical windows fingerprint identically (dedup join key contract)
+    assert len({r["chunk_fp"] for r in d0}) == len(d0)
