@@ -131,3 +131,76 @@ def test_extraction_parity_across_real_executors(spark):
     assert cluster["executors"] >= 3, cluster
     assert cluster["n"] == local["n"] == 300
     assert cluster["digest"] == local["digest"]
+
+
+_CLEAN_JOB = r"""
+import json, os, sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.appName("cluster-clean-parity")
+    .master("local-cluster[2,4,2048]")
+    .config("spark.executorEnv.PYTHONPATH", %(repo)r)
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+from facturas_spark.analytics.corpus_clean import per_doc_flags
+
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+flags = per_doc_flags(docs, semantic_tau=0.95)
+rows = sorted(
+    (r.doc_id, r.s0, r.s1, r.s2, r.s3, r.s5, r.s6, r.sem_drop, r.s7,
+     r.n_red, r.tokens, r.pack_id, r.scrubbed)
+    for r in flags.collect()
+)
+execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+spark.stop()
+import hashlib
+digest = hashlib.md5(repr(rows).encode()).hexdigest()
+print("RESULT" + json.dumps({"n": len(rows), "executors": execs,
+                             "digest": digest}))
+"""
+
+
+def test_clean_chain_parity_across_real_executors(spark):
+    """The full clean chain (quality filters, both dedup chains INCLUDING
+    the SemDeDup embedding stage, quota, packing) on two real executor
+    JVMs: every persisted joint, broadcast, window and the embed
+    pandas_udf cross the wire; the per-doc decision frame must be
+    byte-identical to the in-process local-mode run."""
+    import hashlib
+
+    from facturas_spark.analytics.corpus_clean import per_doc_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    local_rows = sorted(
+        (r.doc_id, r.s0, r.s1, r.s2, r.s3, r.s5, r.s6, r.sem_drop, r.s7,
+         r.n_red, r.tokens, r.pack_id, r.scrubbed)
+        for r in per_doc_flags(docs, semantic_tau=0.95).collect()
+    )
+    local = {
+        "n": len(local_rows),
+        "digest": hashlib.md5(repr(local_rows).encode()).hexdigest(),
+    }
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _CLEAN_JOB % {"repo": REPO}],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    cluster = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT"):
+            cluster = json.loads(line[len("RESULT"):])
+    assert cluster is not None, (
+        f"cluster clean job produced no RESULT line:\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert cluster["executors"] >= 3, cluster
+    assert cluster["n"] == local["n"] > 0
+    assert cluster["digest"] == local["digest"]
