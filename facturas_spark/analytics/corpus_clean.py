@@ -510,10 +510,14 @@ def _tok_k(df: DataFrame, k: int) -> DataFrame:
     )
 
 
-def benchmark_fingerprints(bench_docs: DataFrame, k: int = DECON_K) -> DataFrame:
-    """Distinct k-gram md5 fingerprints of an eval-set table (needs only a
+def benchmark_fingerprints(
+    bench_docs: DataFrame, k: int = DECON_K, family: str = "md5"
+) -> DataFrame:
+    """Distinct k-gram fingerprints of an eval-set table (needs only a
     ``text`` column). Small by nature — eval sets are thousands of docs —
-    so callers broadcast it (batch job) or persist it once per stream."""
+    so callers broadcast it (batch job) or persist it once per stream.
+    ``family``: md5 (oracle default) or xxhash64 (production — integer
+    keys, ~no string materialization; identical membership decisions)."""
     # the bench side needs no stable id — only its fingerprint set
     return (
         _kgram_hashes(
@@ -521,6 +525,7 @@ def benchmark_fingerprints(bench_docs: DataFrame, k: int = DECON_K) -> DataFrame
                 bench_docs.select(F.lit(0).cast("bigint").alias("doc_id"), "text"), k
             ),
             k,
+            family,
         )
         .select("h")
         .distinct()
@@ -528,14 +533,14 @@ def benchmark_fingerprints(bench_docs: DataFrame, k: int = DECON_K) -> DataFrame
 
 
 def contaminated_ids_against(
-    docs: DataFrame, bench_hashes: DataFrame, k: int = DECON_K
+    docs: DataFrame, bench_hashes: DataFrame, k: int = DECON_K, family: str = "md5"
 ) -> DataFrame:
     """doc_ids of ``docs`` whose any k-gram fingerprint appears in
-    ``bench_hashes`` (a pre-built :func:`benchmark_fingerprints` frame).
-    The corpus side stays a map pass + broadcast hash join + one doc_id
-    distinct — no corpus shuffle."""
+    ``bench_hashes`` (a pre-built :func:`benchmark_fingerprints` frame of
+    the SAME family). The corpus side stays a map pass + broadcast hash
+    join + one doc_id distinct — no corpus shuffle."""
     return (
-        _kgram_hashes(_tok_k(docs, k), k)
+        _kgram_hashes(_tok_k(docs, k), k, family)
         .join(F.broadcast(bench_hashes), "h")
         .select("doc_id")
         .distinct()
@@ -543,13 +548,15 @@ def contaminated_ids_against(
 
 
 def contaminated_ids(
-    docs: DataFrame, bench_docs: DataFrame, k: int = DECON_K
+    docs: DataFrame, bench_docs: DataFrame, k: int = DECON_K, family: str = "md5"
 ) -> DataFrame:
     """Benchmark-decontamination pre-filter for the clean job (GPT-3
     appendix C / PaLM, public papers): doc_ids of ``docs`` sharing any
     k-word n-gram with ``bench_docs`` (an eval-set table with a ``text``
     column) — same plan shape as ``dedup.txt_decontamination``."""
-    return contaminated_ids_against(docs, benchmark_fingerprints(bench_docs, k), k)
+    return contaminated_ids_against(
+        docs, benchmark_fingerprints(bench_docs, k, family), k, family
+    )
 
 
 def with_synth_pii(docs: DataFrame) -> DataFrame:

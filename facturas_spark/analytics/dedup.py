@@ -1428,16 +1428,26 @@ def txt_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_K = 13  # GPT-3-appendix-C n-gram width
 
 
-def _kgram_hashes(df: DataFrame, k: int) -> DataFrame:
-    """(doc_id, h) rows: md5 of every k-word window of column ``w``
-    (a pre-tokenized array). Shared by the decontamination query and the
-    clean-job pre-filter so the fingerprint family can't drift."""
+def _kgram_hashes(df: DataFrame, k: int, family: str = "md5") -> DataFrame:
+    """(doc_id, h) rows: fingerprint of every k-word window of column
+    ``w`` (a pre-tokenized array). Shared by the decontamination query
+    and the clean-job pre-filter so the fingerprint family can't drift.
+
+    ``family``: "md5" (default — DuckDB-identical, the oracle path) or
+    "xxhash64" (Spark's native 64-bit integer hash — the production
+    family; membership decisions only depend on hash EQUALITY, so the
+    two families make identical contamination calls, pinned by
+    tests/test_corpus_clean.py::test_decontamination_families_agree)."""
+    if family == "xxhash64":
+        h = lambda s: F.xxhash64(s)  # noqa: E731
+    else:
+        h = lambda s: F.md5(s)  # noqa: E731
     return df.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("w") - k),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, k))),
+                lambda i: h(F.concat_ws(" ", F.slice("w", i + 1, k))),
             )
         ).alias("h"),
     )

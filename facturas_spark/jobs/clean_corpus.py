@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
         "sign-bucket LSH candidates, never all-pairs)",
     )
     parser.add_argument(
+        "--hash-family",
+        choices=["md5", "xxhash64"],
+        default="md5",
+        help="fingerprint family for --benchmark decontamination: md5 "
+        "(oracle-portable default) or xxhash64 (production — integer "
+        "keys, no hex-string materialization; identical membership "
+        "decisions, pytest-pinned)",
+    )
+    parser.add_argument(
         "--benchmark",
         default=None,
         help="eval-set parquet (needs a text column); docs sharing any "
@@ -121,7 +130,9 @@ def main(argv: list[str] | None = None) -> int:
             docs = with_synth_pii(docs)
         decon_meta = {}
         if args.benchmark:
-            bad = contaminated_ids(docs, spark.read.parquet(args.benchmark))
+            bad = contaminated_ids(
+                docs, spark.read.parquet(args.benchmark), family=args.hash_family
+            )
             n_bad = bad.count()
             docs = docs.join(bad, "doc_id", "left_anti")
             decon_meta = {"decontaminated": n_bad}

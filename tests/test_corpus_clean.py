@@ -251,3 +251,22 @@ def test_clean_job_semantic_dedup_flag(spark, tmp_path):
     r = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert r["stages"]["flags"]["semantic_dropped"] == 1
     assert r["stages"]["clean"]["rows"] == 1
+
+
+def test_decontamination_families_agree(spark):
+    """md5 (oracle) and xxhash64 (production) fingerprint families make
+    identical contamination decisions — membership only depends on hash
+    equality, never on hash VALUES."""
+    from facturas_spark.analytics.corpus_clean import contaminated_ids
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.filter("doc_id % 23 = 0").select("text")
+    train = docs.filter("doc_id % 23 <> 0")
+    ids_md5 = {r.doc_id for r in contaminated_ids(train, bench).collect()}
+    ids_xx = {
+        r.doc_id
+        for r in contaminated_ids(train, bench, family="xxhash64").collect()
+    }
+    assert ids_md5 == ids_xx
+    assert len(ids_md5) > 0  # the slice genuinely contaminates (4 docs)
