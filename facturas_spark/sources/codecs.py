@@ -283,6 +283,8 @@ def decode_y4m_frame(payload: bytes, meta: dict, k: int) -> np.ndarray:
 
 # ------------------------------------------------------------------ sniff --
 _MAGIC = [
+    (b"\x00\x00\x00\x01", "video/h264"),  # Annex B start code
+    (b"\x00\x00\x01", "video/h264"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),  # refined below for RIFF containers

@@ -131,13 +131,25 @@ def synth_media_rows(n: int, seed: int = 42) -> list[tuple]:
             frames = np.stack(
                 [(base.astype(int) + 11 * j) % 256 for j in range(nf)]
             ).astype(np.uint8)
-            # alternate the two real video containers: raw planar Y4M and
-            # compressed MJPEG AVI (per-frame baseline JPEG)
-            if (i // 3) % 2:
+            # rotate the three real video containers: raw planar Y4M,
+            # compressed MJPEG AVI (per-frame baseline JPEG), and an
+            # H.264 Annex B single-IDR I_PCM stream (dims snapped to the
+            # macroblock grid)
+            variant = (i // 3) % 3
+            if variant == 1:
                 from facturas_spark.sources.avi import encode_avi_mjpeg
 
                 payload = encode_avi_mjpeg(frames, _VIDEO_FPS, quality=92)
                 meta = (w, h, dur, None, "video/avi")
+            elif variant == 2:
+                from facturas_spark.sources.h264 import encode_h264_ipcm
+
+                hw, hh = 32, 16
+                yp = frames[0][:hh, :hw]
+                cbp = np.full((hh // 2, hw // 2), 120, np.uint8)
+                crp = np.full((hh // 2, hw // 2), 136, np.uint8)
+                payload = encode_h264_ipcm(yp, cbp, crp)
+                meta = (hw, hh, 2.0, None, "video/h264")
             else:
                 payload = encode_y4m(frames, _VIDEO_FPS)
                 meta = (w, h, dur, None, "video/y4m")
@@ -284,10 +296,22 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                     # random-access (header, frame k) contract. Corrupt
                     # containers become null frame rows, not dead tasks.
                     try:
-                        if sniff_media(p) == "video/avi":
-                            m = dict(decode_avi_header(bytes(p)), _avi=True)
+                        mime = sniff_media(p)
+                        if mime == "video/avi":
+                            m = dict(decode_avi_header(bytes(p)), _kind="avi")
+                        elif mime == "video/h264":
+                            from facturas_spark.sources.h264 import h264_meta
+
+                            hm = h264_meta(bytes(p))
+                            # single-IDR I_PCM streams: one random-access
+                            # frame; fps has no in-stream carrier (no VUI)
+                            m = {
+                                "n_frames": min(hm["n_idr"], 1),
+                                "fps": 1.0,
+                                "_kind": "h264",
+                            }
                         else:
-                            m = dict(decode_y4m_header(bytes(p)), _avi=False)
+                            m = dict(decode_y4m_header(bytes(p)), _kind="y4m")
                     except Exception:
                         m = {"n_frames": 0}
                     meta_cache[mid] = m
@@ -300,11 +324,14 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                     stds.append(None)
                     continue
                 k = min(int(t * m["fps"]), m["n_frames"] - 1)
-                luma = (
-                    decode_avi_frame(p, m, k)
-                    if m["_avi"]
-                    else decode_y4m_frame(p, m, k)
-                )
+                if m["_kind"] == "avi":
+                    luma = decode_avi_frame(p, m, k)
+                elif m["_kind"] == "h264":
+                    from facturas_spark.sources.h264 import decode_h264_ipcm
+
+                    luma = decode_h264_ipcm(bytes(p))[0]
+                else:
+                    luma = decode_y4m_frame(p, m, k)
                 idxs.append(k)
                 means.append(float(luma.mean()) / 255.0)
                 stds.append(float(luma.std()) / 255.0)

@@ -168,6 +168,13 @@ def test_frame_sample_grid_and_luma(spark):
                 luma = decode_avi_frame(payload, meta, f.frame_idx)
                 assert abs(f.luma_mean - luma.mean() / 255.0) < 1e-9
                 assert abs(f.luma_std - luma.std() / 255.0) < 1e-9
+        elif raw[mid][3][4] == "video/h264":
+            from facturas_spark.sources.h264 import decode_h264_ipcm
+
+            luma = decode_h264_ipcm(payload)[0]
+            assert len(frames) == 1 and frames[0].frame_idx == 0
+            assert abs(frames[0].luma_mean - luma.mean() / 255.0) < 1e-9
+            assert abs(frames[0].luma_std - luma.std() / 255.0) < 1e-9
         else:
             meta = decode_y4m_header(payload)
             for f in frames:
@@ -259,3 +266,54 @@ def test_hostile_payloads_null_not_crash(spark):
     assert feats[2].phash is None
     vid = frame_sample(df, fps=0.5).collect()
     assert all(r.frame_idx is None for r in vid if r.media_id == 3)
+
+
+def test_h264_ipcm_roundtrip_and_meta():
+    """SPS metadata is parsed from the real bitstream (profile/level/
+    dims via exp-Golomb, emulation bytes stripped) and the I_PCM IDR
+    frame roundtrips bit-exactly through Annex B."""
+    from facturas_spark.sources.codecs import sniff_media
+    from facturas_spark.sources.h264 import (
+        add_emulation,
+        decode_h264_ipcm,
+        encode_h264_ipcm,
+        h264_meta,
+        strip_emulation,
+    )
+
+    rng = np.random.RandomState(7)
+    y = rng.randint(0, 256, (48, 64), dtype=np.uint8)
+    cb = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    cr = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    stream = encode_h264_ipcm(y, cb, cr)
+    assert sniff_media(stream) == "video/h264"
+    m = h264_meta(stream)
+    assert (m["profile_idc"], m["width"], m["height"]) == (66, 64, 48)
+    assert m["n_idr"] == 1 and m["entropy_coding_mode"] == 0
+    y2, cb2, cr2 = decode_h264_ipcm(stream)
+    assert np.array_equal(y, y2) and np.array_equal(cb, cb2)
+    assert np.array_equal(cr, cr2)
+    # random-payload emulation-prevention roundtrip (PCM bytes can spell
+    # start codes — the EBSP layer must hide them)
+    raw = bytes(rng.randint(0, 4, 4096, dtype=np.uint8))  # 00-03 heavy
+    assert strip_emulation(add_emulation(raw)) == raw
+    assert b"\x00\x00\x01" not in add_emulation(raw)
+
+
+def test_h264_transform_coded_is_honest_gap():
+    """A non-I_PCM macroblock raises NotImplementedError (the documented
+    subset boundary), never a wrong decode."""
+    import pytest as _pytest
+
+    from facturas_spark.sources.h264 import decode_h264_ipcm, encode_h264_ipcm
+
+    y = np.zeros((16, 16), np.uint8)
+    c = np.zeros((8, 8), np.uint8)
+    stream = bytearray(encode_h264_ipcm(y, c, c))
+    # corrupt the first mb_type bit pattern: ue(25) starts right after the
+    # slice header; flipping the slice payload's first byte yields a
+    # different mb_type
+    idx = stream.rindex(b"\x00\x00\x00\x01") + 5
+    stream[idx] ^= 0x80
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_h264_ipcm(bytes(stream))
