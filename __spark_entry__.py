@@ -76,10 +76,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
         # -- longest-unchecked bank: green in r01/r02, parked outside every
-        #    window since round 2 — rotated back for fresh evidence (the
-        #    4 late-round-4 additions above push the last four of this
-        #    bank — m3/m4 pairs, txt_bpe_token_stats, master_products —
-        #    back past the 50 boundary; their r01/r02 rows stand)
+        #    window since round 2 — rotated back for fresh evidence. The
+        #    NINE late-round-4 additions above push this bank's tail
+        #    (f2/f1/f4_f6, q08, q11, m3/m4 pairs, txt_bpe_token_stats,
+        #    master_products) back past the 50 boundary; never-checked
+        #    queries outrank fresh re-evidence, and the banked r01/r02
+        #    rows for those nine stand
         "c1_classify_documents": Q.c1_classify_documents,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,
@@ -110,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_multi_price": Q.p14_multi_price,
         "p4_p7_line_parsers": Q.p4_p7_line_parsers,
         "s2_mime_sniffing": Q.s2_mime_sniffing,
+        # ---------------- driver window boundary (50) ----------------
         "f2_invoice_number": Q.f2_invoice_number,
         "f1_cif_extraction": Q.f1_cif_extraction,
         "f4_f6_amount_banks": Q.f4_f6_amount_banks,
@@ -119,7 +122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_similarity_pairs": D.m4_similarity_pairs,
         "txt_bpe_token_stats": D.txt_bpe_token_stats,
         "master_products": M.master_products,
-        # ---------------- driver window boundary (50) ----------------
         "m14_duplicate_orders": D.m14_duplicate_orders,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         # below: green in r03 (fresh evidence last round) or r01/r02 bank

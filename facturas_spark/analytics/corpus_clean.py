@@ -235,11 +235,7 @@ def semantic_dedup_ids(
     Complements MinHash: a reordered or lightly-rephrased document keeps
     most of its char-3-grams (cosine high) while its word-shingle Jaccard
     collapses below the MinHash threshold."""
-    from facturas_spark.analytics.dedup import (
-        EMB_BAND_BITS,
-        N_EMB_BANDS,
-        _emb_band_key,
-    )
+    from facturas_spark.analytics.dedup import _emb_candidates_with_cosine
     from facturas_spark.extraction.embed import embed_udf
 
     emb = (
@@ -247,51 +243,9 @@ def semantic_dedup_ids(
         .filter(F.col("embedding").isNotNull())
         .persist()
     )
-    entries = F.array(
-        *[
-            F.when(
-                F.size("embedding") >= EMB_BAND_BITS * (j + 1),
-                F.struct(
-                    F.lit(j).alias("band"),
-                    _emb_band_key("embedding", j).alias("key"),
-                ),
-            )
-            for j in range(N_EMB_BANDS)
-        ]
-    )
-    bands = emb.select(
-        "doc_id",
-        F.explode(F.filter(entries, lambda s: s.isNotNull())).alias("b"),
-    ).select("doc_id", "b.band", "b.key")
-    cand = (
-        bands.select("band", "key", F.col("doc_id").alias("id1"))
-        .join(bands.select("band", "key", F.col("doc_id").alias("id2")), ["band", "key"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        )
-    )
-    e1 = emb.select(
-        F.col("doc_id").alias("id1"), F.col("embedding").alias("e1"), norm.alias("n1")
-    )
-    e2 = emb.select(
-        F.col("doc_id").alias("id2"), F.col("embedding").alias("e2"), norm.alias("n2")
-    )
-    dot = F.aggregate(
-        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     verified = (
-        cand.join(e1, "id1")
-        .join(e2, "id2")
-        .filter(dot / (F.col("n1") * F.col("n2")) >= tau)
+        _emb_candidates_with_cosine(emb, "doc_id")
+        .filter(F.col("_cos") >= tau)
         .select("id1", "id2")
     )
     labels = _min_label_components(verified)

@@ -668,6 +668,64 @@ def _emb_band_key(col: str, band: int, bits: int = EMB_BAND_BITS):
     return bucket
 
 
+def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
+    """Shared kernel of embedding near-dup (dedup_embedding_lsh) and the
+    clean job's SemDeDup stage: multi-band sign-bucket LSH candidates
+    (disjoint dim slices, join key (band, key) — never all-pairs) with
+    the exact cosine of every distinct candidate pair. ``emb`` carries
+    (id_col, embedding); returns (id1, id2, _cos) with id1 < id2.
+    Norms are precomputed ONCE PER VECTOR and carried through the join;
+    callers apply their own threshold/rounding so the oracle-pinned
+    query and the job stage share one set of expressions."""
+    entries = F.array(
+        *[
+            F.when(
+                F.size("embedding") >= EMB_BAND_BITS * (j + 1),
+                F.struct(
+                    F.lit(j).alias("band"),
+                    _emb_band_key("embedding", j).alias("key"),
+                ),
+            )
+            for j in range(N_EMB_BANDS)
+        ]
+    )
+    bands = emb.select(
+        id_col,
+        F.explode(F.filter(entries, lambda s: s.isNotNull())).alias("b"),
+    ).select(id_col, "b.band", "b.key")
+    a = bands.select("band", "key", F.col(id_col).alias("id1"))
+    b = bands.select("band", "key", F.col(id_col).alias("id2"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    e1 = emb.select(
+        F.col(id_col).alias("id1"), F.col("embedding").alias("e1"), norm.alias("n1")
+    )
+    e2 = emb.select(
+        F.col(id_col).alias("id2"), F.col("embedding").alias("e2"), norm.alias("n2")
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .select("id1", "id2", (dot / (F.col("n1") * F.col("n2"))).alias("_cos"))
+    )
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at SCALE: candidate pairs from MULTI-BAND
     sign-bucket LSH (b=4 independent 8-bit projections over disjoint dim
@@ -683,60 +741,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b, r) at scale. Bands past the vector's length are not emitted
     (short vectors participate only in the slices they populate)."""
     emb = _t(spark, sf_dir, "embeddings")
-    entries = F.array(
-        *[
-            F.when(
-                F.size("embedding") >= EMB_BAND_BITS * (j + 1),
-                F.struct(
-                    F.lit(j).alias("band"),
-                    _emb_band_key("embedding", j).alias("key"),
-                ),
-            )
-            for j in range(N_EMB_BANDS)
-        ]
-    )
-    bands = emb.select(
-        "vec_id",
-        F.explode(F.filter(entries, lambda s: s.isNotNull())).alias("b"),
-    ).select("vec_id", "b.band", "b.key")
-    a = bands.select("band", "key", F.col("vec_id").alias("id1"))
-    b = bands.select("band", "key", F.col("vec_id").alias("id2"))
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    # norms are precomputed ONCE PER VECTOR and carried through the join —
-    # computing them per candidate pair costs |cand| x 2 interpreted
-    # higher-order aggregates instead of |table|; same expression on the
-    # same values, so the IEEE result (and the oracle hash) is unchanged
-    norm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        )
-    )
-    e1 = emb.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), norm.alias("n1")
-    )
-    e2 = emb.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), norm.alias("n2")
-    )
-    dot = F.aggregate(
-        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return (
-        cand.join(e1, "id1")
-        .join(e2, "id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(dot / (F.col("n1") * F.col("n2")), 4).alias("cos_sim"),
-        )
+        _emb_candidates_with_cosine(emb.select("vec_id", "embedding"), "vec_id")
+        .select("id1", "id2", F.round("_cos", 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
         .orderBy("id1", "id2")
     )
@@ -1734,8 +1741,11 @@ def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself shuffles once on host for the rate and never again."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+    # NULL n_chars counts as NOT-ok (0), matching the oracle's CASE; a
+    # bare boolean cast would yield NULL, which avg() silently skips and
+    # the engines would diverge on corpora with missing n_chars
     base = docs.withColumn("host", host).withColumn(
-        "doc_ok", (F.col("n_chars") >= 200).cast("int")
+        "doc_ok", F.when(F.col("n_chars") >= 200, 1).otherwise(0)
     )
     rates = base.groupBy("host").agg(
         F.round(F.avg("doc_ok"), 4).alias("host_rate")

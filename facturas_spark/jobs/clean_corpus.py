@@ -130,9 +130,12 @@ def main(argv: list[str] | None = None) -> int:
             docs = with_synth_pii(docs)
         decon_meta = {}
         if args.benchmark:
+            # persisted: the count below and the anti-join inside the
+            # flags job both consume it — without persist the full-corpus
+            # k-gram scan would run twice (review fix)
             bad = contaminated_ids(
                 docs, spark.read.parquet(args.benchmark), family=args.hash_family
-            )
+            ).persist()
             n_bad = bad.count()
             docs = docs.join(bad, "doc_id", "left_anti")
             decon_meta = {"decontaminated": n_bad}

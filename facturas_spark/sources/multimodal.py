@@ -300,15 +300,26 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                         if mime == "video/avi":
                             m = dict(decode_avi_header(bytes(p)), _kind="avi")
                         elif mime == "video/h264":
-                            from facturas_spark.sources.h264 import h264_meta
+                            from facturas_spark.sources.h264 import (
+                                decode_h264_ipcm,
+                                h264_meta,
+                            )
 
                             hm = h264_meta(bytes(p))
                             # single-IDR I_PCM streams: one random-access
-                            # frame; fps has no in-stream carrier (no VUI)
+                            # frame; fps has no in-stream carrier (no
+                            # VUI). Decode ONCE here, inside the failure
+                            # boundary: a transform-coded (real-world)
+                            # stream raises NotImplementedError and must
+                            # become null frame rows, not a dead task —
+                            # and the grid would otherwise re-decode the
+                            # whole stream per sampled timestamp
+                            luma0 = decode_h264_ipcm(bytes(p))[0]
                             m = {
                                 "n_frames": min(hm["n_idr"], 1),
                                 "fps": 1.0,
                                 "_kind": "h264",
+                                "_luma0": luma0,
                             }
                         else:
                             m = dict(decode_y4m_header(bytes(p)), _kind="y4m")
@@ -327,9 +338,7 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                 if m["_kind"] == "avi":
                     luma = decode_avi_frame(p, m, k)
                 elif m["_kind"] == "h264":
-                    from facturas_spark.sources.h264 import decode_h264_ipcm
-
-                    luma = decode_h264_ipcm(bytes(p))[0]
+                    luma = m["_luma0"]  # decoded once at header time
                 else:
                     luma = decode_y4m_frame(p, m, k)
                 idxs.append(k)

@@ -35,11 +35,19 @@ MAX_QUERY_PARAMS = 4
 MAX_URL_LEN = 2048
 
 
-def _host_of(url: Column) -> Column:
-    """Host part: strip scheme, cut at the first '/', drop :port."""
+def _authority_of(url: Column) -> Column:
+    """Authority (host[:port]): strip scheme, cut at the first '/', '?'
+    or '#' — a path-less 'https://host?q' or 'https://host#f' must still
+    yield the bare host (review fix: blocklist bypass)."""
     no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    host = F.substring_index(no_scheme, "/", 1)
-    return F.lower(F.substring_index(host, ":", 1))
+    return F.substring_index(
+        F.substring_index(F.substring_index(no_scheme, "/", 1), "?", 1), "#", 1
+    )
+
+
+def _host_of(url: Column) -> Column:
+    """Host part: authority minus :port, lowercased."""
+    return F.lower(F.substring_index(_authority_of(url), ":", 1))
 
 
 def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -54,15 +62,24 @@ def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
     host = _host_of(url)
 
     blocked_host = host.isin([h.lower() for h in BLOCKED_HOSTS])
-    blocked_path = None
-    for kw in BLOCKED_PATH_KEYWORDS:
-        c = low.contains(kw)
-        blocked_path = c if blocked_path is None else (blocked_path | c)
-    # '&'-separated params: n_amp >= MAX-1 means >= MAX params
-    n_amp = F.length(low) - F.length(F.regexp_replace(low, r"&", ""))
+    # keyword matches PATH SEGMENTS (bounded by / ? # . or end), never a
+    # substring of the host or a longer slug ('cartoonnetwork', the
+    # '/checkout-guide' review case)
+    no_scheme = F.regexp_replace(low, r"^[a-z][a-z0-9+.-]*://", "")
+    pathq = F.substring(
+        no_scheme, F.length(_authority_of(url)) + 1, F.lit(1 << 30)
+    )
+    kw_alt = "|".join(BLOCKED_PATH_KEYWORDS)
+    blocked_path = pathq.rlike(rf"(^|/)({kw_alt})([/?#.]|$)")
+    # '&'-separated params IN THE QUERY STRING: n_amp >= MAX-1 means
+    # >= MAX params (path ampersands don't count)
+    query = F.when(low.contains("?"), F.substring_index(low, "?", -1)).otherwise(
+        F.lit("")
+    )
+    n_amp = F.length(query) - F.length(F.regexp_replace(query, r"&", ""))
     too_many_params = low.contains("?") & (n_amp >= MAX_QUERY_PARAMS - 1)
-    # extension applies to the path BEFORE any query string
-    pre_query = F.substring_index(low, "?", 1)
+    # extension applies to the path BEFORE any query string or fragment
+    pre_query = F.substring_index(F.substring_index(low, "?", 1), "#", 1)
     bad_ext = None
     for ext in BLOCKED_EXTENSIONS:
         c = pre_query.endswith(ext)
@@ -97,8 +114,16 @@ def normalize_url(url: Column) -> Column:
     u = F.substring_index(u, "#", 1)  # fragment never reaches the server
 
     scheme = F.lower(F.substring_index(u, "://", 1))
-    rest = F.when(u.contains("://"), F.substring_index(u, "://", -1)).otherwise(u)
-    hostport = F.substring_index(rest, "/", 1)
+    # everything after the FIRST '://' — substring_index(u, '://', -1)
+    # would split at the LAST one and canonicalize to a URL embedded in
+    # the query ('?next=https://b.com/x', review fix)
+    rest = F.when(
+        u.contains("://"), F.substring(u, F.length(scheme) + 4, F.lit(1 << 30))
+    ).otherwise(u)
+    # authority ends at '/', '?' or '#' (path-less URLs keep their query)
+    hostport = F.substring_index(
+        F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1
+    )
     # path+query = rest minus the leading hostport
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
 
@@ -110,9 +135,12 @@ def normalize_url(url: Column) -> Column:
     hostport_norm = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
 
     path = F.substring_index(pathq, "?", 1)
-    qs = F.when(pathq.contains("?"), F.substring_index(pathq, "?", -1)).otherwise(
-        F.lit("")
-    )
+    # query = everything after the FIRST '?' (a second '?' belongs to the
+    # query value, not a new query)
+    qs = F.when(
+        pathq.contains("?"),
+        F.substring(pathq, F.length(path) + 2, F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
     kept_params = F.filter(
         F.split(qs, "&"),
         lambda p: (p != F.lit(""))

@@ -317,3 +317,24 @@ def test_h264_transform_coded_is_honest_gap():
     stream[idx] ^= 0x80
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_h264_ipcm(bytes(stream))
+
+
+def test_frame_sample_transform_coded_h264_yields_null_rows(spark):
+    """A real-world (transform-coded) H.264 payload must become null
+    frame rows, never a dead task (review fix: the decode now sits
+    inside the failure boundary)."""
+    from facturas_spark.sources.h264 import encode_h264_ipcm
+
+    stream = bytearray(encode_h264_ipcm(np.zeros((16, 16), np.uint8),
+                                        np.zeros((8, 8), np.uint8),
+                                        np.zeros((8, 8), np.uint8)))
+    # flip the slice payload's first byte -> mb_type is no longer I_PCM
+    idx = stream.rindex(b"\x00\x00\x00\x01") + 5
+    stream[idx] ^= 0x80
+    rows = [
+        (0, "video", bytearray(stream), (16, 16, 2.0, None, "video/h264")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_DDL)
+    out = frame_sample(media, fps=0.5).collect()
+    assert len(out) == 1
+    assert out[0].frame_idx is None and out[0].luma_mean is None

@@ -109,3 +109,42 @@ def test_normalize_url_edge_cases(spark):
     ]
     for (inp, want), got in zip(cases, out):
         assert got == want, (inp, got, want)
+
+
+def test_review_fixes_url_rules(spark):
+    """Regression pins for the round-4 review findings: path-less
+    blocklist bypass, whole-URL keyword false positives, path-ampersand
+    param counting, embedded-URL canonicalization."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.sources.urlfilter import normalize_url
+
+    rows = _flags(
+        spark,
+        [
+            "https://ads.tracker.net?utm=1",       # path-less: still blocked
+            "https://ads.tracker.net#x",
+            "https://cartoonnetwork.com/shows",     # 'cart' inside host: keep
+            "https://ok.com/blog/checkout-guide",   # keyword in longer slug: keep
+            "https://ok.com/account/login",         # true segment: blocked
+            "https://ok.com/a&b&c&d?p=1",           # path ampersands: keep
+        ],
+    )
+    assert rows["https://ads.tracker.net?utm=1"]["blocked_host"]
+    assert rows["https://ads.tracker.net#x"]["blocked_host"]
+    assert rows["https://cartoonnetwork.com/shows"]["url_keep"]
+    assert rows["https://ok.com/blog/checkout-guide"]["url_keep"]
+    assert rows["https://ok.com/account/login"]["blocked_path"]
+    assert rows["https://ok.com/a&b&c&d?p=1"]["url_keep"]
+
+    cases = [
+        # embedded absolute URL stays in the query, host is NOT replaced
+        ("https://a.com/out?to=https://b.com/x",
+         "https://a.com/out?to=https://b.com/x"),
+        # path-less URL with query: tracking params still stripped
+        ("https://A.com?utm_source=1&q=2", "https://a.com?q=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    for (inp, want), g in zip(cases, got):
+        assert g == want, (inp, g, want)
