@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation_filter": D.host_reputation_filter,
         "txt_charset_normalize": D.txt_charset_normalize,
         "corpus_chunking": D.corpus_chunking,
+        "corpus_mixture_sample": D.corpus_mixture_sample,
+        "corpus_dsir_weights": D.corpus_dsir_weights,
         "txt_decontamination": D.txt_decontamination,
         "txt_unigram_lm_score": D.txt_unigram_lm_score,
         "dedup_semantic": D.dedup_semantic,
@@ -440,6 +442,52 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "corpus_mixture_sample": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 40
+                               WHEN 'fr' THEN 30 WHEN 'de' THEN 20
+                               WHEN 'zh' THEN 10 ELSE 0 END AS target_n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rank
+              FROM documents
+            )
+            SELECT doc_id, lang, target_n, CAST(rank AS INT) AS rank,
+                   (rank <= target_n) AS keep
+            FROM t ORDER BY doc_id
+        """,
+        "corpus_dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '')) AS token
+              FROM documents
+            ), raw AS (
+              SELECT token, COUNT(*) AS c_raw FROM toks GROUP BY token
+            ), tgt AS (
+              SELECT token, COUNT(*) AS c_tgt FROM toks
+              WHERE lang = 'en' GROUP BY token
+            ), vocab AS (
+              SELECT r.token, r.c_raw, COALESCE(t.c_tgt, 0) AS c_tgt
+              FROM raw r LEFT JOIN tgt t USING (token)
+            ), totals AS (
+              SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt,
+                     COUNT(*) AS v_size
+              FROM vocab
+            ), scored AS (
+              SELECT token,
+                     ln(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + v_size))
+                     - ln(CAST(c_raw + 1 AS DOUBLE) / (t_raw + v_size)) AS lr
+              FROM vocab CROSS JOIN totals
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(lr), 4) + 0.0 AS log_ratio,
+                   (ROUND(AVG(lr), 4) + 0.0 > 0) AS selected
+            FROM toks JOIN scored USING (token)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "corpus_chunking": """
             WITH d AS (
               SELECT doc_id,

@@ -1858,3 +1858,90 @@ def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.chunk_id", "c.start", "c.n_tokens", "c.chunk_fp")
         .orderBy("doc_id", "chunk_id")
     )
+
+
+MIXTURE_BUDGET = 200
+# target lang mixture at MIXTURE_BUDGET docs (integer targets — exact in
+# both engines; fractions are the classic Pile/Dolma mixture weights)
+MIXTURE_TARGETS = {"en": 100, "es": 40, "fr": 30, "de": 20, "zh": 10}
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction (the Pile/Dolma source-weighting
+    stage, public practice): each language gets an integer doc target
+    from the mixture table; docs are ranked per lang under the
+    deterministic md5(doc_id) shuffle order (the same technique as
+    corpus_source_quota) and kept while the target lasts.
+
+    One lang-keyed window shuffle; the mixture table is a literal (at
+    scale: a broadcast dim). Under-filled languages simply take what
+    exists — the report row carries rank and keep so the funnel is
+    auditable per doc."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    target = None
+    for lang, t in MIXTURE_TARGETS.items():
+        c = F.when(F.col("lang") == lang, F.lit(t))
+        target = c if target is None else target.when(F.col("lang") == lang, F.lit(t))
+    target = target.otherwise(F.lit(0))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("target_n", target)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("keep", F.col("rank") <= F.col("target_n"))
+        .select("doc_id", "lang", "target_n", "rank", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public paper): per doc,
+    the mean log-ratio of an add-one-smoothed unigram LM of the TARGET
+    domain (here: the corpus's en slice, the usual high-quality proxy)
+    against the RAW-corpus LM over the shared vocabulary. Positive =
+    closer to the target distribution; ``selected`` keeps those docs —
+    the importance-resampling stage of a pretraining pipeline.
+
+    Scale shape: two token-keyed partial-agg shuffles build the two
+    count tables (one left-joins the other on the token), corpus totals
+    are a 1-row broadcast, scoring is the same exploded-token join as
+    txt_unigram_lm_score; at 100 TB the Zipf-headed vocab broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_words(F.col("text"))).alias("token")
+    )
+    raw = toks.groupBy("token").agg(F.count("*").alias("c_raw"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    vocab = raw.join(tgt, "token", "left").withColumn(
+        "c_tgt", F.coalesce("c_tgt", F.lit(0))
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count("*").alias("v_size"),
+    )
+    lr = F.log(
+        (F.col("c_tgt") + 1).cast("double") / (F.col("t_tgt") + F.col("v_size"))
+    ) - F.log(
+        (F.col("c_raw") + 1).cast("double") / (F.col("t_raw") + F.col("v_size"))
+    )
+    scored = vocab.crossJoin(F.broadcast(totals)).select("token", lr.alias("lr"))
+    return (
+        toks.join(scored, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            # + 0.0 canonicalizes IEEE -0.0 (a doc whose ratios cancel
+            # rounds to negative zero in one engine and positive in the
+            # other; -0.0 + 0.0 = +0.0 in both)
+            (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("log_ratio"),
+        )
+        .withColumn("selected", F.col("log_ratio") > 0)
+        .orderBy("doc_id")
+    )

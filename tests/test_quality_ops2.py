@@ -190,3 +190,51 @@ def test_chunking_covers_every_token_with_overlap(spark, tmp_path_factory):
     assert len(d1) == 1 and d1[0]["n_tokens"] == 1 and d1[0]["start"] == 0
     # identical windows fingerprint identically (dedup join key contract)
     assert len({r["chunk_fp"] for r in d0}) == len(d0)
+
+
+def test_mixture_sample_targets(spark, tmp_path_factory):
+    """Per-lang targets honored exactly: under-supplied langs take all
+    they have; over-supplied langs cut at the target under the
+    deterministic md5 order; ranks are dense per lang."""
+    docs = [(i, f"text {i}", "en") for i in range(3)]
+    docs += [(100 + i, f"texto {i}", "zh") for i in range(12)]
+    out = tmp_path_factory.mktemp("mix")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    from facturas_spark.analytics.dedup import MIXTURE_TARGETS, corpus_mixture_sample
+
+    rows = corpus_mixture_sample(spark, str(out)).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert sum(r["keep"] for r in by_lang["en"]) == 3          # all (target 100)
+    assert sum(r["keep"] for r in by_lang["zh"]) == MIXTURE_TARGETS["zh"]  # 10 of 12
+    for lang, rs in by_lang.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_dsir_weights_separate_target_from_raw(spark, tmp_path_factory):
+    """DSIR log-ratio is positive for docs made of target-domain tokens,
+    negative for out-of-domain tokens, with hand-computed values."""
+    import math
+
+    docs = [
+        (0, "good", "en"),
+        (1, "good", "en"),
+        (2, "bad", "zh"),
+        (3, "bad", "zh"),
+    ]
+    out = tmp_path_factory.mktemp("dsir")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    from facturas_spark.analytics.dedup import corpus_dsir_weights
+
+    rows = {r["doc_id"]: r for r in corpus_dsir_weights(spark, str(out)).collect()}
+    # vocab: good (c_raw=2, c_tgt=2), bad (c_raw=2, c_tgt=0);
+    # T_raw=4, T_tgt=2, V=2 -> lr(good)=ln(3/4)-ln(1/2), lr(bad)=ln(1/4)-ln(1/2)
+    assert rows[0]["log_ratio"] == round(math.log(3 / 4) - math.log(1 / 2), 4)
+    assert rows[2]["log_ratio"] == round(math.log(1 / 4) - math.log(1 / 2), 4)
+    assert rows[0]["selected"] and rows[1]["selected"]
+    assert not rows[2]["selected"] and not rows[3]["selected"]
