@@ -79,11 +79,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
         # -- longest-unchecked bank: green in r01/r02, parked outside every
         #    window since round 2 — rotated back for fresh evidence. The
-        #    NINE late-round-4 additions above push this bank's tail
-        #    (f2/f1/f4_f6, q08, q11, m3/m4 pairs, txt_bpe_token_stats,
-        #    master_products) back past the 50 boundary; never-checked
-        #    queries outrank fresh re-evidence, and the banked r01/r02
-        #    rows for those nine stand
+        #    ELEVEN late-round-4 additions above push this bank's tail
+        #    (p4_p7, s2_mime, f2/f1/f4_f6, q08, q11, m3/m4 pairs,
+        #    txt_bpe_token_stats, master_products) back past the 50
+        #    boundary; never-checked queries outrank fresh re-evidence,
+        #    and the banked r01/r02 rows for those eleven stand
         "c1_classify_documents": Q.c1_classify_documents,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,
@@ -112,9 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_confidence": Q.f12_confidence,
         "p13_price_per_unit": Q.p13_price_per_unit,
         "p14_multi_price": Q.p14_multi_price,
+        # ---------------- driver window boundary (50) ----------------
         "p4_p7_line_parsers": Q.p4_p7_line_parsers,
         "s2_mime_sniffing": Q.s2_mime_sniffing,
-        # ---------------- driver window boundary (50) ----------------
         "f2_invoice_number": Q.f2_invoice_number,
         "f1_cif_extraction": Q.f1_cif_extraction,
         "f4_f6_amount_banks": Q.f4_f6_amount_banks,
