@@ -255,10 +255,19 @@ def h264_meta(payload: bytes) -> dict:
         if not nal:
             continue
         nal_type = nal[0] & 0x1F
+        # malformed parameter sets (truncated bitstream, garbage after a
+        # start code) are recorded, never raised — the probe must survive
+        # hostile payloads like every other codec header parser here
         if nal_type == 7 and "width" not in meta:
-            meta.update(parse_sps(strip_emulation(nal[1:])))
+            try:
+                meta.update(parse_sps(strip_emulation(nal[1:])))
+            except Exception:
+                meta["sps_error"] = True
         elif nal_type == 8 and "pps_id" not in meta:
-            meta.update(parse_pps(strip_emulation(nal[1:])))
+            try:
+                meta.update(parse_pps(strip_emulation(nal[1:])))
+            except Exception:
+                meta["pps_error"] = True
         elif nal_type == 5:
             meta["n_idr"] += 1
             meta["n_slices"] += 1

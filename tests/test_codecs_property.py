@@ -162,3 +162,40 @@ def test_parser_fuzz_never_hangs(junk):
             pass  # any exception is fine; hanging or exiting is not
     # the PDF extractor contract is stronger: never raises
     assert isinstance(pdf_extract_text(b"%PDF-1.4" + junk), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=512))
+def test_h264_meta_never_raises_on_garbage(data):
+    """The metadata probe survives arbitrary bytes — including bytes that
+    contain start codes followed by garbage 'SPS' payloads (truncated
+    exp-Golomb, out-of-range reads become sps_error, never a raise)."""
+    from facturas_spark.sources.h264 import h264_meta
+
+    for payload in (data, b"\x00\x00\x00\x01\x67" + data, b"\x00\x00\x01" + data):
+        m = h264_meta(payload)
+        assert isinstance(m, dict) and m["n_nals"] >= 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    mbw=st.integers(1, 3),
+    mbh=st.integers(1, 3),
+    seed=st.integers(0, 2**31),
+)
+def test_h264_ipcm_roundtrip_property(mbw, mbh, seed):
+    """Any macroblock-grid frame roundtrips bit-exactly, including PCM
+    sample patterns that spell start codes (emulation prevention)."""
+    import numpy as np
+
+    from facturas_spark.sources.h264 import decode_h264_ipcm, encode_h264_ipcm
+
+    rng = np.random.RandomState(seed % (2**31))
+    h, w = mbh * 16, mbw * 16
+    # bias toward 0/1 bytes to stress the emulation-prevention layer
+    y = rng.choice([0, 0, 1, 255], size=(h, w)).astype(np.uint8)
+    cb = rng.choice([0, 1, 2, 3], size=(h // 2, w // 2)).astype(np.uint8)
+    cr = rng.randint(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    y2, cb2, cr2 = decode_h264_ipcm(encode_h264_ipcm(y, cb, cr))
+    assert np.array_equal(y, y2) and np.array_equal(cb, cb2)
+    assert np.array_equal(cr, cr2)
