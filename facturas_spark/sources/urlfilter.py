@@ -108,39 +108,27 @@ def normalize_url(url: Column) -> Column:
     query params (utm_* prefix + TRACKING_PARAMS), drop an emptied '?',
     strip default :80/:443 ports and any trailing '/'.
 
-    Pure built-in expressions (split/filter/array_join/regexp) — fuses
-    into the scan like the rule bank above."""
+    Built on ``try_parse_url`` (Spark's RFC-3986 regex parser) — one parse
+    per component instead of a nested substring chain; the hand-rolled
+    version inlined its upstream into every derived part and produced a
+    ~19 KB expression tree that ran 5x slower (round-4 profiling)."""
     u = F.coalesce(url, F.lit(""))
-    u = F.substring_index(u, "#", 1)  # fragment never reaches the server
+    has_scheme = u.contains("://")
+    # the parser needs a scheme; loan schemeless input a dummy one and
+    # drop it again at reconstruction
+    uu = F.when(has_scheme, u).otherwise(F.concat(F.lit("http://"), u))
+    scheme = F.lower(F.coalesce(F.try_parse_url(uu, F.lit("PROTOCOL")), F.lit("")))
+    authority = F.coalesce(F.try_parse_url(uu, F.lit("AUTHORITY")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(uu, F.lit("PATH")), F.lit(""))
+    qs = F.coalesce(F.try_parse_url(uu, F.lit("QUERY")), F.lit(""))
 
-    scheme = F.lower(F.substring_index(u, "://", 1))
-    # everything after the FIRST '://' — substring_index(u, '://', -1)
-    # would split at the LAST one and canonicalize to a URL embedded in
-    # the query ('?next=https://b.com/x', review fix)
-    rest = F.when(
-        u.contains("://"), F.substring(u, F.length(scheme) + 4, F.lit(1 << 30))
-    ).otherwise(u)
-    # authority ends at '/', '?' or '#' (path-less URLs keep their query)
-    hostport = F.substring_index(
-        F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1
-    )
-    # path+query = rest minus the leading hostport
-    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
-
-    host = F.lower(F.substring_index(hostport, ":", 1))
+    host = F.lower(F.substring_index(authority, ":", 1))
     port = F.when(
-        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+        authority.contains(":"), F.substring_index(authority, ":", -1)
     ).otherwise(F.lit(""))
     keep_port = (port != "") & (port != "80") & (port != "443")
     hostport_norm = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
 
-    path = F.substring_index(pathq, "?", 1)
-    # query = everything after the FIRST '?' (a second '?' belongs to the
-    # query value, not a new query)
-    qs = F.when(
-        pathq.contains("?"),
-        F.substring(pathq, F.length(path) + 2, F.lit(1 << 30)),
-    ).otherwise(F.lit(""))
     kept_params = F.filter(
         F.split(qs, "&"),
         lambda p: (p != F.lit(""))
@@ -156,7 +144,7 @@ def normalize_url(url: Column) -> Column:
     ).otherwise(path)
 
     out = F.concat(
-        F.when(u.contains("://"), F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        F.when(has_scheme, F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
         hostport_norm,
         path_norm,
     )
