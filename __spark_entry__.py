@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunking": D.corpus_chunking,
         "corpus_mixture_sample": D.corpus_mixture_sample,
         "corpus_dsir_weights": D.corpus_dsir_weights,
+        "corpus_split": D.corpus_split,
         "txt_decontamination": D.txt_decontamination,
         "txt_unigram_lm_score": D.txt_unigram_lm_score,
         "dedup_semantic": D.dedup_semantic,
@@ -79,11 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
         # -- longest-unchecked bank: green in r01/r02, parked outside every
         #    window since round 2 — rotated back for fresh evidence. The
-        #    ELEVEN late-round-4 additions above push this bank's tail
-        #    (p4_p7, s2_mime, f2/f1/f4_f6, q08, q11, m3/m4 pairs,
+        #    TWELVE late-round-4 additions above push this bank's tail
+        #    (p14, p4_p7, s2_mime, f2/f1/f4_f6, q08, q11, m3/m4 pairs,
         #    txt_bpe_token_stats, master_products) back past the 50
         #    boundary; never-checked queries outrank fresh re-evidence,
-        #    and the banked r01/r02 rows for those eleven stand
+        #    and the banked r01/r02 rows for those twelve stand
         "c1_classify_documents": Q.c1_classify_documents,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,
@@ -111,8 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_price_closure": Q.p9_price_closure,
         "f12_confidence": Q.f12_confidence,
         "p13_price_per_unit": Q.p13_price_per_unit,
-        "p14_multi_price": Q.p14_multi_price,
         # ---------------- driver window boundary (50) ----------------
+        "p14_multi_price": Q.p14_multi_price,
         "p4_p7_line_parsers": Q.p4_p7_line_parsers,
         "s2_mime_sniffing": Q.s2_mime_sniffing,
         "f2_invoice_number": Q.f2_invoice_number,
@@ -442,6 +443,19 @@ _CORPUS_CLEAN_SQL = f"""
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "corpus_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS _raw
+              FROM documents
+            )
+            SELECT doc_id,
+                   _raw AS bucket,
+                   CASE WHEN _raw < 58982 THEN 'train'
+                        WHEN _raw < 62259 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
+        """,
         "corpus_mixture_sample": """
             WITH t AS (
               SELECT doc_id, lang,

@@ -1945,3 +1945,29 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("selected", F.col("log_ratio") > 0)
         .orderBy("doc_id")
     )
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (the standard hash-split:
+    stable under re-runs, insert-order-free, no RNG state): bucket =
+    first 4 hex digits of md5(doc_id) as an integer in [0, 65536);
+    train < 0.90, val < 0.95, test otherwise. Per-doc assignment plus
+    the split's exact bucket value so audits can re-derive it.
+
+    Pure map (one md5 + conv per row); the split survives any
+    repartitioning or incremental append because it depends only on the
+    key — the property RNG-based splits lack at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < int(0.90 * 65536), F.lit("train"))
+        .when(bucket < int(0.95 * 65536), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn("split", split)
+        .orderBy("doc_id")
+    )

@@ -238,3 +238,24 @@ def test_dsir_weights_separate_target_from_raw(spark, tmp_path_factory):
     assert rows[2]["log_ratio"] == round(math.log(1 / 4) - math.log(1 / 2), 4)
     assert rows[0]["selected"] and rows[1]["selected"]
     assert not rows[2]["selected"] and not rows[3]["selected"]
+
+
+def test_corpus_split_deterministic_and_proportioned(spark, tmp_path_factory):
+    """Hash split: stable across runs and partitionings, every doc
+    assigned exactly one split, proportions near 90/5/5 at 2000 docs."""
+    docs = [(i, f"doc {i}", "en") for i in range(2000)]
+    out = tmp_path_factory.mktemp("split")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    from facturas_spark.analytics.dedup import corpus_split
+
+    a = {r["doc_id"]: r["split"] for r in corpus_split(spark, str(out)).collect()}
+    b = {r["doc_id"]: r["split"] for r in corpus_split(spark, str(out)).collect()}
+    assert a == b and len(a) == 2000
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.87 < c["train"] / 2000 < 0.93
+    assert 0.03 < c["val"] / 2000 < 0.07
+    assert 0.03 < c["test"] / 2000 < 0.07
