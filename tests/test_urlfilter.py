@@ -148,3 +148,29 @@ def test_review_fixes_url_rules(spark):
     got = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
     for (inp, want), g in zip(cases, got):
         assert g == want, (inp, g, want)
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalization is a fixpoint: normalize(normalize(u)) ==
+    normalize(u) across every rule interaction (scheme, port, tracking
+    params, trailing slash, fragments, schemeless forms)."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.sources.urlfilter import normalize_url
+
+    urls = [
+        "https://A.Com:443/Path/?utm_source=1&q=2&ref=3#frag",
+        "HTTP://b.org:80/",
+        "https://c.net/x?utm_campaign=z",
+        "d.io/path/",
+        "https://e.com/out?to=https://f.com/y/",
+        "https://g.com:8080/a/b/?p=1&utm_x=2",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        normalize_url(F.col("url")).alias("n1"),
+        normalize_url(normalize_url(F.col("url"))).alias("n2"),
+    ).collect()
+    for u, r in zip(urls, rows):
+        assert r["n1"] == r["n2"], (u, r["n1"], r["n2"])
