@@ -1878,10 +1878,10 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists — the report row carries rank and keep so the funnel is
     auditable per doc."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    target = None
-    for lang, t in MIXTURE_TARGETS.items():
-        c = F.when(F.col("lang") == lang, F.lit(t))
-        target = c if target is None else target.when(F.col("lang") == lang, F.lit(t))
+    items = list(MIXTURE_TARGETS.items())
+    target = F.when(F.col("lang") == items[0][0], F.lit(items[0][1]))
+    for lang, t in items[1:]:
+        target = target.when(F.col("lang") == lang, F.lit(t))
     target = target.otherwise(F.lit(0))
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"

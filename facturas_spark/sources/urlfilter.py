@@ -113,11 +113,16 @@ def normalize_url(url: Column) -> Column:
     version inlined its upstream into every derived part and produced a
     ~19 KB expression tree that ran 5x slower (round-4 profiling)."""
     u = F.coalesce(url, F.lit(""))
-    has_scheme = u.contains("://")
+    # scheme presence from the PARSED protocol, not substring '://' — a
+    # schemeless 'a.com/?next=https://b.com' embeds '://' in its query
+    # and must still get the dummy-scheme loan (review fix)
+    scheme_raw = F.try_parse_url(u, F.lit("PROTOCOL"))
+    has_scheme = scheme_raw.isNotNull()
     # the parser needs a scheme; loan schemeless input a dummy one and
     # drop it again at reconstruction
     uu = F.when(has_scheme, u).otherwise(F.concat(F.lit("http://"), u))
-    scheme = F.lower(F.coalesce(F.try_parse_url(uu, F.lit("PROTOCOL")), F.lit("")))
+    scheme = F.lower(F.coalesce(scheme_raw, F.lit("")))
+    host_probe = F.try_parse_url(uu, F.lit("HOST"))
     authority = F.coalesce(F.try_parse_url(uu, F.lit("AUTHORITY")), F.lit(""))
     path = F.coalesce(F.try_parse_url(uu, F.lit("PATH")), F.lit(""))
     qs = F.coalesce(F.try_parse_url(uu, F.lit("QUERY")), F.lit(""))
@@ -148,4 +153,12 @@ def normalize_url(url: Column) -> Column:
         hostport_norm,
         path_norm,
     )
-    return F.when(qs_norm != "", F.concat(out, F.lit("?"), qs_norm)).otherwise(out)
+    out = F.when(qs_norm != "", F.concat(out, F.lit("?"), qs_norm)).otherwise(out)
+    # RFC-invalid input (spaces, bad escapes, '|' — ubiquitous in crawl
+    # data) parses to all-NULL components; canonicalizing it to '://'
+    # would collapse EVERY malformed URL onto one dedup key (review fix:
+    # mass false dedup). Best effort = leave it untouched; an
+    # unparseable string is already its own canonical form.
+    return F.when(
+        host_probe.isNull() | (host_probe == ""), u
+    ).otherwise(out)

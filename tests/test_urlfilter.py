@@ -174,3 +174,36 @@ def test_normalize_url_idempotent(spark):
     ).collect()
     for u, r in zip(urls, rows):
         assert r["n1"] == r["n2"], (u, r["n1"], r["n2"])
+
+
+def test_normalize_url_dirty_crawl_input(spark):
+    """Review regressions pinned: RFC-invalid URLs (spaces, '|', bad
+    percent-escapes) stay UNTOUCHED — each remains its own canonical
+    form instead of collapsing onto one '://' dedup key — and a
+    schemeless URL embedding '://' in its query still normalizes sanely
+    and idempotently."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.sources.urlfilter import normalize_url
+
+    dirty = [
+        "https://example.com/a b/c",
+        "https://example.com/x|y",
+        "https://example.com/%zz",
+    ]
+    cases = [(u, u) for u in dirty]  # unparseable -> unchanged
+    cases.append(("a.com/?next=https://b.com", "a.com?next=https://b.com"))
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    for (inp, want), g in zip(cases, got):
+        assert g == want, (inp, g, want)
+    # and the whole set is idempotent
+    got2 = [
+        r["n"]
+        for r in df.select(
+            normalize_url(normalize_url(F.col("url"))).alias("n")
+        ).collect()
+    ]
+    assert got == got2
