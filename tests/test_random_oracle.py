@@ -40,6 +40,17 @@ QUERIES = [
     "host_reputation_filter",
     "corpus_vocab_topk",
     "txt_substring_dup",
+    "txt_token_stats",
+    "txt_quality_score",
+    "txt_langid",
+    "txt_gopher_quality",
+    "txt_repetition_filter",
+    "txt_pii_scan",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "corpus_source_quota",
+    "corpus_packing",
 ]
 
 _WORDS = ["the", "of", "and", "cafe", "x1", "b2", "zz", "qq", "data", "row"]
