@@ -7,6 +7,18 @@ Everything is JVM-side string expressions (no UDF), so the filter fuses
 into the page scan as a pure map — at 100 TB it costs one pass and
 enables partition-level skipping when the corpus is laid out by host.
 
+ONE parser (round-5 unification): ``url_components`` produces a single
+struct of (valid, has_scheme, scheme, host, port, path, query) that BOTH
+``url_quality_flags`` and ``normalize_url`` consume. The primary parse is
+Spark's RFC-3986 ``try_parse_url`` (one regex parse, userinfo handled by
+the engine); RFC-invalid crawl URLs (spaces, bad escapes — ubiquitous in
+crawl data) fall back to ONE shared hand parse that strips userinfo with
+``substring_index(authority, '@', -1)`` and takes the query from the
+FIRST '?' so every rule agrees on where the query starts (round-4 advice:
+the old dual-path version let 'https://user@ads.tracker.net/x' bypass the
+host blocklist and let '?a=1&b=2&c=3&d=4?z' evade the param-overload
+rule).
+
 The banks mirror the public filtering recipes:
 - host blocklist: the UT1/Blacklists-style adult/ads/malware domain cut
   (deployments broadcast the real multi-million-entry list; the bank
@@ -35,55 +47,127 @@ MAX_QUERY_PARAMS = 4
 MAX_URL_LEN = 2048
 
 
-def _authority_of(url: Column) -> Column:
-    """Authority (host[:port]): strip scheme, cut at the first '/', '?'
-    or '#' — a path-less 'https://host?q' or 'https://host#f' must still
-    yield the bare host (review fix: blocklist bypass)."""
-    no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    return F.substring_index(
+def _component_exprs(url: Column) -> dict:
+    """The ONE URL parser (shared by ``url_quality_flags`` and
+    ``normalize_url``): a dict of independent component expressions
+    ``valid, has_scheme, scheme, host, port, path, query``.
+
+    - ``valid``: ``try_parse_url`` produced a non-empty HOST (RFC-valid).
+    - ``has_scheme``: the ORIGINAL string carried a scheme (schemeless
+      input is loaned ``http://`` so the parser accepts it, and the loan
+      is dropped again at reconstruction).
+    - ``host``: lowercase, userinfo- and port-free. Valid URLs take the
+      engine's HOST; invalid ones take the hand parse with userinfo
+      stripped via ``substring_index(auth, '@', -1)``.
+    - ``port``: the explicit port string ('' if none).
+    - ``path``: case-preserved path (before the FIRST '?' / '#').
+    - ``query``: everything after the FIRST '?' up to '#' ('' if none) —
+      one boundary shared by every downstream rule.
+
+    Returned as a dict of plain expressions (not one struct column):
+    referencing a field of an inline struct copies the WHOLE struct tree
+    into every use site, which squares under composition and OOMs the
+    nested normalize(normalize(u)) fixpoint test. Consumers that touch
+    many fields many times (``url_quality_flags``) materialize the
+    ``url_components`` struct in a column first; ``normalize_url`` stays
+    a pure column function over these per-component expressions.
+    """
+    u = F.coalesce(url, F.lit(""))
+    scheme_raw = F.try_parse_url(u, F.lit("PROTOCOL"))
+    has_scheme = scheme_raw.isNotNull()
+    # the parser needs a scheme; loan schemeless input a dummy one
+    uu = F.when(has_scheme, u).otherwise(F.concat(F.lit("http://"), u))
+    host_probe = F.try_parse_url(uu, F.lit("HOST"))
+    valid = host_probe.isNotNull() & (host_probe != "")
+    authority = F.coalesce(F.try_parse_url(uu, F.lit("AUTHORITY")), F.lit(""))
+
+    # --- shared hand fallback for RFC-invalid crawl URLs -------------
+    # authority = after scheme, before first '/', '?' or '#' (a path-less
+    # 'https://host?q' must still yield the bare host)
+    no_scheme = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hand_auth = F.substring_index(
         F.substring_index(F.substring_index(no_scheme, "/", 1), "?", 1), "#", 1
     )
+    rest = F.substring(no_scheme, F.length(hand_auth) + 1, F.lit(1 << 30))
+    hand_path = F.substring_index(F.substring_index(rest, "?", 1), "#", 1)
+    # query starts at the FIRST '?' (ends at '#')
+    hand_query = F.when(
+        rest.contains("?"),
+        F.substring_index(
+            F.substring(rest, F.instr(rest, "?") + 1, F.lit(1 << 30)), "#", 1
+        ),
+    ).otherwise(F.lit(""))
+
+    # hostport with userinfo stripped — applies to BOTH branches; the
+    # engine's AUTHORITY still carries 'user:pass@', the engine's HOST
+    # does not, so only port extraction needs the strip on the valid path
+    hostport = F.substring_index(
+        F.when(valid, authority).otherwise(hand_auth), "@", -1
+    )
+    host = F.lower(
+        F.when(valid, host_probe).otherwise(F.substring_index(hostport, ":", 1))
+    )
+    port = F.when(
+        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    path = F.when(valid, F.coalesce(F.try_parse_url(uu, F.lit("PATH")), F.lit("")))\
+        .otherwise(hand_path)
+    query = F.when(valid, F.coalesce(F.try_parse_url(uu, F.lit("QUERY")), F.lit("")))\
+        .otherwise(hand_query)
+
+    return {
+        "valid": valid,
+        "has_scheme": has_scheme,
+        "scheme": F.lower(F.coalesce(scheme_raw, F.lit(""))),
+        "host": host,
+        "port": port,
+        "path": path,
+        "query": query,
+    }
 
 
-def _host_of(url: Column) -> Column:
-    """Host part: authority minus :port, lowercased."""
-    return F.lower(F.substring_index(_authority_of(url), ":", 1))
+def url_components(url: Column) -> Column:
+    """The shared parse packed as one struct column — materialize this
+    with ``withColumn`` before fanning out into many field references
+    (struct-field access on a COLUMN reference is free; on an inline
+    struct expression it duplicates the whole tree)."""
+    c = _component_exprs(url)
+    return F.struct(*[v.alias(k) for k, v in c.items()])
 
 
 def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append the per-rule boolean flags + the combined ``url_keep``.
 
     Columns added: blocked_host, blocked_path, too_many_params, bad_ext,
-    too_long, url_keep. Pure built-in expressions; the input frame is
-    returned with its original columns intact.
+    too_long, url_keep. Pure built-in expressions over the shared
+    ``url_components`` parse; the input frame is returned with its
+    original columns intact.
     """
     url = F.coalesce(F.col(url_col), F.lit(""))
-    low = F.lower(url)
-    host = _host_of(url)
+    df = df.withColumn("_uc", url_components(url))
+    c = F.col("_uc")
+    path_low = F.lower(c["path"])
+    query_low = F.lower(c["query"])
 
-    blocked_host = host.isin([h.lower() for h in BLOCKED_HOSTS])
+    blocked_host = c["host"].isin([h.lower() for h in BLOCKED_HOSTS])
     # keyword matches PATH SEGMENTS (bounded by / ? # . or end), never a
     # substring of the host or a longer slug ('cartoonnetwork', the
-    # '/checkout-guide' review case)
-    no_scheme = F.regexp_replace(low, r"^[a-z][a-z0-9+.-]*://", "")
-    pathq = F.substring(
-        no_scheme, F.length(_authority_of(url)) + 1, F.lit(1 << 30)
-    )
+    # '/checkout-guide' review case); the query participates so
+    # '?next=/login' style chrome still trips, with '?' as the boundary
+    pathq = F.when(
+        query_low != "", F.concat(path_low, F.lit("?"), query_low)
+    ).otherwise(path_low)
     kw_alt = "|".join(BLOCKED_PATH_KEYWORDS)
     blocked_path = pathq.rlike(rf"(^|/)({kw_alt})([/?#.]|$)")
-    # '&'-separated params IN THE QUERY STRING: n_amp >= MAX-1 means
-    # >= MAX params (path ampersands don't count)
-    query = F.when(low.contains("?"), F.substring_index(low, "?", -1)).otherwise(
-        F.lit("")
-    )
-    n_amp = F.length(query) - F.length(F.regexp_replace(query, r"&", ""))
-    too_many_params = low.contains("?") & (n_amp >= MAX_QUERY_PARAMS - 1)
-    # extension applies to the path BEFORE any query string or fragment
-    pre_query = F.substring_index(F.substring_index(low, "?", 1), "#", 1)
+    # '&'-separated params IN THE QUERY STRING (from the FIRST '?'):
+    # n_amp >= MAX-1 means >= MAX params (path ampersands don't count)
+    n_amp = F.length(query_low) - F.length(F.regexp_replace(query_low, r"&", ""))
+    too_many_params = (query_low != "") & (n_amp >= MAX_QUERY_PARAMS - 1)
+    # extension applies to the path (before any query string or fragment)
     bad_ext = None
     for ext in BLOCKED_EXTENSIONS:
-        c = pre_query.endswith(ext)
-        bad_ext = c if bad_ext is None else (bad_ext | c)
+        e = path_low.endswith(ext)
+        bad_ext = e if bad_ext is None else (bad_ext | e)
     too_long = F.length(url) > MAX_URL_LEN
 
     return (
@@ -96,6 +180,7 @@ def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
             "url_keep",
             ~(blocked_host | blocked_path | too_many_params | bad_ext | too_long),
         )
+        .drop("_uc")
     )
 
 
@@ -104,38 +189,25 @@ TRACKING_PARAMS = ["ref", "sid", "fbclid", "gclid"]  # plus any utm_* prefix
 
 def normalize_url(url: Column) -> Column:
     """Canonical URL form (the C4 dedup-by-URL normalization, public
-    practice): lowercase scheme+host, strip the #fragment, drop tracking
-    query params (utm_* prefix + TRACKING_PARAMS), drop an emptied '?',
-    strip default :80/:443 ports and any trailing '/'.
+    practice): lowercase scheme+host, strip the #fragment and any
+    userinfo, drop tracking query params (utm_* prefix +
+    TRACKING_PARAMS), drop an emptied '?', strip default :80/:443 ports
+    and any trailing '/'.
 
-    Built on ``try_parse_url`` (Spark's RFC-3986 regex parser) — one parse
-    per component instead of a nested substring chain; the hand-rolled
-    version inlined its upstream into every derived part and produced a
-    ~19 KB expression tree that ran 5x slower (round-4 profiling)."""
+    Built on the shared ``_component_exprs`` parser — one parser for the
+    whole module; 'https://u:p@a.com/x' now canonicalizes onto the same
+    key as 'https://a.com/x' instead of mis-parsing host='u'
+    (round-4 advice)."""
     u = F.coalesce(url, F.lit(""))
-    # scheme presence from the PARSED protocol, not substring '://' — a
-    # schemeless 'a.com/?next=https://b.com' embeds '://' in its query
-    # and must still get the dummy-scheme loan (review fix)
-    scheme_raw = F.try_parse_url(u, F.lit("PROTOCOL"))
-    has_scheme = scheme_raw.isNotNull()
-    # the parser needs a scheme; loan schemeless input a dummy one and
-    # drop it again at reconstruction
-    uu = F.when(has_scheme, u).otherwise(F.concat(F.lit("http://"), u))
-    scheme = F.lower(F.coalesce(scheme_raw, F.lit("")))
-    host_probe = F.try_parse_url(uu, F.lit("HOST"))
-    authority = F.coalesce(F.try_parse_url(uu, F.lit("AUTHORITY")), F.lit(""))
-    path = F.coalesce(F.try_parse_url(uu, F.lit("PATH")), F.lit(""))
-    qs = F.coalesce(F.try_parse_url(uu, F.lit("QUERY")), F.lit(""))
+    c = _component_exprs(u)
 
-    host = F.lower(F.substring_index(authority, ":", 1))
-    port = F.when(
-        authority.contains(":"), F.substring_index(authority, ":", -1)
-    ).otherwise(F.lit(""))
-    keep_port = (port != "") & (port != "80") & (port != "443")
-    hostport_norm = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    keep_port = (c["port"] != "") & (c["port"] != "80") & (c["port"] != "443")
+    hostport_norm = F.when(
+        keep_port, F.concat(c["host"], F.lit(":"), c["port"])
+    ).otherwise(c["host"])
 
     kept_params = F.filter(
-        F.split(qs, "&"),
+        F.split(c["query"], "&"),
         lambda p: (p != F.lit(""))
         & ~F.lower(p).startswith("utm_")
         & ~F.lower(F.substring_index(p, "=", 1)).isin(TRACKING_PARAMS),
@@ -144,21 +216,21 @@ def normalize_url(url: Column) -> Column:
     # a single trailing '/' is dropped — including the bare-root form, so
     # 'https://a.com/' and 'https://a.com' collapse to one canonical URL
     path_norm = F.when(
-        path.endswith("/"),
-        F.substring(path, F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
+        c["path"].endswith("/"),
+        F.substring(c["path"], F.lit(1), F.length(c["path"]) - 1),
+    ).otherwise(c["path"])
 
     out = F.concat(
-        F.when(has_scheme, F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        F.when(
+            c["has_scheme"], F.concat(c["scheme"], F.lit("://"))
+        ).otherwise(F.lit("")),
         hostport_norm,
         path_norm,
     )
     out = F.when(qs_norm != "", F.concat(out, F.lit("?"), qs_norm)).otherwise(out)
     # RFC-invalid input (spaces, bad escapes, '|' — ubiquitous in crawl
-    # data) parses to all-NULL components; canonicalizing it to '://'
-    # would collapse EVERY malformed URL onto one dedup key (review fix:
-    # mass false dedup). Best effort = leave it untouched; an
-    # unparseable string is already its own canonical form.
-    return F.when(
-        host_probe.isNull() | (host_probe == ""), u
-    ).otherwise(out)
+    # data) would canonicalize to '://', collapsing EVERY malformed URL
+    # onto one dedup key (review fix: mass false dedup). Best effort =
+    # leave it untouched; an unparseable string is already its own
+    # canonical form.
+    return F.when(~c["valid"], u).otherwise(out)
