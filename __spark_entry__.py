@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from facturas_spark.analytics import corpus_clean as CC
 from facturas_spark.analytics import dedup as D
+from facturas_spark.extraction import bpe as BPE
 from facturas_spark.extraction.products import _CATEGORIES as _P15_CATEGORIES
 from facturas_spark.extraction.products import _KB as _P11_KB
 from facturas_spark.analytics import escandallos as E
@@ -502,11 +503,11 @@ def oracle_sql() -> dict[str, str]:
             FROM toks JOIN scored USING (token)
             GROUP BY doc_id ORDER BY doc_id
         """,
-        "corpus_chunking": """
-            WITH d AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '') AS w
-              FROM documents
+        "corpus_chunking": f"""
+            WITH {BPE.bpe_ctes_sql("documents", "doc_id", "text")},
+            d AS (
+              SELECT doc_id, {BPE.tokens_from_spread_sql()} AS w
+              FROM {BPE.bpe_done_name()}
             ), base AS (
               SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0
             )
@@ -853,11 +854,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY occurrences DESC, token
             LIMIT 50
         """,
-        "corpus_packing": """
-            WITH d AS (
-              SELECT doc_id,
-                     len(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '')) AS tokens
-              FROM documents WHERE doc_id < 500
+        "corpus_packing": f"""
+            WITH {BPE.bpe_ctes_sql("(SELECT doc_id, text FROM documents WHERE doc_id < 500)", "doc_id", "text")},
+            d AS (
+              SELECT doc_id, {BPE.token_count_from_spread_sql()} AS tokens
+              FROM {BPE.bpe_done_name()}
             ), p AS (
               SELECT doc_id, tokens,
                      CAST(floor((SUM(tokens) OVER (ORDER BY doc_id
@@ -2022,13 +2023,18 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(codes, (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
             FROM c ORDER BY doc_id
         """,
-        "txt_bpe_token_stats": """
+        "txt_bpe_token_stats": f"""
+            WITH {BPE.bpe_ctes_sql("documents", "doc_id, lang", "text")},
+            tok AS (
+              SELECT lang, {BPE.token_count_from_spread_sql()} AS tokens
+              FROM {BPE.bpe_done_name()}
+            )
             SELECT lang,
-                   CAST(SUM(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))) AS BIGINT) AS total_tokens,
-                   ((200 * SUM(len(regexp_extract_all(lower(COALESCE(text,'')), '([a-z0-9]+|[^a-z0-9\\s])', 1))) + COUNT(*))
+                   CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                   ((200 * SUM(tokens) + COUNT(*))
                     // (2 * COUNT(*))) / 100.0 AS avg_tokens,
                    COUNT(*) AS docs
-            FROM documents GROUP BY lang ORDER BY lang
+            FROM tok GROUP BY lang ORDER BY lang
         """,
         "ann_lsh_buckets": f"""
             SELECT {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))} AS bucket,

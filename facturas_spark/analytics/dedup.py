@@ -765,17 +765,14 @@ def txt_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish tokenizer: word pieces + standalone punctuation
-    (`[a-z0-9]+|[^a-z0-9\\s]`) over lowered text — the LLM-pretraining
-    token-count estimator; per-lang totals."""
+    """REAL BPE token accounting (round-4 directive: replace the regex
+    "BPE-ish" estimator): counts come from `extraction/bpe.py`'s frozen
+    learned-merge tokenizer, applied as a JVM-side replace chain — the
+    per-lang totals a trainer's tokenizer would actually bill."""
+    from facturas_spark.extraction import bpe
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.size(
-        F.regexp_extract_all(
-            F.lower(F.coalesce("text", F.lit(""))),
-            F.lit(r"([a-z0-9]+|[^a-z0-9\s])"),
-            1,
-        )
-    )
+    toks = bpe.token_count_expr(F.col("text"))
     return (
         docs.groupBy("lang")
         .agg(
@@ -1164,9 +1161,14 @@ def corpus_packing(
     window per shard — same expression, shard column added to the
     partitionBy — so the cumsum never crosses executors. The global
     variant here is the oracle-checkable core."""
+    # budget denominated in REAL BPE tokens (extraction/bpe.py's frozen
+    # learned merges) since round 5 — the pack boundary now falls where
+    # a trainer's tokenizer would put it, not at a whitespace estimate
+    from facturas_spark.extraction import bpe
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     budget = 512
-    toks = F.size(_words(F.col("text")))
+    toks = bpe.token_count_expr(F.col("text"))
     base = docs.select("doc_id", toks.alias("tokens"))
     if shards is None:
         w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
@@ -1824,9 +1826,14 @@ def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure map + explode, no shuffle beyond the presentation sort — the
     chunk fingerprint feeds the same count/dedup machinery as
     txt_substring_dup at 100 TB."""
+    # chunk windows denominated in REAL BPE tokens (extraction/bpe.py)
+    # since round 5 — offsets/fingerprints index the token stream a
+    # trainer would see, not a whitespace approximation
+    from facturas_spark.extraction import bpe
+
     stride = CHUNK_TOKENS - CHUNK_OVERLAP
     docs = _t(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
+    words = bpe.tokens_expr(F.col("text"))
     base = docs.select("doc_id", words.alias("w")).filter(F.size("w") > 0)
     n = F.size("w")
     # windows stop at the FIRST one whose end reaches the doc end (the

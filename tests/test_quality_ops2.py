@@ -177,17 +177,23 @@ def test_chunking_covers_every_token_with_overlap(spark, tmp_path_factory):
     )
     rows = corpus_chunking(spark, str(out)).collect()
     stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    # since round 5 chunk windows count REAL BPE tokens, not words —
+    # the coverage denominator is the reference encoder's token count
+    from facturas_spark.extraction import bpe
+
+    n_tok = len(bpe.encode_py(docs[0][1]))
+    assert n_tok > n_words  # 'w17' splits into subword units
     d0 = sorted((r for r in rows if r["doc_id"] == 0), key=lambda r: r["chunk_id"])
     assert [r["start"] for r in d0] == [i * stride for i in range(len(d0))]
     assert all(r["n_tokens"] == CHUNK_TOKENS for r in d0[:-1])
     last = d0[-1]
-    assert last["start"] + last["n_tokens"] == n_words  # full coverage
-    # HF stride rule: stop at the first window reaching the end — for
-    # n=100, chunk=32, stride=24 that is starts 0/24/48/72 (4 windows)
-    assert len(d0) == -(-(n_words - CHUNK_TOKENS) // stride) + 1
-    # single-token doc: one ragged chunk
+    assert last["start"] + last["n_tokens"] == n_tok  # full coverage
+    # HF stride rule: stop at the first window reaching the end
+    assert len(d0) == -(-(n_tok - CHUNK_TOKENS) // stride) + 1
+    # short doc ('one' -> ['on', 'e']): one ragged chunk
     d1 = [r for r in rows if r["doc_id"] == 1]
-    assert len(d1) == 1 and d1[0]["n_tokens"] == 1 and d1[0]["start"] == 0
+    n_tok1 = len(bpe.encode_py(docs[1][1]))
+    assert len(d1) == 1 and d1[0]["n_tokens"] == n_tok1 and d1[0]["start"] == 0
     # identical windows fingerprint identically (dedup join key contract)
     assert len({r["chunk_fp"] for r in d0}) == len(d0)
 
