@@ -515,31 +515,13 @@ def ocr_layout_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = []
         for t, ps in zip(text, pages):
-            pages_py = [
-                {
-                    "page_no": p["page_no"],
-                    "width": p["width"],
-                    "height": p["height"],
-                    "tokens": [dict(tok.asDict()) if hasattr(tok, "asDict") else dict(tok) for tok in p["tokens"]],
-                    "lines": [dict(x.asDict()) if hasattr(x, "asDict") else dict(x) for x in p["lines"]],
-                    "blocks": [dict(x.asDict()) if hasattr(x, "asDict") else dict(x) for x in p["blocks"]],
-                    "paragraphs": [dict(x.asDict()) if hasattr(x, "asDict") else dict(x) for x in p["paragraphs"]],
-                    "tables": [
-                        {
-                            "header_cells": [dict(c.asDict()) if hasattr(c, "asDict") else dict(c) for c in tb["header_cells"]],
-                            "body_rows": [
-                                [dict(c.asDict()) if hasattr(c, "asDict") else dict(c) for c in row]
-                                for row in tb["body_rows"]
-                            ],
-                        }
-                        for tb in (p["tables"] or [])
-                    ],
-                }
-                for p in ps
-            ]
-            els = walk_layout(t, pages_py)
-            prods = extract_table_products(t, pages_py)
-            rows = reconstruct_rows_from_tokens(t, pages_py[0])
+            # Arrow hands the nested struct arrays over as ndarrays of
+            # plain dicts — the kernels are ndarray-tolerant since round
+            # 5 (ocr._seq), so no per-token dict copy is needed here
+            # (the copy layer was the +45% regression on this query)
+            els = walk_layout(t, ps)
+            prods = extract_table_products(t, ps)
+            rows = reconstruct_rows_from_tokens(t, ps[0])
             spans_ok = all(e["texto"] == e["texto"].strip() and e["texto"] for e in els)
             out.append((len(els), len(prods), len(rows), spans_ok))
         return pd.DataFrame(

@@ -60,6 +60,13 @@ _CONTAINERS = (
 _KIND_PRIORS = {field: conf for field, _key, conf in _CONTAINERS}
 
 
+def _seq(x):
+    """None-safe sequence view that tolerates numpy arrays (Arrow hands
+    pandas UDFs ndarrays of dicts, whose truthiness raises — the old
+    ``x or []`` idiom forced a whole-tree dict copy before every call)."""
+    return () if x is None else x
+
+
 def walk_layout(text: str, pages: list[dict]) -> list[dict]:
     """T3: emit one element per layout container with byte-identical span
     text, pixel coords, and the reference's per-kind confidence prior.
@@ -71,16 +78,30 @@ def walk_layout(text: str, pages: list[dict]) -> list[dict]:
     out-of-bounds segments) are skipped, matching the reference's trimmed
     getTextFromAnchor + null-coords gate."""
     elements: list[dict] = []
-    for p, page in enumerate(pages or []):
+    n = len(text) if text else 0
+    for p, page in enumerate(_seq(pages)):
+        default_page_no = page.get("page_no", p + 1)
         for field, key, conf in _CONTAINERS:
-            for i, el in enumerate(page.get(field) or []):
-                span_text = text_from_segments(text, [(el.get("start"), el.get("end"))])
+            for i, el in enumerate(_seq(page.get(field))):
+                # inlined single-segment text_from_segments (the walk
+                # touches every container of every page — the function
+                # call + list build per element was 30% of the kernel)
+                s0, e0 = el.get("start"), el.get("end")
+                if s0 is None or e0 is None:
+                    continue
+                try:
+                    s, e = int(s0), int(e0)
+                except (TypeError, ValueError):
+                    continue
+                if not 0 <= s < e <= n:
+                    continue
+                span_text = text[s:e].strip()
                 if not span_text:
                     continue
                 elements.append(
                     {
                         "id": f"pagina_{p + 1}_{key}_{i + 1}",
-                        "page_no": page.get("page_no", p + 1),
+                        "page_no": default_page_no,
                         "kind": key,
                         "texto": span_text,
                         "x": el.get("x"),
@@ -118,11 +139,11 @@ def extract_table_products(text: str, pages: list[dict]) -> list[dict]:
     has 'Pedido/Fecha/Artículo/Cantidad' in one cell), and the reference
     still binds desc and cantidad to it."""
     productos: list[dict] = []
-    for page in pages or []:
-        for table in page.get("tables") or []:
+    for page in _seq(pages):
+        for table in _seq(page.get("tables")):
             headers = [
                 text_from_segments(text, [(c.get("start"), c.get("end"))])
-                for c in (table.get("header_cells") or [])
+                for c in _seq(table.get("header_cells"))
             ]
             col_cantidad = _find_index(headers, _HDR_CANTIDAD)
             col_desc = _find_index(headers, _HDR_DESC)
@@ -130,7 +151,7 @@ def extract_table_products(text: str, pages: list[dict]) -> list[dict]:
             col_codigo = _find_index(headers, _HDR_CODIGO)
             if col_desc is None:
                 continue
-            for row in table.get("body_rows") or []:
+            for row in _seq(table.get("body_rows")):
                 cells = [
                     text_from_segments(text, [(c.get("start"), c.get("end"))])
                     for c in row
@@ -348,7 +369,7 @@ def reconstruct_rows_from_tokens(
     """P1 generalization: rebuild visual text rows from raw token boxes via
     y-clustering (spans.cluster_rows), joining tokens left-to-right with a
     single space. eps defaults to page_height/140 (~half a text line)."""
-    tokens = page.get("tokens") or []
+    tokens = _seq(page.get("tokens"))
     if eps is None:
         eps = float(page.get("height") or 842.0) / 140.0
     rows = cluster_rows(tokens, eps=eps)

@@ -110,7 +110,7 @@ def cluster_rows(
     bottom. ``eps`` defaults to 6px (≈ half a text line at 842px page
     height); callers scale it with page height.
     """
-    if not tokens:
+    if tokens is None or len(tokens) == 0:  # len(): ndarray-safe truthiness
         return []
 
     def y_center(t: dict[str, Any]) -> float:
