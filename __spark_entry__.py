@@ -52,12 +52,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a previous round and untouched since are parked after position 50
     (their green rows are banked in CORRECTNESS_r01/r02.json)."""
     return {
-        # -- NEW in round 4 (late additions): never driver-checked
+        # ---- ROTATION RULE (standing, round 5+): the window holds, in
+        # priority order, (1) queries whose code changed this round,
+        # (2) queries never driver-checked, (3) unchanged queries with
+        # the OLDEST banked green row, oldest first. After each round,
+        # re-rank; with 113 queries and a 50-slot window every banked
+        # row is refreshed at most ~2.3 rounds after it lands.
+        # -- changed in round 5 (urlfilter unification; real-BPE
+        #    budgets; T3 walk de-copy) -> fresh rows required
         "url_quality_filter": D.url_quality_filter,
         "dedup_url_normalize": D.dedup_url_normalize,
+        "txt_bpe_token_stats": D.txt_bpe_token_stats,
+        "corpus_packing": D.corpus_packing,
+        "corpus_chunking": D.corpus_chunking,
+        "ocr_layout_extraction": Q.ocr_layout_extraction,
+        # -- refactored in round 4 (shared _emb_candidates kernel,
+        #    component cache) but banked rows predate the refactor
+        "dedup_embedding_lsh": D.dedup_embedding_lsh,
+        "dedup_lsh_clusters": D.dedup_lsh_clusters,
+        "dedup_incremental": D.dedup_incremental,
+        "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
+        # -- oldest banked evidence (r02), unchanged since
+        "p14_multi_price": Q.p14_multi_price,
+        "p4_p7_line_parsers": Q.p4_p7_line_parsers,
+        "s2_mime_sniffing": Q.s2_mime_sniffing,
+        "f2_invoice_number": Q.f2_invoice_number,
+        "f1_cif_extraction": Q.f1_cif_extraction,
+        "f4_f6_amount_banks": Q.f4_f6_amount_banks,
+        "q08_price_history_log": Q.q08_price_history_log,
+        "q11_spend_per_product": Q.q11_spend_per_product,
+        "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
+        "m4_similarity_pairs": D.m4_similarity_pairs,
+        "master_products": M.master_products,
+        "m14_duplicate_orders": D.m14_duplicate_orders,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "ann_cosine_topk": Q.ann_cosine_topk,
+        "txt_langid": D.txt_langid,
+        "dedup_simhash": D.dedup_simhash,
+        "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
+        # -- r03 bank, oldest-first
+        "whatsapp_routing": E.whatsapp_routing,
+        "mailgun_routing": E.mailgun_routing,
+        "numier_upsert_ventas": E.numier_upsert_ventas,
+        "numier_dashboard_resumen": E.numier_dashboard_resumen,
+        "numier_upsert_catalogo": E.numier_upsert_catalogo,
+        "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
+        "cotejo_scores": E.cotejo_scores,
+        "cotejo_consolidation": E.cotejo_consolidation,
+        "cola_procesamiento": E.cola_procesamiento,
+        "cotejo_decisiones": E.cotejo_decisiones,
+        "v_productos_top": E.v_productos_top,
+        "v_ventas_diarias": E.v_ventas_diarias,
+        "supplier_dim": M.supplier_dim,
+        "price_history_append": M.price_history_append,
+        "q14_ultima_factura": N.q14_ultima_factura,
+        "q14_facturas_semana": N.q14_facturas_semana,
+        "q14_gasto_mes": N.q14_gasto_mes,
+        "q14_proveedores_activos": N.q14_proveedores_activos,
+        "q14_resumen_anual": N.q14_resumen_anual,
+        "q14_top_proveedores": N.q14_top_proveedores,
+        "q14_productos_categoria": N.q14_productos_categoria,
+        "q14_ultima_factura_sistema": N.q14_ultima_factura_sistema,
+        # ---------------- driver window boundary (50) ----------------
+        # parked: r03/r04 green rows newer than everything above;
+        # next-oldest (q14_facturas_recientes, q15_*, stream/events r03
+        # rows) head the round-6 rotation
         "host_reputation_filter": D.host_reputation_filter,
         "txt_charset_normalize": D.txt_charset_normalize,
-        "corpus_chunking": D.corpus_chunking,
         "corpus_mixture_sample": D.corpus_mixture_sample,
         "corpus_dsir_weights": D.corpus_dsir_weights,
         "corpus_split": D.corpus_split,
@@ -65,27 +127,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_unigram_lm_score": D.txt_unigram_lm_score,
         "dedup_semantic": D.dedup_semantic,
         "txt_tfidf_keywords": D.txt_tfidf_keywords,
-        # -- NEW in round 4: never driver-checked
         "corpus_clean_stats": CC.corpus_clean_stats,
         "embed_fingerprint_stats": D.embed_fingerprint_stats,
         "extract_embed_ann": D.extract_embed_ann,
         "iva_tipos_breakdown": E.iva_tipos_breakdown,
         "txt_substring_dup": D.txt_substring_dup,
-        # -- code TOUCHED in round 4 (shared-base cache; T3 paragraph walk;
-        #    component-cache refactor): need fresh driver rows
         "esc_resumen_global": E.esc_resumen_global,
         "esc_food_cost_platos": E.esc_food_cost_platos,
         "esc_ingredientes_stats": E.esc_ingredientes_stats,
-        "ocr_layout_extraction": Q.ocr_layout_extraction,
         "dedup_clusters": D.dedup_clusters,
         "dedup_canonical_corpus": D.dedup_canonical_corpus,
-        # -- longest-unchecked bank: green in r01/r02, parked outside every
-        #    window since round 2 — rotated back for fresh evidence. The
-        #    TWELVE late-round-4 additions above push this bank's tail
-        #    (p14, p4_p7, s2_mime, f2/f1/f4_f6, q08, q11, m3/m4 pairs,
-        #    txt_bpe_token_stats, master_products) back past the 50
-        #    boundary; never-checked queries outrank fresh re-evidence,
-        #    and the banked r01/r02 rows for those twelve stand
         "c1_classify_documents": Q.c1_classify_documents,
         "ann_ivf_topk": D.ann_ivf_topk,
         "ann_lsh_buckets": D.ann_lsh_buckets,
@@ -113,72 +164,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_price_closure": Q.p9_price_closure,
         "f12_confidence": Q.f12_confidence,
         "p13_price_per_unit": Q.p13_price_per_unit,
-        # ---------------- driver window boundary (50) ----------------
-        "p14_multi_price": Q.p14_multi_price,
-        "p4_p7_line_parsers": Q.p4_p7_line_parsers,
-        "s2_mime_sniffing": Q.s2_mime_sniffing,
-        "f2_invoice_number": Q.f2_invoice_number,
-        "f1_cif_extraction": Q.f1_cif_extraction,
-        "f4_f6_amount_banks": Q.f4_f6_amount_banks,
-        "q08_price_history_log": Q.q08_price_history_log,
-        "q11_spend_per_product": Q.q11_spend_per_product,
-        "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
-        "m4_similarity_pairs": D.m4_similarity_pairs,
-        "txt_bpe_token_stats": D.txt_bpe_token_stats,
-        "master_products": M.master_products,
-        "m14_duplicate_orders": D.m14_duplicate_orders,
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        # below: green in r03 (fresh evidence last round) or r01/r02 bank
-        # whose semantics round-4 queries re-exercise (langid/simhash/
-        # minhash variants inside corpus_clean_stats; ann variants under
-        # ann_ivf_multiprobe), all unchanged since their green round
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "ann_cosine_topk": Q.ann_cosine_topk,
-        "txt_langid": D.txt_langid,
-        "dedup_simhash": D.dedup_simhash,
-        "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
-        # -- green in round 3, unchanged
-        "whatsapp_routing": E.whatsapp_routing,
-        "mailgun_routing": E.mailgun_routing,
-        "numier_upsert_ventas": E.numier_upsert_ventas,
-        "numier_dashboard_resumen": E.numier_dashboard_resumen,
-        "numier_upsert_catalogo": E.numier_upsert_catalogo,
-        "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
-        "cotejo_scores": E.cotejo_scores,
-        "cotejo_consolidation": E.cotejo_consolidation,
-        "cola_procesamiento": E.cola_procesamiento,
-        "cotejo_decisiones": E.cotejo_decisiones,
-        "v_productos_top": E.v_productos_top,
-        "v_ventas_diarias": E.v_ventas_diarias,
-        "supplier_dim": M.supplier_dim,
-        "price_history_append": M.price_history_append,
-        "q14_ultima_factura": N.q14_ultima_factura,
-        "q14_facturas_semana": N.q14_facturas_semana,
-        "q14_gasto_mes": N.q14_gasto_mes,
-        "q14_proveedores_activos": N.q14_proveedores_activos,
-        "q14_resumen_anual": N.q14_resumen_anual,
-        "q14_top_proveedores": N.q14_top_proveedores,
-        "q14_productos_categoria": N.q14_productos_categoria,
-        "q14_ultima_factura_sistema": N.q14_ultima_factura_sistema,
         "q14_facturas_recientes": N.q14_facturas_recientes,
         "q14_productos_mas_comprados": N.q14_productos_mas_comprados,
         "q15_hybrid_textual": N.q15_hybrid_textual,
         "q15_semantic_ranked": N.q15_semantic_ranked,
         "q15_datos_basicos": N.q15_datos_basicos,
-        "dedup_embedding_lsh": D.dedup_embedding_lsh,
-        "dedup_lsh_clusters": D.dedup_lsh_clusters,
-        "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
         "stream_window_equivalence": Q.stream_window_equivalence,
         "events_sessionization": Q.events_sessionization,
-        "dedup_incremental": D.dedup_incremental,
         "txt_gopher_quality": D.txt_gopher_quality,
         "txt_repetition_filter": D.txt_repetition_filter,
-        "corpus_packing": D.corpus_packing,
         "corpus_source_quota": D.corpus_source_quota,
         "txt_pii_scan": D.txt_pii_scan,
         "corpus_vocab_topk": D.corpus_vocab_topk,
         "events_json_props": Q.events_json_props,
-        # -- rows-only pipelines (non-SQL-expressible), rows r3
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
         "cotejo_inverso_pipeline": Q.cotejo_inverso_pipeline,
