@@ -130,18 +130,25 @@ def run_suite() -> dict:
     # 20k docs is a ~1-2 s wall where fixed overhead and host weather
     # dominate single shots (observed 11k-23k docs/sec for identical
     # code); best-of-3 reports the capability, not the weather
-    ext_sec = ext_docs = None
+    ext_sec = ext_docs = ext_cold = None
     for _ in range(3):
         sec, docs = _bench_extraction(spark, N_BENCH_DOCS)
+        if ext_cold is None:
+            ext_cold = sec
         if ext_sec is None or sec < ext_sec:
             ext_sec, ext_docs = sec, docs
     timings["extraction_pipeline"] = round(ext_sec, 3)
     wall = round(time.perf_counter() - t_suite0, 3)
     total = round(sum(timings.values()), 3)
+    # cold = FIRST pass of everything (round-4 judge ask: session-cache-
+    # backed queries flatter the best-of headline; report both columns
+    # so regressions compare like with like)
+    total_cold = round(sum(per_round[0].values()) + ext_cold, 3)
 
     return {
         "metric": "suite_seconds",
         "value": total,
+        "value_cold": total_cold,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_label(SF_DIR),

@@ -78,6 +78,38 @@ __all__ = [
 # language-marker token lists — same banks as txt_langid (dedup.py)
 MARKERS_EN = ["the", "of", "and", "to", "in", "a", "is"]
 MARKERS_ES = ["el", "la", "de", "que", "los", "las", "una", "y"]
+
+# Intermediate persisted frames of the current flag-chain build (the
+# diamond joints quality_frame/per_doc_flags cache to keep the corpus
+# scan count at 1). They are only needed until the caller's consuming
+# action (parquet write / localCheckpoint) completes; in a long-lived
+# session repeated job invocations would otherwise accumulate dead
+# cached blocks (round-4 advice). Callers release them with
+# ``release_stage_caches()`` right after materializing.
+_STAGE_CACHES: list = []
+
+
+def _stage_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _STAGE_CACHES.append(df)
+    return df
+
+
+def release_stage_caches() -> int:
+    """Unpersist every intermediate frame cached by the flag chain since
+    the last release. Call AFTER the consuming action; returns the
+    number of frames released."""
+    n = 0
+    for df in _STAGE_CACHES:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _STAGE_CACHES.clear()
+    return n
+
+
 # gopher stopword rule, bilingual union (en list = txt_gopher_quality's)
 STOPWORDS_BI = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"] + MARKERS_ES
 
@@ -173,7 +205,7 @@ def quality_frame(docs: DataFrame) -> DataFrame:
     # one job. Persisting the three reused joints makes it one scan; at
     # cluster scale these are MEMORY_AND_DISK frames a real job would
     # stage anyway (the spark-submit job materializes flags to parquet).
-    f0 = f0.persist()
+    f0 = _stage_persist(f0)
 
     # stage 3: repetition stats only for stage-2 survivors (explode cost
     # is bounded by the surviving set)
@@ -214,7 +246,7 @@ def quality_frame(docs: DataFrame) -> DataFrame:
             F.col("s2") & (F.col("top2") <= 0.20) & (F.col("dup3") <= 0.30),
         )
         .withColumn("s3", F.coalesce("s3", F.lit(False)))
-        .persist()
+        .transform(_stage_persist)
     )
 
 
@@ -241,7 +273,7 @@ def semantic_dedup_ids(
     emb = (
         docs.select("doc_id", embed_udf(F.col(text_col)).alias("embedding"))
         .filter(F.col("embedding").isNotNull())
-        .persist()
+        .transform(_stage_persist)
     )
     verified = (
         _emb_candidates_with_cosine(emb, "doc_id")
@@ -280,14 +312,14 @@ def per_doc_flags(
         .withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
         .select("doc_id", (F.col("doc_id") == F.col("min_id")).alias("exact_keep"))
     )
-    f2 = f1.join(ex, "doc_id", "left").withColumn(
+    f2 = _stage_persist(f1.join(ex, "doc_id", "left").withColumn(
         "s5", F.col("s3") & F.coalesce("exact_keep", F.lit(False))
-    ).persist()
+    ))
 
     # stage 6: near-dup LSH chain over the scrubbed text of s5 survivors
-    sh = _shingle_table(
+    sh = _stage_persist(_shingle_table(
         f2.filter(F.col("s5")).select("doc_id", F.col("scrubbed").alias("text"))
-    ).persist()
+    ))
     bands = _band_table(sh)
     cand = (
         bands.select("band", "key", F.col("doc_id").alias("id1"))
@@ -303,11 +335,11 @@ def per_doc_flags(
         .select("id1", "id2")
     )
     labels = _min_label_components(verified)
-    f3 = f2.join(labels, "doc_id", "left").withColumn(
+    f3 = _stage_persist(f2.join(labels, "doc_id", "left").withColumn(
         "s6",
         F.col("s5")
         & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))),
-    ).persist()
+    ))
 
     # optional stage 6b: SemDeDup over the s6 survivors' scrubbed text
     if semantic_tau is not None:
@@ -319,7 +351,7 @@ def per_doc_flags(
             f3.join(sem, "doc_id", "left")
             .withColumn("sem_drop", F.coalesce("sem_drop", F.lit(False)))
             .withColumn("s6", F.col("s6") & ~F.col("sem_drop"))
-            .persist()
+            .transform(_stage_persist)
         )
     else:
         f3 = f3.withColumn("sem_drop", F.lit(False))
@@ -334,9 +366,9 @@ def per_doc_flags(
         .withColumn("rn", F.row_number().over(qw))
         .select("doc_id", (F.col("rn") <= quota_k).alias("quota_keep"))
     )
-    f4 = f3.join(quota, "doc_id", "left").withColumn(
+    f4 = _stage_persist(f3.join(quota, "doc_id", "left").withColumn(
         "s7", F.col("s6") & F.coalesce("quota_keep", F.lit(False))
-    ).persist()
+    ))
 
     # stage 8: token-budget packing of the final survivors. Global
     # running sum by default (the oracle-checkable core); pack_shards
@@ -552,4 +584,7 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_clean_flags",
         lambda: per_doc_flags(with_synth_pii(_t(spark, sf_dir, "documents"))),
     )
+    # session_cached materializes via eager localCheckpoint — the chain's
+    # intermediate persists are dead weight the moment it returns
+    release_stage_caches()
     return clean_funnel(flags).orderBy("stage")

@@ -335,6 +335,14 @@ def _min_label_components(
     min-label propagation to a fixpoint. Returns (doc_id, cluster_id) for
     every node in >=1 pair; cluster_id = the component's min doc_id.
 
+    Deep-component safety valve: set env SPARK_GRAFT_COMPONENT_ALGO=star
+    (or call ``_star_components`` directly) to switch every consumer to
+    the O(log^2 n)-round large-star/small-star algorithm — min-label
+    needs O(diameter) rounds, fine for shallow near-dup clusters but not
+    for the 100-TB case where chains of borderline near-dups get long.
+    Both produce identical (doc_id, cluster_id) labels (property-pinned
+    in tests/test_dedup_chain.py).
+
     Scale shape: each iteration is one shuffle on the node id (join +
     min-agg); convergence in O(diameter) rounds — near-dup components are
     shallow (dups of dups), so 3-5 rounds in practice. Each round is
@@ -355,6 +363,10 @@ def _min_label_components(
       must be survivable (needs a checkpoint dir; plan shape identical).
     Both paths run the same loop body and produce identical labels
     (pinned by tests/test_dedup_chain.py)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_COMPONENT_ALGO") == "star":
+        return _star_components(pairs, partitions)
 
     def _layout(df: DataFrame, key: str) -> DataFrame:
         if partitions is None:
@@ -398,6 +410,104 @@ def _min_label_components(
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _star_components(
+    pairs: DataFrame, partitions: int | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", public paper) — the deep-component safety valve for
+    ``_min_label_components``: converges in O(log^2 n) ROUNDS regardless
+    of component diameter, where min-label needs O(diameter). Same
+    contract: (doc_id, cluster_id) for every node in >= 1 pair,
+    cluster_id = component min.
+
+    One round =
+      large-star: per node u, m = min(N(u) ∪ {u}); re-point every
+        LARGER neighbor v > u at m (keeps the graph connected, strictly
+        shrinks large-id edges toward minima);
+      small-star: direct each edge (hi, lo); per hi,
+        m = min(N_lo(hi) ∪ {hi}); re-point hi and all its lo-neighbors
+        at m.
+    At the fixpoint every edge is (v, component_min) — a star — so the
+    label read-off is one projection. Each half-round is one groupBy
+    shuffle on the node id + a co-keyed join, localCheckpoint-truncated
+    like the min-label loop; ``partitions`` selects the same broadcast
+    (sandbox) vs N-way co-partitioned (cluster) layouts."""
+
+    def _layout(df: DataFrame, key: str) -> DataFrame:
+        if partitions is None:
+            return df.coalesce(1).localCheckpoint(eager=True)
+        return df.repartition(partitions, key).localCheckpoint(eager=True)
+
+    def _maybe_broadcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if partitions is None else df
+
+    nodes = _layout(
+        pairs.select(F.col("id1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id2").alias("doc_id")))
+        .distinct(),
+        "doc_id",
+    )
+    # canonical undirected edge set as (hi, lo), hi > lo
+    edges = _layout(
+        pairs.select(
+            F.greatest("id1", "id2").alias("hi"), F.least("id1", "id2").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct(),
+        "hi",
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > 200:  # paper bound is O(log^2 n); 200 means a bug
+            raise RuntimeError("star components failed to converge")
+        # ---- large-star ------------------------------------------------
+        und = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        ls = (
+            und.join(_maybe_broadcast(m), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # ---- small-star ------------------------------------------------
+        sm = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(_maybe_broadcast(sm), "hi")
+            .select(F.col("lo").alias("a"), F.col("m"))
+            .unionByName(
+                sm.select(F.col("hi").alias("a"), F.col("m"))
+            )
+            .filter(F.col("a") != F.col("m"))
+            .select(F.greatest("a", "m").alias("hi"), F.least("a", "m").alias("lo"))
+            .distinct()
+        )
+        new_edges = _layout(ss, "hi")
+        # converged when the canonical edge set is a fixpoint
+        n_new = new_edges.count()
+        same = (
+            n_new == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if same:
+            break
+    star = edges.groupBy("hi").agg(F.min("lo").alias("cluster_id"))
+    return nodes.join(
+        _maybe_broadcast(star), nodes.doc_id == star.hi, "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
 
 
 # session-level cluster-label cache: the iterative component job is the

@@ -147,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
             semantic_tau=args.semantic_dedup,
         )
         flags.write.mode("overwrite").parquet(flags_path)
+        # the flags parquet is now the source of truth — free the
+        # chain's intermediate caches (and the decontamination set)
+        # so repeated invocations in one session don't accumulate
+        # dead blocks (round-4 advice)
+        from facturas_spark.analytics.corpus_clean import release_stage_caches
+
+        release_stage_caches()
+        if args.benchmark:
+            bad.unpersist()
         flags_back = spark.read.parquet(flags_path)
         rows = flags_back.count()
         if args.semantic_dedup is not None:

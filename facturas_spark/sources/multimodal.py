@@ -315,11 +315,19 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                             # and the grid would otherwise re-decode the
                             # whole stream per sampled timestamp
                             luma0 = decode_h264_ipcm(bytes(p))[0]
+                            # cache only the derived stats, not the
+                            # decoded plane: meta_cache lives for the
+                            # whole partition, and with many distinct
+                            # h264 media ids a cached plane per id grows
+                            # memory unboundedly (round-4 advice) —
+                            # every other cache entry is a small header
+                            # dict, these two floats keep it that way
                             m = {
                                 "n_frames": min(hm["n_idr"], 1),
                                 "fps": 1.0,
                                 "_kind": "h264",
-                                "_luma0": luma0,
+                                "_mean0": float(luma0.mean()) / 255.0,
+                                "_std0": float(luma0.std()) / 255.0,
                             }
                         else:
                             m = dict(decode_y4m_header(bytes(p)), _kind="y4m")
@@ -335,10 +343,14 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                     stds.append(None)
                     continue
                 k = min(int(t * m["fps"]), m["n_frames"] - 1)
+                if m["_kind"] == "h264":
+                    # stats precomputed at header time (single frame)
+                    idxs.append(k)
+                    means.append(m["_mean0"])
+                    stds.append(m["_std0"])
+                    continue
                 if m["_kind"] == "avi":
                     luma = decode_avi_frame(p, m, k)
-                elif m["_kind"] == "h264":
-                    luma = m["_luma0"]  # decoded once at header time
                 else:
                     luma = decode_y4m_frame(p, m, k)
                 idxs.append(k)

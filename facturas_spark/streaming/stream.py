@@ -365,18 +365,26 @@ def stream_clean_increment(
         )
         kept = exact_kept.join(near_hit, "doc_id", "left_anti").persist()
 
-        # exactly-once appends: each epoch owns its directories wholesale
-        ep = f"epoch={epoch_id}"
-        kept.select("doc_id", "source", "text").write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, "docs", ep)
-        )
-        kept.select("doc_id", "fp").write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, "fps", ep)
-        )
-        _band_table(_shingle_table(kept.select("doc_id", "text"))).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(corpus_dir, "bands", ep))
-        ledger.write_json(f"epoch={epoch_id}.json", {"epoch": int(epoch_id)})
+        try:
+            # exactly-once appends: each epoch owns its directories wholesale
+            ep = f"epoch={epoch_id}"
+            kept.select("doc_id", "source", "text").write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, "docs", ep)
+            )
+            kept.select("doc_id", "fp").write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, "fps", ep)
+            )
+            _band_table(_shingle_table(kept.select("doc_id", "text"))).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(corpus_dir, "bands", ep))
+            ledger.write_json(f"epoch={epoch_id}.json", {"epoch": int(epoch_id)})
+        finally:
+            # the caches only serve THIS micro-batch; without the release
+            # every epoch leaks three cached frames for the life of the
+            # stream (round-4 advice)
+            kept.unpersist()
+            sh_b.unpersist()
+            exact_kept.unpersist()
 
     q = (
         spark.readStream.schema(DOCS_DDL)
@@ -387,4 +395,8 @@ def stream_clean_increment(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if bench_hashes is not None:
+            bench_hashes.unpersist()

@@ -154,3 +154,48 @@ def test_xxhash64_family_same_clusters(spark):
     )
     assert md5_rows == xx_rows
     assert len(md5_rows) > 0
+
+
+def test_star_components_equal_min_label(spark):
+    """Large-star/small-star (the deep-component safety valve) produces
+    exactly min-label's (doc_id, cluster_id) labels — fixed shapes
+    including a DEEP chain (min-label's worst case), plus randomized
+    graphs, plus the env-flag dispatch and the partitioned layout."""
+    import os
+    import random
+
+    from facturas_spark.analytics.dedup import (
+        _min_label_components,
+        _star_components,
+    )
+
+    def labels(df):
+        return {(r["doc_id"], r["cluster_id"]) for r in df.collect()}
+
+    fixed = [
+        [(1, 2), (2, 3), (3, 4)],
+        [(10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(1, 30)],          # depth-29 chain
+        [(2, 1)],                                    # reversed order pair
+        [(5, 5), (6, 7)],                            # self-loop ignored
+    ]
+    rng = random.Random(7)
+    for _ in range(3):
+        n = rng.randrange(5, 30)
+        fixed.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(n)]
+        )
+    for edges in fixed:
+        pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+        want = labels(_min_label_components(pairs))
+        assert labels(_star_components(pairs)) == want, edges
+        assert labels(_star_components(pairs, partitions=4)) == want, edges
+
+    # env-flag dispatch: _min_label_components itself routes to star
+    pairs = spark.createDataFrame(fixed[2], "id1 long, id2 long")
+    want = labels(_min_label_components(pairs))
+    os.environ["SPARK_GRAFT_COMPONENT_ALGO"] = "star"
+    try:
+        assert labels(_min_label_components(pairs)) == want
+    finally:
+        del os.environ["SPARK_GRAFT_COMPONENT_ALGO"]
