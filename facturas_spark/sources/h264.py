@@ -8,15 +8,16 @@ What is REAL here — and what is not — for the multimodal column story:
   This is the part a 100 TB video corpus actually needs at scan time:
   ``h264_meta`` extracts width/height/profile/level from the first bytes
   of ANY conformant Annex B stream — ffmpeg-free metadata extraction.
-- SUBSET: pixel decode covers I_PCM macroblocks only (mb_type 25 in
-  I slices — uncompressed samples carried inside the bitstream). The
-  matching encoder emits conformant baseline IDR frames built entirely
-  of I_PCM macroblocks, so encode->decode roundtrips bit-exactly and
-  every parsing layer (NAL, slice header, alignment, emulation
-  prevention over raw PCM bytes) is exercised on real structure.
-  Transform-coded macroblocks (CAVLC residuals, intra prediction) are
-  NOT implemented — documented gap, same honesty policy as the JPEG
-  module's progressive/baseline scope notes.
+- SUBSET here: pixel decode in THIS module covers I_PCM macroblocks
+  only (mb_type 25 — uncompressed samples carried inside the
+  bitstream); the matching encoder emits conformant baseline IDR
+  frames of I_PCM macroblocks so encode->decode roundtrips bit-exactly.
+- TRANSFORM DECODE (round 5): ``sources/h264_intra.py`` extends this to
+  real CAVLC transform-coded I frames — I_16x16 and I_4x4 macroblocks,
+  all intra prediction modes, dequant + inverse integer transform —
+  with a matching encoder that closes the loop bit-exactly. Remaining
+  boundary: CABAC entropy coding and P/B slices raise
+  NotImplementedError (the multimodal failure boundary nulls them).
 
 No external deps: bytes + struct only.
 """
@@ -194,8 +195,9 @@ def parse_sps(rbsp: bytes) -> dict:
             raise NotImplementedError("scaling matrices not supported")
     log2_max_frame_num_minus4 = r.ue()
     pic_order_cnt_type = r.ue()
+    log2_max_poc_lsb = 0
     if pic_order_cnt_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = r.ue() + 4
     elif pic_order_cnt_type == 1:
         r.u(1)
         r.se()
@@ -228,6 +230,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "chroma_format_idc": chroma_format_idc,
         "log2_max_frame_num": log2_max_frame_num_minus4 + 4,
         "pic_order_cnt_type": pic_order_cnt_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
         "width": width,
         "height": height,
         "pic_width_in_mbs": pic_width_in_mbs,
@@ -237,11 +240,30 @@ def parse_sps(rbsp: bytes) -> dict:
 
 def parse_pps(rbsp: bytes) -> dict:
     r = _BitReader(rbsp)
-    return {
+    out = {
         "pps_id": r.ue(),
         "sps_id": r.ue(),
         "entropy_coding_mode": r.u(1),  # 0 = CAVLC, 1 = CABAC
     }
+    # the rest is needed by the transform decoder (h264_intra); parse
+    # best-effort so a truncated PPS still yields the id fields
+    try:
+        r.u(1)  # bottom_field_pic_order_in_frame_present_flag
+        if r.ue() != 0:  # num_slice_groups_minus1
+            raise ValueError("slice groups unsupported")
+        r.ue()  # num_ref_idx_l0_default_active_minus1
+        r.ue()  # num_ref_idx_l1_default_active_minus1
+        r.u(1)  # weighted_pred_flag
+        r.u(2)  # weighted_bipred_idc
+        out["pic_init_qp"] = 26 + r.se()
+        r.se()  # pic_init_qs_minus26
+        out["chroma_qp_index_offset"] = r.se()
+        r.u(1)  # deblocking_filter_control_present_flag
+        r.u(1)  # constrained_intra_pred_flag
+        r.u(1)  # redundant_pic_cnt_present_flag
+    except (ValueError, IndexError):
+        pass
+    return out
 
 
 def h264_meta(payload: bytes) -> dict:

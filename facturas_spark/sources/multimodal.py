@@ -142,13 +142,26 @@ def synth_media_rows(n: int, seed: int = 42) -> list[tuple]:
                 payload = encode_avi_mjpeg(frames, _VIDEO_FPS, quality=92)
                 meta = (w, h, dur, None, "video/avi")
             elif variant == 2:
-                from facturas_spark.sources.h264 import encode_h264_ipcm
-
                 hw, hh = 32, 16
                 yp = frames[0][:hh, :hw]
                 cbp = np.full((hh // 2, hw // 2), 120, np.uint8)
                 crp = np.full((hh // 2, hw // 2), 136, np.uint8)
-                payload = encode_h264_ipcm(yp, cbp, crp)
+                if (i // 9) % 2 == 0:
+                    # TRANSFORM-CODED IDR (CAVLC + intra pred, round 5):
+                    # alternating I_16x16 / I_4x4 / I_PCM macroblocks
+                    from facturas_spark.sources.h264_intra import (
+                        encode_h264_iframe,
+                    )
+
+                    kinds = ["i16", "i4", "pcm"] * ((hw // 16) * (hh // 16))
+                    payload = encode_h264_iframe(
+                        yp, cbp, crp, qp=24 + (k % 10),
+                        mb_kinds=kinds[: (hw // 16) * (hh // 16)],
+                    )[0]
+                else:
+                    from facturas_spark.sources.h264 import encode_h264_ipcm
+
+                    payload = encode_h264_ipcm(yp, cbp, crp)
                 meta = (hw, hh, 2.0, None, "video/h264")
             else:
                 payload = encode_y4m(frames, _VIDEO_FPS)
@@ -300,21 +313,23 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                         if mime == "video/avi":
                             m = dict(decode_avi_header(bytes(p)), _kind="avi")
                         elif mime == "video/h264":
-                            from facturas_spark.sources.h264 import (
-                                decode_h264_ipcm,
-                                h264_meta,
+                            from facturas_spark.sources.h264 import h264_meta
+                            from facturas_spark.sources.h264_intra import (
+                                decode_h264_iframe,
                             )
 
                             hm = h264_meta(bytes(p))
-                            # single-IDR I_PCM streams: one random-access
+                            # single-IDR streams: one random-access
                             # frame; fps has no in-stream carrier (no
                             # VUI). Decode ONCE here, inside the failure
-                            # boundary: a transform-coded (real-world)
-                            # stream raises NotImplementedError and must
-                            # become null frame rows, not a dead task —
-                            # and the grid would otherwise re-decode the
-                            # whole stream per sampled timestamp
-                            luma0 = decode_h264_ipcm(bytes(p))[0]
+                            # boundary: decode_h264_iframe covers CAVLC
+                            # transform-coded I_16x16/I_4x4/I_PCM since
+                            # round 5; CABAC or non-I streams still
+                            # raise NotImplementedError and must become
+                            # null frame rows, not a dead task — and the
+                            # grid would otherwise re-decode the whole
+                            # stream per sampled timestamp
+                            luma0 = decode_h264_iframe(bytes(p))[0]
                             # cache only the derived stats, not the
                             # decoded plane: meta_cache lives for the
                             # whole partition, and with many distinct

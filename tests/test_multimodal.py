@@ -169,9 +169,11 @@ def test_frame_sample_grid_and_luma(spark):
                 assert abs(f.luma_mean - luma.mean() / 255.0) < 1e-9
                 assert abs(f.luma_std - luma.std() / 255.0) < 1e-9
         elif raw[mid][3][4] == "video/h264":
-            from facturas_spark.sources.h264 import decode_h264_ipcm
+            # the fixture rotation now emits BOTH transform-coded CAVLC
+            # IDRs and I_PCM streams; decode_h264_iframe covers both
+            from facturas_spark.sources.h264_intra import decode_h264_iframe
 
-            luma = decode_h264_ipcm(payload)[0]
+            luma = decode_h264_iframe(payload)[0]
             assert len(frames) == 1 and frames[0].frame_idx == 0
             assert abs(frames[0].luma_mean - luma.mean() / 255.0) < 1e-9
             assert abs(frames[0].luma_std - luma.std() / 255.0) < 1e-9
