@@ -502,10 +502,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "corpus_chunking": f"""
-            WITH {BPE.bpe_ctes_sql("documents", "doc_id", "text")},
-            d AS (
-              SELECT doc_id, {BPE.tokens_from_spread_sql()} AS w
+            WITH pret AS (
+              SELECT doc_id, {BPE.pretokens_sql("text")} AS arr FROM documents
+            ), pre AS (
+              SELECT doc_id, CAST(t.i AS INT) AS pos, arr[t.i] AS w
+              FROM pret, UNNEST(range(1, len(arr) + 1)) AS t(i)
+            ), vocab0 AS (
+              SELECT DISTINCT w FROM pre
+            ),
+            {BPE.bpe_ctes_sql("vocab0", "w", "w")},
+            vtok AS (
+              SELECT w, {BPE.tokens_from_spread_sql()} AS toks
               FROM {BPE.bpe_done_name()}
+            ), d AS (
+              SELECT pre.doc_id, flatten(list(v.toks ORDER BY pre.pos)) AS w
+              FROM pre JOIN vtok v USING (w) GROUP BY pre.doc_id
             ), base AS (
               SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0
             )
@@ -853,10 +864,24 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "corpus_packing": f"""
-            WITH {BPE.bpe_ctes_sql("(SELECT doc_id, text FROM documents WHERE doc_id < 500)", "doc_id", "text")},
-            d AS (
-              SELECT doc_id, {BPE.token_count_from_spread_sql()} AS tokens
+            WITH pret AS (
+              SELECT doc_id, {BPE.pretokens_sql("text")} AS arr
+              FROM documents WHERE doc_id < 500
+            ), pre AS (
+              SELECT doc_id, unnest(arr) AS w FROM pret
+            ), vocab0 AS (
+              SELECT DISTINCT w FROM pre
+            ),
+            {BPE.bpe_ctes_sql("vocab0", "w", "w")},
+            vtok AS (
+              SELECT w, {BPE.token_count_from_spread_sql()} AS wn
               FROM {BPE.bpe_done_name()}
+            ), perdoc AS (
+              SELECT pre.doc_id, SUM(v.wn) AS tokens
+              FROM pre JOIN vtok v USING (w) GROUP BY pre.doc_id
+            ), d AS (
+              SELECT p0.doc_id, COALESCE(pd.tokens, 0) AS tokens
+              FROM pret p0 LEFT JOIN perdoc pd USING (doc_id)
             ), p AS (
               SELECT doc_id, tokens,
                      CAST(floor((SUM(tokens) OVER (ORDER BY doc_id
@@ -2022,10 +2047,24 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY doc_id
         """,
         "txt_bpe_token_stats": f"""
-            WITH {BPE.bpe_ctes_sql("documents", "doc_id, lang", "text")},
-            tok AS (
-              SELECT lang, {BPE.token_count_from_spread_sql()} AS tokens
+            WITH pret AS (
+              SELECT doc_id, lang, {BPE.pretokens_sql("text")} AS arr
+              FROM documents
+            ), pre AS (
+              SELECT doc_id, unnest(arr) AS w FROM pret
+            ), vocab0 AS (
+              SELECT DISTINCT w FROM pre
+            ),
+            {BPE.bpe_ctes_sql("vocab0", "w", "w")},
+            vtok AS (
+              SELECT w, {BPE.token_count_from_spread_sql()} AS wn
               FROM {BPE.bpe_done_name()}
+            ), perdoc AS (
+              SELECT pre.doc_id, SUM(v.wn) AS tokens
+              FROM pre JOIN vtok v USING (w) GROUP BY pre.doc_id
+            ), tok AS (
+              SELECT p0.doc_id, p0.lang, COALESCE(pd.tokens, 0) AS tokens
+              FROM pret p0 LEFT JOIN perdoc pd USING (doc_id)
             )
             SELECT lang,
                    CAST(SUM(tokens) AS BIGINT) AS total_tokens,

@@ -874,19 +874,46 @@ def txt_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
 
+def _bpe_doc_token_counts(docs: DataFrame) -> DataFrame:
+    """Per-doc REAL-BPE token counts via the vocabulary join (the
+    corpus-scale shape): explode docs into pre-tokens, run the merge
+    chain over DISTINCT words only (Heaps' law keeps the vocabulary
+    sublinear in the corpus), join the per-word counts back and sum.
+    Two shuffles (distinct + doc re-agg) buy an encode cost that
+    amortizes over word frequency instead of paying O(doc_len x merges)
+    per document. Returns (doc_id, tokens) covering every input doc
+    (token-less docs count 0)."""
+    from facturas_spark.extraction import bpe
+
+    pre = docs.select(
+        "doc_id", F.explode(bpe.pretokens_expr(F.col("text"))).alias("w")
+    )
+    vocab = (
+        pre.select("w")
+        .distinct()
+        .select("w", bpe.token_count_expr(F.col("w")).alias("wn"))
+    )
+    per_doc = pre.join(vocab, "w").groupBy("doc_id").agg(F.sum("wn").alias("tokens"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("tokens", F.lit(0)).alias("tokens"))
+    )
+
+
 def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE token accounting (round-4 directive: replace the regex
     "BPE-ish" estimator): counts come from `extraction/bpe.py`'s frozen
-    learned-merge tokenizer, applied as a JVM-side replace chain — the
-    per-lang totals a trainer's tokenizer would actually bill."""
-    from facturas_spark.extraction import bpe
-
+    learned-merge tokenizer via the vocabulary join — the per-lang
+    totals a trainer's tokenizer would actually bill."""
     docs = _t(spark, sf_dir, "documents")
-    toks = bpe.token_count_expr(F.col("text"))
+    counts = docs.select("doc_id", "lang").join(
+        _bpe_doc_token_counts(docs), "doc_id"
+    )
     return (
-        docs.groupBy("lang")
+        counts.groupBy("lang")
         .agg(
-            F.sum(toks).alias("total_tokens"),
+            F.sum("tokens").alias("total_tokens"),
             F.count("*").alias("docs"),
         )
         # integer-exact 2dp average (q13 technique) — see txt_token_stats
@@ -1273,13 +1300,11 @@ def corpus_packing(
     variant here is the oracle-checkable core."""
     # budget denominated in REAL BPE tokens (extraction/bpe.py's frozen
     # learned merges) since round 5 — the pack boundary now falls where
-    # a trainer's tokenizer would put it, not at a whitespace estimate
-    from facturas_spark.extraction import bpe
-
+    # a trainer's tokenizer would put it, not at a whitespace estimate;
+    # counts come through the vocabulary join (_bpe_doc_token_counts)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     budget = 512
-    toks = bpe.token_count_expr(F.col("text"))
-    base = docs.select("doc_id", toks.alias("tokens"))
+    base = _bpe_doc_token_counts(docs)
     if shards is None:
         w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
         group_cols = ["pack_id"]
@@ -1938,13 +1963,36 @@ def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt_substring_dup at 100 TB."""
     # chunk windows denominated in REAL BPE tokens (extraction/bpe.py)
     # since round 5 — offsets/fingerprints index the token stream a
-    # trainer would see, not a whitespace approximation
+    # trainer would see, not a whitespace approximation. The token
+    # SEQUENCE is rebuilt through the vocabulary join: posexplode into
+    # pre-tokens, merge-chain over distinct words only, join back and
+    # re-assemble in position order (array_sort on the pos struct).
     from facturas_spark.extraction import bpe
 
     stride = CHUNK_TOKENS - CHUNK_OVERLAP
     docs = _t(spark, sf_dir, "documents")
-    words = bpe.tokens_expr(F.col("text"))
-    base = docs.select("doc_id", words.alias("w")).filter(F.size("w") > 0)
+    pre = docs.select(
+        "doc_id",
+        F.posexplode(bpe.pretokens_expr(F.col("text"))).alias("pos", "w"),
+    )
+    vocab = (
+        pre.select("w")
+        .distinct()
+        .select("w", bpe.tokens_expr(F.col("w")).alias("toks"))
+    )
+    seq = (
+        pre.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("w")
+        )
+    )
+    base = seq.filter(F.size("w") > 0)
     n = F.size("w")
     # windows stop at the FIRST one whose end reaches the doc end (the
     # HF-tokenizers overflow/stride rule) — only the last chunk is ragged

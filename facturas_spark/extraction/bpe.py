@@ -146,6 +146,15 @@ def encode_py(text: str) -> list:
 
 
 # --- Spark expression surface ------------------------------------------
+#
+# SCALE NOTE (round 5): the merge chain costs O(len * N_MERGES) string
+# copies. Applied per DOCUMENT that is ~3 ms/doc on the JVM — fine for a
+# word, wasteful for a corpus. The corpus-scale consumers therefore
+# TOKENIZE THE VOCABULARY, NOT THE CORPUS: explode docs into pre-tokens,
+# run the chain over DISTINCT words only (Heaps' law: vocabulary grows
+# ~sqrt of corpus), and join the per-word token counts/arrays back. See
+# dedup.txt_bpe_token_stats / corpus_packing / corpus_chunking for the
+# join shape; `pretokens_expr` below is the shared pre-tokenizer.
 
 
 def _spread(col: Column) -> Column:
@@ -164,6 +173,22 @@ def _spread(col: Column) -> Column:
     # all whitespace to plain spaces first so every char gets a marker
     clean = F.regexp_replace(clean, r"\s", " ")
     return F.regexp_replace(clean, r"(.)", r"|$1 ")
+
+
+def pretokens_expr(col: Column) -> Column:
+    """Pre-token sequence of a document: lowercase alphanumeric words
+    plus one '.' per punctuation char (the same normalization `_spread`
+    applies) — the unit the vocabulary join keys on."""
+    low = F.lower(F.coalesce(col, F.lit("")))
+    clean = F.regexp_replace(low, r"[^a-z0-9\s]", ".")
+    return F.regexp_extract_all(clean, F.lit(r"([a-z0-9]+|\.)"), 1)
+
+
+def pretokens_sql(expr: str) -> str:
+    """DuckDB twin of `pretokens_expr`."""
+    low = f"lower(coalesce({expr}, ''))"
+    clean = f"regexp_replace({low}, '[^a-z0-9\\s]', '.', 'g')"
+    return f"regexp_extract_all({clean}, '([a-z0-9]+|\\.)', 1)"
 
 
 def encode_expr(col: Column) -> Column:
