@@ -75,6 +75,12 @@ from web crawls after deduplication and quality filtering tokenization
 splits text into subword units counted against a training budget
 """
 
+# Whitespace class used by EVERY engine surface. Spelled out because the
+# engines disagree on '\\s': Java includes \x0B, RE2 does not, Python adds
+# unicode spaces — any of those silently breaks the bit-exact oracle gates
+# (round-5 review finding: 'a\x0Bb' tokenized differently per engine).
+WS = " \t\n\r\f\x0b"
+
 N_MERGES = 160
 
 
@@ -126,7 +132,7 @@ def encode_py(text: str) -> list:
     loop over pre-tokenized words) — the property-test oracle for the
     expression chain; NOT a hot path."""
     out = []
-    for tok in re.findall(r"[a-z0-9]+|[^a-z0-9\s]", text.lower()):
+    for tok in re.findall("[a-z0-9]+|[^a-z0-9" + WS + "]", text.lower()):
         if not re.fullmatch(r"[a-z0-9]+", tok):
             out.append(tok)
             continue
@@ -168,10 +174,10 @@ def _spread(col: Column) -> Column:
     # budget needs; punct identity is not budget-relevant, but adjacency
     # blocking is — so the placeholder must not be alphanumeric. We use
     # '.' (never part of a merge: merges are learned on [a-z0-9] only).
-    clean = F.regexp_replace(low, r"[^a-z0-9\s]", ".")
+    clean = F.regexp_replace(low, f"[^a-z0-9{WS}]", ".")
     # '.' in the spread regex matches NO newline in Java or RE2 — fold
     # all whitespace to plain spaces first so every char gets a marker
-    clean = F.regexp_replace(clean, r"\s", " ")
+    clean = F.regexp_replace(clean, f"[{WS}]", " ")
     return F.regexp_replace(clean, r"(.)", r"|$1 ")
 
 
@@ -180,14 +186,21 @@ def pretokens_expr(col: Column) -> Column:
     plus one '.' per punctuation char (the same normalization `_spread`
     applies) — the unit the vocabulary join keys on."""
     low = F.lower(F.coalesce(col, F.lit("")))
-    clean = F.regexp_replace(low, r"[^a-z0-9\s]", ".")
+    clean = F.regexp_replace(low, f"[^a-z0-9{WS}]", ".")
     return F.regexp_extract_all(clean, F.lit(r"([a-z0-9]+|\.)"), 1)
+
+
+def _ws_sql() -> str:
+    """The WS class as RE2 escapes for DuckDB (literal backslash
+    sequences — RE2's \\s lacks \\x0B, so the class is spelled out on
+    both engines)."""
+    return " \\t\\n\\r\\f\\x0b"
 
 
 def pretokens_sql(expr: str) -> str:
     """DuckDB twin of `pretokens_expr`."""
     low = f"lower(coalesce({expr}, ''))"
-    clean = f"regexp_replace({low}, '[^a-z0-9\\s]', '.', 'g')"
+    clean = f"regexp_replace({low}, '[^a-z0-9{_ws_sql()}]', '.', 'g')"
     return f"regexp_extract_all({clean}, '([a-z0-9]+|\\.)', 1)"
 
 
@@ -224,8 +237,8 @@ def tokens_expr(col: Column) -> Column:
 def spread_sql(expr: str) -> str:
     """DuckDB SQL for `_spread` over the given text expression."""
     low = f"lower(coalesce({expr}, ''))"
-    clean = f"regexp_replace({low}, '[^a-z0-9\\s]', '.', 'g')"
-    clean = f"regexp_replace({clean}, '\\s', ' ', 'g')"
+    clean = f"regexp_replace({low}, '[^a-z0-9{_ws_sql()}]', '.', 'g')"
+    clean = f"regexp_replace({clean}, '[{_ws_sql()}]', ' ', 'g')"
     return f"regexp_replace({clean}, '(.)', '|\\1 ', 'g')"
 
 

@@ -249,8 +249,14 @@ def parse_pps(rbsp: bytes) -> dict:
     # best-effort so a truncated PPS still yields the id fields
     try:
         r.u(1)  # bottom_field_pic_order_in_frame_present_flag
-        if r.ue() != 0:  # num_slice_groups_minus1
-            raise ValueError("slice groups unsupported")
+        out["num_slice_groups"] = r.ue() + 1
+        if out["num_slice_groups"] != 1:
+            # FMO: slice_group_map syntax follows that we do not parse —
+            # stop here with the flag recorded; the transform decoder
+            # refuses such streams instead of decoding MBs in the wrong
+            # slice-group order (round-5 review: a raise here would be
+            # swallowed by this very except)
+            return out
         r.ue()  # num_ref_idx_l0_default_active_minus1
         r.ue()  # num_ref_idx_l1_default_active_minus1
         r.u(1)  # weighted_pred_flag

@@ -808,6 +808,8 @@ def decode_h264_iframe(payload: bytes):
         raise ValueError("stream lacks SPS, PPS or IDR slice")
     if pps.get("entropy_coding_mode"):
         raise NotImplementedError("CABAC entropy coding not supported")
+    if pps.get("num_slice_groups", 1) != 1:
+        raise NotImplementedError("FMO (slice groups) not supported")
     if sps["chroma_format_idc"] != 1:
         raise NotImplementedError("only 4:2:0 supported")
     w, h = sps["width"], sps["height"]
@@ -1054,9 +1056,13 @@ def _nal(nal_type, ref_idc, rbsp):
     return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + add_emulation(rbsp)
 
 
-def _enc_chroma(b, st, mbx, mby, src_cb, src_cr, chroma_mode, qp, cqo):
-    """Transform+quant chroma for one MB, write residual bits, recon via
-    the decoder's dequant path. Returns cbp_chroma."""
+def _enc_chroma_compute(st, mbx, mby, src_cb, src_cr, chroma_mode, qp, cqo):
+    """Transform+quant chroma for one MB WITHOUT touching state (chroma
+    prediction only reads neighbour MBs, so this is safe before or after
+    this MB's luma recon). Returns (per_plane coeffs+preds, cbp_chroma).
+    Split from the write phase so the encoder does not need a full
+    frame-state snapshot per macroblock (round-5 review: the snapshot
+    probe made encoding quadratic in frame size)."""
     qpc = chroma_qp(qp + cqo)
     _chroma_predict(st, mbx, mby, chroma_mode)
     x0, y0 = mbx * 8, mby * 8
@@ -1082,18 +1088,25 @@ def _enc_chroma(b, st, mbx, mby, src_cb, src_cr, chroma_mode, qp, cqo):
         zd = (np.sign(wd) * ((np.abs(wd) * _MF[qpc % 6][0] + 2 * f2) >> (qbits + 1))).astype(np.int64)
         if zd.any():
             any_dc = True
-        per_plane[name] = (zs, zd)
+        per_plane[name] = (zs, zd, pred8)
     cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
-    # ---- write + recon (mirrors _decode_chroma exactly) ----
+    return per_plane, cbp_chroma
+
+
+def _enc_chroma_write(b, st, mbx, mby, per_plane, cbp_chroma, qp, cqo):
+    """Write the residual bits computed by `_enc_chroma_compute` and
+    reconstruct via the decoder's dequant path (mirrors _decode_chroma
+    exactly)."""
+    qpc = chroma_qp(qp + cqo)
+    x0, y0 = mbx * 8, mby * 8
     for name in ("cb", "cr"):
-        zs, zd = per_plane[name]
+        zs, zd, _pred8 = per_plane[name]
         if cbp_chroma & 3:
             encode_cavlc_block(b, [int(zd[0, 0]), int(zd[0, 1]), int(zd[1, 0]), int(zd[1, 1])], -1)
     for name in ("cb", "cr"):
-        zs, zd = per_plane[name]
+        zs, zd, pred8 = per_plane[name]
         plane = getattr(st, name)
         nc_map = getattr(st, "nc_" + name)
-        pred8 = st._chroma_pred[name]
         if cbp_chroma == 0:
             zd = np.zeros((2, 2), np.int64)
         dcs_rec = dequant_dc_chroma(zd, qpc)
@@ -1201,8 +1214,8 @@ def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
             # recon (chroma pred only needs neighbour MBs, safe)
             # mb_type needs cbp_chroma -> compute chroma coefficients on
             # a THROWAWAY copy first
-            probe = _enc_chroma(
-                _BitWriter(), _snapshot(st), mbx, mby, cb, cr, chroma_mode, qp, cqo
+            cpp, probe = _enc_chroma_compute(
+                st, mbx, mby, cb, cr, chroma_mode, qp, cqo
             )
             mb_type = 1 + pred_mode + 4 * probe + (12 if cbp_luma else 0)
             b.ue(mb_type)
@@ -1228,8 +1241,7 @@ def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
                 ).astype(np.uint8)
                 st.dec4[by][bx] = True
                 st.mode4[by][bx] = 2
-            got = _enc_chroma(b, st, mbx, mby, cb, cr, chroma_mode, qp, cqo)
-            assert got == probe
+            _enc_chroma_write(b, st, mbx, mby, cpp, probe, qp, cqo)
             st.dec16[mby][mbx] = True
             continue
         # ---- I_4x4 ----
@@ -1255,8 +1267,8 @@ def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
             ox, oy = _BLK_ORDER[blk]
             if any(blocks[blk][1]):
                 cbp_luma |= 1 << ((oy // 2) * 2 + (ox // 2))
-        probe = _enc_chroma(
-            _BitWriter(), _snapshot(st), mbx, mby, cb, cr, chroma_mode, qp, cqo
+        cpp, probe = _enc_chroma_compute(
+            st, mbx, mby, cb, cr, chroma_mode, qp, cqo
         )
         cbp = cbp_luma | (probe << 4)
         b.ue(0)  # mb_type I_4x4
@@ -1283,8 +1295,7 @@ def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
                 nc = _nc_of(st.nc_y, bx, by)
                 encode_cavlc_block(b, zz, nc)
             st.nc_y[by][bx] = sum(1 for c in zz if c)
-        got = _enc_chroma(b, st, mbx, mby, cb, cr, chroma_mode, qp, cqo)
-        assert got == probe
+        _enc_chroma_write(b, st, mbx, mby, cpp, probe, qp, cqo)
         st.dec16[mby][mbx] = True
     b.trailing()
 
@@ -1292,22 +1303,6 @@ def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
     stream = _nal(7, 3, sps_rbsp) + _nal(8, 3, pps_rbsp) + _nal(5, 3, b.tobytes())
     return stream, st.y.copy(), st.cb.copy(), st.cr.copy()
 
-
-def _snapshot(st):
-    import copy
-
-    new = _FrameState(st.y.shape[1], st.y.shape[0])
-    new.y = st.y.copy()
-    new.cb = st.cb.copy()
-    new.cr = st.cr.copy()
-    new.dec4 = copy.deepcopy(st.dec4)
-    new.dec16 = copy.deepcopy(st.dec16)
-    new.nc_y = copy.deepcopy(st.nc_y)
-    new.nc_cb = copy.deepcopy(st.nc_cb)
-    new.nc_cr = copy.deepcopy(st.nc_cr)
-    new.mode4 = copy.deepcopy(st.mode4)
-    new.is_i4 = copy.deepcopy(st.is_i4)
-    return new
 
 
 def _pred_mode_ctx_enc(st, bx, by):

@@ -114,6 +114,15 @@ def _component_exprs(url: Column) -> dict:
         .otherwise(hand_path)
     query = F.when(valid, F.coalesce(F.try_parse_url(uu, F.lit("QUERY")), F.lit("")))\
         .otherwise(hand_query)
+    # fragment: after the FIRST '#' ('' if none) — SPA hash routes like
+    # '#/login' carry chrome the keyword rule must still see
+    hand_frag = F.when(
+        rest.contains("#"),
+        F.substring(rest, F.instr(rest, "#") + 1, F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    fragment = F.when(
+        valid, F.coalesce(F.try_parse_url(uu, F.lit("REF")), F.lit(""))
+    ).otherwise(hand_frag)
 
     return {
         "valid": valid,
@@ -123,6 +132,7 @@ def _component_exprs(url: Column) -> dict:
         "port": port,
         "path": path,
         "query": query,
+        "fragment": fragment,
     }
 
 
@@ -148,15 +158,21 @@ def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
     c = F.col("_uc")
     path_low = F.lower(c["path"])
     query_low = F.lower(c["query"])
+    frag_low = F.lower(c["fragment"])
 
     blocked_host = c["host"].isin([h.lower() for h in BLOCKED_HOSTS])
     # keyword matches PATH SEGMENTS (bounded by / ? # . or end), never a
     # substring of the host or a longer slug ('cartoonnetwork', the
-    # '/checkout-guide' review case); the query participates so
-    # '?next=/login' style chrome still trips, with '?' as the boundary
+    # '/checkout-guide' review case); the query AND the fragment
+    # participate so '?next=/login' and SPA hash routes like '#/login'
+    # still trip, with '?' / '#' as the boundaries (round-5 review: the
+    # first unified-parser cut dropped the fragment from the scan)
     pathq = F.when(
         query_low != "", F.concat(path_low, F.lit("?"), query_low)
     ).otherwise(path_low)
+    pathq = F.when(
+        frag_low != "", F.concat(pathq, F.lit("#"), frag_low)
+    ).otherwise(pathq)
     kw_alt = "|".join(BLOCKED_PATH_KEYWORDS)
     blocked_path = pathq.rlike(rf"(^|/)({kw_alt})([/?#.]|$)")
     # '&'-separated params IN THE QUERY STRING (from the FIRST '?'):

@@ -381,10 +381,16 @@ def stream_clean_increment(
         finally:
             # the caches only serve THIS micro-batch; without the release
             # every epoch leaks three cached frames for the life of the
-            # stream (round-4 advice)
+            # stream (round-4 advice) — and quality_frame registered two
+            # more in the corpus_clean stage registry (round-5 review)
+            from facturas_spark.analytics.corpus_clean import (
+                release_stage_caches,
+            )
+
             kept.unpersist()
             sh_b.unpersist()
             exact_kept.unpersist()
+            release_stage_caches()
 
     q = (
         spark.readStream.schema(DOCS_DDL)

@@ -114,6 +114,10 @@ HOSTILE = [
     "the the the thethethe",
     "| | || |a b| marker '|' in the input itself",
     "a" * 300,
+    # engine whitespace-class edges: \x0B is \s to Java but not RE2;
+    # \xa0 is \s to Python-unicode but to neither engine (round-5
+    # review finding — the explicit WS class pins all three)
+    "a\x0bb c\xa0d e\x0c f\rg",
 ]
 
 

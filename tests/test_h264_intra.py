@@ -197,3 +197,39 @@ def test_frame_sample_decodes_transform_coded_fixture(spark):
     for r in got:
         assert r["luma_mean"] is not None, r
         assert 0.0 <= r["luma_mean"] <= 1.0
+
+
+def test_fmo_slice_groups_refused_not_misdecoded():
+    """Round-5 review pin: a PPS with num_slice_groups > 1 (FMO) must
+    raise NotImplementedError instead of silently decoding macroblocks
+    in the wrong slice-group order."""
+    from facturas_spark.sources.h264 import (
+        _BitWriter,
+        add_emulation,
+        parse_pps,
+    )
+
+    rng = np.random.RandomState(6)
+    y = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    cb = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    cr = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    stream, *_ = hi.encode_h264_i16(y, cb, cr, 28)
+    # rebuild the PPS NAL with num_slice_groups_minus1 = 1
+    pw = _BitWriter()
+    pw.ue(0)  # pps_id
+    pw.ue(0)  # sps_id
+    pw.u(0, 1)  # CAVLC
+    pw.u(0, 1)
+    pw.ue(1)  # num_slice_groups_minus1 = 1  (FMO!)
+    pw.trailing()
+    assert parse_pps(pw.tobytes())["num_slice_groups"] == 2
+    nals = stream.split(b"\x00\x00\x00\x01")
+    rebuilt = b""
+    for nal in nals:
+        if not nal:
+            continue
+        if nal[0] & 0x1F == 8:
+            nal = bytes([nal[0]]) + add_emulation(pw.tobytes())
+        rebuilt += b"\x00\x00\x00\x01" + nal
+    with pytest.raises(NotImplementedError, match="FMO"):
+        hi.decode_h264_iframe(rebuilt)

@@ -241,3 +241,19 @@ def test_userinfo_and_query_boundary_unified_parser(spark):
     got = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
     for (inp, want), g in zip(cases, got):
         assert g == want, (inp, g, want)
+
+def test_fragment_hash_routes_blocked(spark):
+    """Round-5 review pin: SPA hash routes ('#/login') are chrome pages
+    and must trip the keyword rule — the fragment participates in the
+    path scan with '#' as a boundary."""
+    rows = _flags(
+        spark,
+        [
+            "https://a.com/app#/login",
+            "https://a.com/app#section-about",   # ordinary anchor: keep
+            "https://a.com/x?next=/signup",      # query still scanned
+        ],
+    )
+    assert rows["https://a.com/app#/login"]["blocked_path"]
+    assert rows["https://a.com/app#section-about"]["url_keep"]
+    assert rows["https://a.com/x?next=/signup"]["blocked_path"]

@@ -10,7 +10,9 @@ distribution:
 
 - documents(doc_id, text, lang, source, n_chars): bag-of-words text over
   the driver corpus' ~30-word vocab, 10-120 words, langs weighted like
-  the small gates, source = src{doc_id % 20}. 4% of docs are exact
+  the small gates, source = src{doc_id % 200} (source count scales with the
+  corpus, keeping per-source volume at the sf0.1 level so the quota
+  stage cuts proportionally). 4% of docs are exact
   duplicates of an earlier doc and 4% near-duplicates (a few words
   perturbed), so the dedup stages do representative work at scale.
 - embeddings(vec_id, embedding float[64], label): hash-seeded
@@ -55,6 +57,16 @@ def _gen_documents(spark):
     def gen(batches):
         import random
 
+        def pick_original(rng, i):
+            # dup sources must be docs whose OWN stored text is the
+            # _doc_words output (round-5 review: picking a doc that was
+            # itself a dup/near-dup duplicates nothing)
+            for _ in range(8):
+                src = rng.randrange(max(1, i - 5000), i)
+                if _is_original(src):
+                    return src
+            return src
+
         for pdf in batches:
             out = []
             for i in pdf["id"]:
@@ -62,19 +74,17 @@ def _gen_documents(spark):
                 rng = random.Random(0x5F1D0C5 ^ (i * 2654435761 % (1 << 32)))
                 r = rng.random()
                 if i >= 100 and r < 0.04:
-                    # exact duplicate of an earlier doc: regenerate it
-                    src = rng.randrange(max(1, i - 5000), i)
-                    words = _doc_words(src)
+                    # exact duplicate of an earlier ORIGINAL doc
+                    words = _doc_words(pick_original(rng, i))
                 elif i >= 100 and r < 0.08:
-                    src = rng.randrange(max(1, i - 5000), i)
-                    words = _doc_words(src)
+                    words = _doc_words(pick_original(rng, i))
                     for _ in range(max(1, len(words) // 30)):
                         words[rng.randrange(len(words))] = rng.choice(_VOCAB)
                 else:
                     words = _doc_words(i)
                 text = " ".join(words)
                 out.append(
-                    (i, text, _LANGS[i % len(_LANGS)], f"src{i % 20}", len(text))
+                    (i, text, _LANGS[i % len(_LANGS)], f"src{i % 200}", len(text))
                 )
             yield pd.DataFrame(
                 out, columns=["doc_id", "text", "lang", "source", "n_chars"]
@@ -84,6 +94,15 @@ def _gen_documents(spark):
         gen,
         schema="doc_id long, text string, lang string, source string, n_chars long",
     )
+
+
+def _is_original(i: int) -> bool:
+    """Whether doc i's stored text equals _doc_words(i) (i.e. it took
+    neither dup branch) — mirrors the branch condition exactly."""
+    import random
+
+    rng = random.Random(0x5F1D0C5 ^ (i * 2654435761 % (1 << 32)))
+    return i < 100 or rng.random() >= 0.08
 
 
 def _doc_words(i: int) -> list:
@@ -192,7 +211,9 @@ def main(argv=None) -> int:
             "aqe": "AdaptiveSparkPlan" in plan,
             "aqe_shuffle_reads": plan.count("AQEShuffleRead"),
             "broadcasts": plan.count("BroadcastExchange"),
-            "shuffles": plan.count("Exchange"),
+            # 'Exchange' also matches inside 'BroadcastExchange' —
+            # subtract so shuffles counts shuffle exchanges only
+            "shuffles": plan.count("Exchange") - plan.count("BroadcastExchange"),
             "sorts": plan.count("Sort "),
         }
 
