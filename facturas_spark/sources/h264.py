@@ -215,6 +215,32 @@ def parse_sps(rbsp: bytes) -> dict:
     crop_l = crop_r = crop_t = crop_b = 0
     if r.u(1):  # frame_cropping_flag
         crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # VUI: walk the optional blocks up to timing_info — that carries the
+    # ONLY in-stream fps for IDR-only streams (round-4 known debt)
+    vui_fps = None
+    try:
+        if r.u(1):  # vui_parameters_present_flag
+            if r.u(1):  # aspect_ratio_info_present_flag
+                if r.u(8) == 255:  # Extended_SAR
+                    r.u(32)
+            if r.u(1):  # overscan_info_present_flag
+                r.u(1)
+            if r.u(1):  # video_signal_type_present_flag
+                r.u(4)  # format(3) + full_range(1)
+                if r.u(1):  # colour_description_present_flag
+                    r.u(24)
+            if r.u(1):  # chroma_loc_info_present_flag
+                r.ue()
+                r.ue()
+            if r.u(1):  # timing_info_present_flag
+                num_units = r.u(32)
+                time_scale = r.u(32)
+                r.u(1)  # fixed_frame_rate_flag
+                if num_units > 0:
+                    # frame rate = time_scale / (2 * num_units_in_tick)
+                    vui_fps = time_scale / (2.0 * num_units)
+    except (IndexError, ValueError):
+        vui_fps = None  # truncated VUI: fps simply unknown
     # crop units for 4:2:0 progressive: x2 horizontally, x2 vertically
     sub_w = 2 if chroma_format_idc in (1, 2) else 1
     sub_h = 2 if chroma_format_idc == 1 else 1
@@ -233,6 +259,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "log2_max_poc_lsb": log2_max_poc_lsb,
         "width": width,
         "height": height,
+        "vui_fps": vui_fps,
         "pic_width_in_mbs": pic_width_in_mbs,
         "pic_height_in_mbs": pic_height_in_map_units * height_mult,
     }

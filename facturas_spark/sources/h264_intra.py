@@ -39,6 +39,9 @@ from facturas_spark.sources.h264 import (
 
 __all__ = [
     "decode_h264_iframe",
+    "decode_h264_frames",
+    "encode_h264_iframe",
+    "encode_h264_stream",
     "encode_h264_i16",
     "encode_h264_i4",
 ]
@@ -786,14 +789,15 @@ def _mb_i16_fields(mb_type):
     return t % 4, (t // 4) % 3, 15 if t >= 12 else 0
 
 
-def decode_h264_iframe(payload: bytes):
-    """Decode the first IDR frame of a CAVLC baseline Annex B stream:
-    I_4x4, I_16x16 and I_PCM macroblocks. Returns (y, cb, cr). Raises
-    NotImplementedError for CABAC streams or non-I slice types — and
-    ValueError for malformed bitstreams (callers treat both as
-    null-frame rows, same failure boundary as decode_h264_ipcm)."""
+def decode_h264_frames(payload: bytes):
+    """Decode EVERY IDR frame of a CAVLC baseline Annex B stream
+    (I_4x4, I_16x16, I_PCM macroblocks). Returns a list of (y, cb, cr)
+    tuples in stream order — IDR frames are self-contained, so each
+    decodes from a fresh frame state. Raises NotImplementedError for
+    CABAC / FMO / non-I streams and ValueError for malformed bitstreams
+    (callers treat both as null-frame rows)."""
     sps = pps = None
-    slice_nal = None
+    slice_nals = []
     for nal in split_annexb(payload):
         if not nal:
             continue
@@ -802,9 +806,9 @@ def decode_h264_iframe(payload: bytes):
             sps = parse_sps(strip_emulation(nal[1:]))
         elif t == 8 and pps is None:
             pps = parse_pps(strip_emulation(nal[1:]))
-        elif t == 5 and slice_nal is None:
-            slice_nal = strip_emulation(nal[1:])
-    if sps is None or pps is None or slice_nal is None:
+        elif t == 5:
+            slice_nals.append(strip_emulation(nal[1:]))
+    if sps is None or pps is None or not slice_nals:
         raise ValueError("stream lacks SPS, PPS or IDR slice")
     if pps.get("entropy_coding_mode"):
         raise NotImplementedError("CABAC entropy coding not supported")
@@ -815,6 +819,15 @@ def decode_h264_iframe(payload: bytes):
     w, h = sps["width"], sps["height"]
     if w % 16 or h % 16:
         raise NotImplementedError("cropped dims not supported in pixel decode")
+    return [_decode_idr_slice(sps, pps, nal, w, h) for nal in slice_nals]
+
+
+def decode_h264_iframe(payload: bytes):
+    """First IDR frame only — the single-frame convenience wrapper."""
+    return decode_h264_frames(payload)[0]
+
+
+def _decode_idr_slice(sps, pps, slice_nal, w, h):
     st = _FrameState(w, h)
 
     r = _BitReader(slice_nal)
@@ -1015,7 +1028,7 @@ def _decode_mb_i16(r, st, mbx, mby, mb_type, qp, cqo):
 
 
 # --------------------------------------------------------- frame encode --
-def _write_sps_pps(w_pix, h_pix):
+def _write_sps_pps(w_pix, h_pix, fps=None):
     sw = _BitWriter()
     sw.u(66, 8)        # baseline
     sw.u(0xC0, 8)
@@ -1030,7 +1043,23 @@ def _write_sps_pps(w_pix, h_pix):
     sw.u(1, 1)         # frame_mbs_only
     sw.u(0, 1)         # direct_8x8_inference
     sw.u(0, 1)         # frame_cropping
-    sw.u(0, 1)         # vui
+    if fps is None:
+        sw.u(0, 1)     # vui_parameters_present_flag
+    else:
+        # VUI with timing_info only — the in-stream fps carrier
+        sw.u(1, 1)     # vui present
+        sw.u(0, 1)     # aspect_ratio_info
+        sw.u(0, 1)     # overscan_info
+        sw.u(0, 1)     # video_signal_type
+        sw.u(0, 1)     # chroma_loc_info
+        sw.u(1, 1)     # timing_info_present
+        sw.u(1000, 32)                     # num_units_in_tick
+        sw.u(int(round(fps * 2000)), 32)   # time_scale
+        sw.u(1, 1)     # fixed_frame_rate_flag
+        sw.u(0, 1)     # nal_hrd_parameters_present
+        sw.u(0, 1)     # vcl_hrd_parameters_present
+        sw.u(0, 1)     # pic_struct_present
+        sw.u(0, 1)     # bitstream_restriction
     sw.trailing()
     pw = _BitWriter()
     pw.ue(0)           # pps_id
@@ -1126,14 +1155,13 @@ def _enc_chroma_write(b, st, mbx, mby, per_plane, cbp_chroma, qp, cqo):
     return cbp_chroma
 
 
-def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
-    """Conformant-syntax baseline IDR frame with TRANSFORM-CODED
-    macroblocks. ``mb_kinds``: optional per-MB list of 'i4' | 'i16' |
-    'pcm' (default alternates i16/i4); modes are chosen deterministically
-    from the available set so every intra mode is exercised on a big
-    enough frame. Returns (annexb_bytes, recon_y, recon_cb, recon_cr) —
-    the recon planes are EXACTLY what decode_h264_iframe returns (the
-    encoder reconstructs through the decoder's dequant path)."""
+def _encode_idr(y, cb, cr, qp, mb_kinds, idr_pic_id=0):
+    """One IDR slice RBSP + its reconstruction. ``mb_kinds``: optional
+    per-MB list of 'i4' | 'i16' | 'pcm' (default alternates i16/i4);
+    modes are chosen deterministically from the available set so every
+    intra mode is exercised on a big enough frame. The encoder
+    reconstructs through the decoder's dequant path, so the closed loop
+    is bit-exact by construction."""
     y = np.asarray(y, np.uint8)
     cb = np.asarray(cb, np.uint8)
     cr = np.asarray(cr, np.uint8)
@@ -1150,7 +1178,7 @@ def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
     b.ue(7)            # slice_type I
     b.ue(0)            # pps id
     b.u(0, 4)          # frame_num
-    b.ue(0)            # idr_pic_id
+    b.ue(idr_pic_id)
     b.u(0, 1)
     b.u(0, 1)
     b.se(qp - 26)      # slice_qp_delta
@@ -1298,10 +1326,37 @@ def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
         _enc_chroma_write(b, st, mbx, mby, cpp, probe, qp, cqo)
         st.dec16[mby][mbx] = True
     b.trailing()
+    return b.tobytes(), st.y.copy(), st.cb.copy(), st.cr.copy()
 
+
+def encode_h264_iframe(y, cb, cr, qp: int = 28, mb_kinds=None):
+    """Conformant-syntax baseline IDR frame with TRANSFORM-CODED
+    macroblocks (see _encode_idr). Returns
+    (annexb_bytes, recon_y, recon_cb, recon_cr) — the recon planes are
+    EXACTLY what decode_h264_iframe returns."""
+    rbsp, ry, rcb, rcr = _encode_idr(y, cb, cr, qp, mb_kinds)
+    h, w = np.asarray(y).shape
     sps_rbsp, pps_rbsp = _write_sps_pps(w, h)
-    stream = _nal(7, 3, sps_rbsp) + _nal(8, 3, pps_rbsp) + _nal(5, 3, b.tobytes())
-    return stream, st.y.copy(), st.cb.copy(), st.cr.copy()
+    stream = _nal(7, 3, sps_rbsp) + _nal(8, 3, pps_rbsp) + _nal(5, 3, rbsp)
+    return stream, ry, rcb, rcr
+
+
+def encode_h264_stream(frames_y, frames_cb, frames_cr, qp: int = 28,
+                       fps: float | None = None, mb_kinds=None):
+    """Multi-IDR Annex B stream (one IDR per frame, alternating
+    idr_pic_id) with VUI timing carrying ``fps`` — the full video source
+    shape (round-4 known debt: single-IDR streams had no fps carrier).
+    Returns (annexb_bytes, [(y, cb, cr) recon per frame])."""
+    frames_y = [np.asarray(f, np.uint8) for f in frames_y]
+    h, w = frames_y[0].shape
+    sps_rbsp, pps_rbsp = _write_sps_pps(w, h, fps=fps)
+    stream = _nal(7, 3, sps_rbsp) + _nal(8, 3, pps_rbsp)
+    recons = []
+    for k, (fy, fcb, fcr) in enumerate(zip(frames_y, frames_cb, frames_cr)):
+        rbsp, ry, rcb, rcr = _encode_idr(fy, fcb, fcr, qp, mb_kinds, k % 2)
+        stream += _nal(5, 3, rbsp)
+        recons.append((ry, rcb, rcr))
+    return stream, recons
 
 
 

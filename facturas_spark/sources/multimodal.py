@@ -147,16 +147,22 @@ def synth_media_rows(n: int, seed: int = 42) -> list[tuple]:
                 cbp = np.full((hh // 2, hw // 2), 120, np.uint8)
                 crp = np.full((hh // 2, hw // 2), 136, np.uint8)
                 if (i // 9) % 2 == 0:
-                    # TRANSFORM-CODED IDR (CAVLC + intra pred, round 5):
-                    # alternating I_16x16 / I_4x4 / I_PCM macroblocks
+                    # TRANSFORM-CODED multi-IDR stream (CAVLC + intra
+                    # pred + VUI fps, round 5): alternating I_16x16 /
+                    # I_4x4 / I_PCM macroblocks, 4 frames at 2 fps
                     from facturas_spark.sources.h264_intra import (
-                        encode_h264_iframe,
+                        encode_h264_stream,
                     )
 
-                    kinds = ["i16", "i4", "pcm"] * ((hw // 16) * (hh // 16))
-                    payload = encode_h264_iframe(
-                        yp, cbp, crp, qp=24 + (k % 10),
-                        mb_kinds=kinds[: (hw // 16) * (hh // 16)],
+                    n_mb = (hw // 16) * (hh // 16)
+                    kinds = (["i16", "i4", "pcm"] * n_mb)[:n_mb]
+                    fys = [
+                        ((yp.astype(int) + 23 * j) % 256).astype(np.uint8)
+                        for j in range(4)
+                    ]
+                    payload = encode_h264_stream(
+                        fys, [cbp] * 4, [crp] * 4,
+                        qp=24 + (k % 10), fps=2.0, mb_kinds=kinds,
                     )[0]
                 else:
                     from facturas_spark.sources.h264 import encode_h264_ipcm
@@ -315,34 +321,35 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                         elif mime == "video/h264":
                             from facturas_spark.sources.h264 import h264_meta
                             from facturas_spark.sources.h264_intra import (
-                                decode_h264_iframe,
+                                decode_h264_frames,
                             )
 
                             hm = h264_meta(bytes(p))
-                            # single-IDR streams: one random-access
-                            # frame; fps has no in-stream carrier (no
-                            # VUI). Decode ONCE here, inside the failure
-                            # boundary: decode_h264_iframe covers CAVLC
-                            # transform-coded I_16x16/I_4x4/I_PCM since
-                            # round 5; CABAC or non-I streams still
-                            # raise NotImplementedError and must become
-                            # null frame rows, not a dead task — and the
-                            # grid would otherwise re-decode the whole
-                            # stream per sampled timestamp
-                            luma0 = decode_h264_iframe(bytes(p))[0]
-                            # cache only the derived stats, not the
-                            # decoded plane: meta_cache lives for the
-                            # whole partition, and with many distinct
-                            # h264 media ids a cached plane per id grows
-                            # memory unboundedly (round-4 advice) —
-                            # every other cache entry is a small header
-                            # dict, these two floats keep it that way
+                            # IDR-only streams decode frame-independent;
+                            # fps comes from VUI timing when present
+                            # (round-5: multi-IDR + VUI close the
+                            # single-frame debt). Decode ONCE here,
+                            # inside the failure boundary: CABAC/FMO or
+                            # non-I streams raise NotImplementedError
+                            # and must become null frame rows, not a
+                            # dead task — and the grid would otherwise
+                            # re-decode the whole stream per timestamp.
+                            # Cache only derived stats, never planes:
+                            # meta_cache lives for the whole partition
+                            # (round-4 advice).
+                            frames_rec = decode_h264_frames(bytes(p))
                             m = {
-                                "n_frames": min(hm["n_idr"], 1),
-                                "fps": 1.0,
+                                "n_frames": len(frames_rec),
+                                "fps": float(hm.get("vui_fps") or 1.0),
                                 "_kind": "h264",
-                                "_mean0": float(luma0.mean()) / 255.0,
-                                "_std0": float(luma0.std()) / 255.0,
+                                "_means": [
+                                    float(fy.mean()) / 255.0
+                                    for fy, _, _ in frames_rec
+                                ],
+                                "_stds": [
+                                    float(fy.std()) / 255.0
+                                    for fy, _, _ in frames_rec
+                                ],
                             }
                         else:
                             m = dict(decode_y4m_header(bytes(p)), _kind="y4m")
@@ -359,10 +366,10 @@ def frame_sample(media: DataFrame, fps: float = 0.5) -> DataFrame:
                     continue
                 k = min(int(t * m["fps"]), m["n_frames"] - 1)
                 if m["_kind"] == "h264":
-                    # stats precomputed at header time (single frame)
+                    # stats precomputed at header time, per frame
                     idxs.append(k)
-                    means.append(m["_mean0"])
-                    stds.append(m["_std0"])
+                    means.append(m["_means"][k])
+                    stds.append(m["_stds"][k])
                     continue
                 if m["_kind"] == "avi":
                     luma = decode_avi_frame(p, m, k)

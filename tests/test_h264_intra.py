@@ -233,3 +233,24 @@ def test_fmo_slice_groups_refused_not_misdecoded():
         rebuilt += b"\x00\x00\x00\x01" + nal
     with pytest.raises(NotImplementedError, match="FMO"):
         hi.decode_h264_iframe(rebuilt)
+
+
+def test_multi_idr_stream_with_vui_fps():
+    """encode_h264_stream: N IDR frames decode independently and
+    bit-exactly; VUI timing carries the fps (h264_meta reads it back)."""
+    rng = np.random.RandomState(12)
+    fys = [rng.randint(0, 256, (32, 48)).astype(np.uint8) for _ in range(5)]
+    fcb = [rng.randint(0, 256, (16, 24)).astype(np.uint8) for _ in range(5)]
+    fcr = [rng.randint(0, 256, (16, 24)).astype(np.uint8) for _ in range(5)]
+    stream, recons = hi.encode_h264_stream(fys, fcb, fcr, qp=26, fps=12.5)
+    m = h264_meta(stream)
+    assert m["n_idr"] == 5
+    assert m["vui_fps"] == 12.5
+    frames = hi.decode_h264_frames(stream)
+    assert len(frames) == 5
+    for (dy, dcb, dcr), (ry, rcb, rcr) in zip(frames, recons):
+        assert np.array_equal(dy, ry)
+        assert np.array_equal(dcb, rcb)
+        assert np.array_equal(dcr, rcr)
+    # frames are genuinely different content
+    assert not np.array_equal(frames[0][0], frames[1][0])
