@@ -47,7 +47,7 @@ MAX_QUERY_PARAMS = 4
 MAX_URL_LEN = 2048
 
 
-def _component_exprs(url: Column) -> dict:
+def _component_exprs(url: Column, hand_fallback: bool = True) -> dict:
     """The ONE URL parser (shared by ``url_quality_flags`` and
     ``normalize_url``): a dict of independent component expressions
     ``valid, has_scheme, scheme, host, port, path, query``.
@@ -82,21 +82,30 @@ def _component_exprs(url: Column) -> dict:
     authority = F.coalesce(F.try_parse_url(uu, F.lit("AUTHORITY")), F.lit(""))
 
     # --- shared hand fallback for RFC-invalid crawl URLs -------------
-    # authority = after scheme, before first '/', '?' or '#' (a path-less
-    # 'https://host?q' must still yield the bare host)
-    no_scheme = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    hand_auth = F.substring_index(
-        F.substring_index(F.substring_index(no_scheme, "/", 1), "?", 1), "#", 1
-    )
-    rest = F.substring(no_scheme, F.length(hand_auth) + 1, F.lit(1 << 30))
-    hand_path = F.substring_index(F.substring_index(rest, "?", 1), "#", 1)
-    # query starts at the FIRST '?' (ends at '#')
-    hand_query = F.when(
-        rest.contains("?"),
-        F.substring_index(
-            F.substring(rest, F.instr(rest, "?") + 1, F.lit(1 << 30)), "#", 1
-        ),
-    ).otherwise(F.lit(""))
+    # (skippable: normalize_url returns invalid input UNTOUCHED, so its
+    # components never consume the fallback — hand_fallback=False keeps
+    # its expression tree to the parse calls alone, ~2x faster)
+    if hand_fallback:
+        # authority = after scheme, before first '/', '?' or '#' (a
+        # path-less 'https://host?q' must still yield the bare host)
+        no_scheme = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+        hand_auth = F.substring_index(
+            F.substring_index(F.substring_index(no_scheme, "/", 1), "?", 1), "#", 1
+        )
+        rest = F.substring(no_scheme, F.length(hand_auth) + 1, F.lit(1 << 30))
+        hand_path = F.substring_index(F.substring_index(rest, "?", 1), "#", 1)
+        # query starts at the FIRST '?' (ends at '#')
+        hand_query = F.when(
+            rest.contains("?"),
+            F.substring_index(
+                F.substring(rest, F.instr(rest, "?") + 1, F.lit(1 << 30)), "#", 1
+            ),
+        ).otherwise(F.lit(""))
+    else:
+        hand_auth = F.lit("")
+        rest = F.lit("")
+        hand_path = F.lit("")
+        hand_query = F.lit("")
 
     # hostport with userinfo stripped — applies to BOTH branches; the
     # engine's AUTHORITY still carries 'user:pass@', the engine's HOST
@@ -215,7 +224,9 @@ def normalize_url(url: Column) -> Column:
     key as 'https://a.com/x' instead of mis-parsing host='u'
     (round-4 advice)."""
     u = F.coalesce(url, F.lit(""))
-    c = _component_exprs(u)
+    # invalid URLs short-circuit to the untouched input below, so the
+    # hand-fallback component branches are dead weight here
+    c = _component_exprs(u, hand_fallback=False)
 
     keep_port = (c["port"] != "") & (c["port"] != "80") & (c["port"] != "443")
     hostport_norm = F.when(
