@@ -874,15 +874,16 @@ def txt_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
 
-def _bpe_doc_token_counts(docs: DataFrame) -> DataFrame:
+def _bpe_doc_token_counts(docs: DataFrame, extra_cols: list | None = None) -> DataFrame:
     """Per-doc REAL-BPE token counts via the vocabulary join (the
     corpus-scale shape): explode docs into pre-tokens, run the merge
     chain over DISTINCT words only (Heaps' law keeps the vocabulary
     sublinear in the corpus), join the per-word counts back and sum.
     Two shuffles (distinct + doc re-agg) buy an encode cost that
     amortizes over word frequency instead of paying O(doc_len x merges)
-    per document. Returns (doc_id, tokens) covering every input doc
-    (token-less docs count 0)."""
+    per document. Returns (doc_id, *extra_cols, tokens) covering every
+    input doc (token-less docs count 0) — ``extra_cols`` ride along on
+    the final left join so callers don't re-scan the docs table."""
     from facturas_spark.extraction import bpe
 
     pre = docs.select(
@@ -895,9 +896,13 @@ def _bpe_doc_token_counts(docs: DataFrame) -> DataFrame:
     )
     per_doc = pre.join(vocab, "w").groupBy("doc_id").agg(F.sum("wn").alias("tokens"))
     return (
-        docs.select("doc_id")
+        docs.select("doc_id", *(extra_cols or []))
         .join(per_doc, "doc_id", "left")
-        .select("doc_id", F.coalesce("tokens", F.lit(0)).alias("tokens"))
+        .select(
+            "doc_id",
+            *(extra_cols or []),
+            F.coalesce("tokens", F.lit(0)).alias("tokens"),
+        )
     )
 
 
@@ -907,9 +912,7 @@ def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned-merge tokenizer via the vocabulary join — the per-lang
     totals a trainer's tokenizer would actually bill."""
     docs = _t(spark, sf_dir, "documents")
-    counts = docs.select("doc_id", "lang").join(
-        _bpe_doc_token_counts(docs), "doc_id"
-    )
+    counts = _bpe_doc_token_counts(docs, extra_cols=["lang"])
     return (
         counts.groupBy("lang")
         .agg(

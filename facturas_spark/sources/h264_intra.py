@@ -199,11 +199,10 @@ _COEFF_TOKEN_TABLES = {
     -1: _COEFF_TOKEN_M1,
 }
 _COEFF_TOKEN_DEC = {k: _invert(v) for k, v in _COEFF_TOKEN_TABLES.items()}
-_TZ_DEC = {k: _invert(dict(enumerate(v))) and {c: i for i, c in enumerate(v)}
-           for k, v in _TOTAL_ZEROS_4x4.items()}
-_TZC_DEC = {k: {c: i for i, c in enumerate(v)}
+_TZ_DEC = {k: _invert(dict(enumerate(v))) for k, v in _TOTAL_ZEROS_4x4.items()}
+_TZC_DEC = {k: _invert(dict(enumerate(v)))
             for k, v in _TOTAL_ZEROS_CHROMA_DC.items()}
-_RB_DEC = {k: {c: i for i, c in enumerate(v)} for k, v in _RUN_BEFORE.items()}
+_RB_DEC = {k: _invert(dict(enumerate(v))) for k, v in _RUN_BEFORE.items()}
 
 
 def _nc_class(nc: int) -> int:
@@ -808,6 +807,12 @@ def decode_h264_frames(payload: bytes):
             pps = parse_pps(strip_emulation(nal[1:]))
         elif t == 5:
             slice_nals.append(strip_emulation(nal[1:]))
+        elif t == 1:
+            # inter-coded slice present: refusing loudly here keeps the
+            # documented failure boundary — silently returning only the
+            # IDR frames would hand frame_sample a sparse frame list
+            # against the full-stream VUI timeline (round-5 review #2)
+            raise NotImplementedError("P/B slices not supported")
     if sps is None or pps is None or not slice_nals:
         raise ValueError("stream lacks SPS, PPS or IDR slice")
     if pps.get("entropy_coding_mode"):
@@ -832,6 +837,11 @@ def _decode_idr_slice(sps, pps, slice_nal, w, h):
 
     r = _BitReader(slice_nal)
     first_mb = r.ue()
+    if first_mb != 0:
+        # a slice that does not start at MB 0 is part of a multi-slice
+        # picture (or a mid-picture capture); honoring it as a frame
+        # origin would emit a half-zero plane (round-5 review #2)
+        raise NotImplementedError("multi-slice pictures not supported")
     slice_type = r.ue()
     if slice_type % 5 != 2:
         raise NotImplementedError("only I slices supported")
@@ -1238,10 +1248,9 @@ def _encode_idr(y, cb, cr, qp, mb_kinds, idr_pic_id=0):
             qbits = 15 + qp // 6
             f2 = (1 << qbits) // 3
             zd = (np.sign(wd) * ((np.abs(wd) * _MF[qp % 6][0] + 2 * f2) >> (qbits + 1))).astype(np.int64)
-            # chroma first pass happens inside _enc_chroma AFTER luma
-            # recon (chroma pred only needs neighbour MBs, safe)
-            # mb_type needs cbp_chroma -> compute chroma coefficients on
-            # a THROWAWAY copy first
+            # mb_type needs cbp_chroma up front; the compute phase
+            # mutates nothing (chroma pred reads neighbour MBs only),
+            # the write phase below reuses its coefficients
             cpp, probe = _enc_chroma_compute(
                 st, mbx, mby, cb, cr, chroma_mode, qp, cqo
             )
@@ -1304,7 +1313,7 @@ def _encode_idr(y, cb, cr, qp, mb_kinds, idr_pic_id=0):
             ox, oy = _BLK_ORDER[blk]
             bx, by = mbx * 4 + ox, mby * 4 + oy
             mode = blocks[blk][0]
-            pm = _pred_mode_ctx_enc(st, bx, by)
+            pm = _pred_mode_ctx(st, bx, by)
             if mode == pm:
                 b.u(1, 1)
             else:
@@ -1358,10 +1367,6 @@ def encode_h264_stream(frames_y, frames_cb, frames_cr, qp: int = 28,
         recons.append((ry, rcb, rcr))
     return stream, recons
 
-
-
-def _pred_mode_ctx_enc(st, bx, by):
-    return _pred_mode_ctx(st, bx, by)
 
 
 def encode_h264_i16(y, cb, cr, qp: int = 28):

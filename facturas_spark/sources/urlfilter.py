@@ -94,12 +94,13 @@ def _component_exprs(url: Column, hand_fallback: bool = True) -> dict:
         )
         rest = F.substring(no_scheme, F.length(hand_auth) + 1, F.lit(1 << 30))
         hand_path = F.substring_index(F.substring_index(rest, "?", 1), "#", 1)
-        # query starts at the FIRST '?' (ends at '#')
+        # query = after the FIRST '?' that occurs BEFORE the first '#'
+        # (a '?' inside the fragment is fragment content, not params —
+        # round-5 review #3)
+        pre_frag = F.substring_index(rest, "#", 1)
         hand_query = F.when(
-            rest.contains("?"),
-            F.substring_index(
-                F.substring(rest, F.instr(rest, "?") + 1, F.lit(1 << 30)), "#", 1
-            ),
+            pre_frag.contains("?"),
+            F.substring(pre_frag, F.instr(pre_frag, "?") + 1, F.lit(1 << 30)),
         ).otherwise(F.lit(""))
     else:
         hand_auth = F.lit("")

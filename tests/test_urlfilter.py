@@ -257,3 +257,11 @@ def test_fragment_hash_routes_blocked(spark):
     assert rows["https://a.com/app#/login"]["blocked_path"]
     assert rows["https://a.com/app#section-about"]["url_keep"]
     assert rows["https://a.com/x?next=/signup"]["blocked_path"]
+
+def test_invalid_url_fragment_question_mark_not_params(spark):
+    """Round-5 review pin: on RFC-invalid URLs (hand-parse fallback), a
+    '?' inside the fragment is fragment content — it must not feed the
+    param-overload rule."""
+    rows = _flags(spark, ["http://a b.com/x#f?p1&p2&p3&p4"])
+    r = rows["http://a b.com/x#f?p1&p2&p3&p4"]
+    assert not r["too_many_params"]

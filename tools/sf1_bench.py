@@ -211,9 +211,12 @@ def main(argv=None) -> int:
             "aqe": "AdaptiveSparkPlan" in plan,
             "aqe_shuffle_reads": plan.count("AQEShuffleRead"),
             "broadcasts": plan.count("BroadcastExchange"),
-            # 'Exchange' also matches inside 'BroadcastExchange' —
-            # subtract so shuffles counts shuffle exchanges only
-            "shuffles": plan.count("Exchange") - plan.count("BroadcastExchange"),
+            # 'Exchange' also matches inside 'BroadcastExchange' and
+            # 'ReusedExchange' — subtract both so shuffles counts real
+            # shuffle exchanges only
+            "shuffles": plan.count("Exchange")
+            - plan.count("BroadcastExchange")
+            - plan.count("ReusedExchange"),
             "sorts": plan.count("Sort "),
         }
 
