@@ -1865,7 +1865,12 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("url_norm")
     return (
-        docs.withColumn("url_norm", normalize_url(url))
+        # materialize the messy url FIRST: normalize_url references its
+        # input ~15x (scheme probe, parser loan, component parses), and
+        # inlining the CASE tree into every reference multiplies the
+        # whole expression — a column reference keeps it flat
+        docs.withColumn("url", url)
+        .withColumn("url_norm", normalize_url(F.col("url")))
         .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
         .select("doc_id", "url_norm", "keep")
         .orderBy("doc_id")
