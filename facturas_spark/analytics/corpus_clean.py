@@ -86,27 +86,43 @@ MARKERS_ES = ["el", "la", "de", "que", "los", "las", "una", "y"]
 # session repeated job invocations would otherwise accumulate dead
 # cached blocks (round-4 advice). Callers release them with
 # ``release_stage_caches()`` right after materializing.
-_STAGE_CACHES: list = []
+#
+# The registry is THREAD-LOCAL (round-6 advice): the streaming
+# foreachBatch release runs on a micro-batch thread, so it can no longer
+# unpersist intermediates registered by a concurrent batch build on the
+# main thread. Within one thread a build is constructed and materialized
+# sequentially before the next begins, so build→materialize→release
+# pairs never interleave — that single-concurrent-build-per-thread
+# assumption is the documented contract here.
+import threading as _threading
+
+
+class _StageCaches(_threading.local):
+    def __init__(self):
+        self.frames: list = []
+
+
+_STAGE_CACHES = _StageCaches()
 
 
 def _stage_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _STAGE_CACHES.append(df)
+    _STAGE_CACHES.frames.append(df)
     return df
 
 
 def release_stage_caches() -> int:
-    """Unpersist every intermediate frame cached by the flag chain since
-    the last release. Call AFTER the consuming action; returns the
-    number of frames released."""
+    """Unpersist every intermediate frame cached by the flag chain ON
+    THIS THREAD since the last release. Call AFTER the consuming action;
+    returns the number of frames released."""
     n = 0
-    for df in _STAGE_CACHES:
+    for df in _STAGE_CACHES.frames:
         try:
             df.unpersist()
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
-    _STAGE_CACHES.clear()
+    _STAGE_CACHES.frames.clear()
     return n
 
 

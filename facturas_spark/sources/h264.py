@@ -291,9 +291,9 @@ def parse_pps(rbsp: bytes) -> dict:
         out["pic_init_qp"] = 26 + r.se()
         r.se()  # pic_init_qs_minus26
         out["chroma_qp_index_offset"] = r.se()
-        r.u(1)  # deblocking_filter_control_present_flag
+        out["deblocking_filter_control_present_flag"] = r.u(1)
         r.u(1)  # constrained_intra_pred_flag
-        r.u(1)  # redundant_pic_cnt_present_flag
+        out["redundant_pic_cnt_present_flag"] = r.u(1)
     except (ValueError, IndexError):
         pass
     return out

@@ -20,6 +20,14 @@ spec text. The matching encoder (``encode_h264_i16``/``encode_h264_i4``)
 emits conformant-syntax streams used by `multimodal.frame_sample`
 fixtures.
 
+Documented subset boundary (all refuse with NotImplementedError, never
+silently-wrong pixels): CABAC entropy coding, P/B slices, FMO, redundant
+coded slices, multi-slice pictures, non-4:2:0 chroma, cropped dims, and
+the in-loop deblocking filter (streams whose PPS enables slice-level
+deblocking control are decoded only when the slice turns the filter OFF
+— disable_deblocking_filter_idc == 1; otherwise we refuse rather than
+emit unfiltered, non-conformant pixels).
+
 No external deps: numpy only (same policy as h264.py).
 """
 
@@ -850,10 +858,24 @@ def _decode_idr_slice(sps, pps, slice_nal, w, h):
     r.ue()  # idr_pic_id
     if sps["pic_order_cnt_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+    if pps.get("redundant_pic_cnt_present_flag"):
+        # spec 7.3.3: redundant_pic_cnt sits BEFORE dec_ref_pic_marking;
+        # skipping it would shift every later field by its ue() width.
+        # 0 marks the primary coded picture — decodable; nonzero is a
+        # redundant copy whose primary we have no machinery to prefer.
+        if r.ue() != 0:
+            raise NotImplementedError("redundant coded slices not supported")
     r.u(1)  # no_output_of_prior_pics_flag
     r.u(1)  # long_term_reference_flag
     qp = pps.get("pic_init_qp", 26) + r.se()
     cqo = pps.get("chroma_qp_index_offset", 0)
+    if pps.get("deblocking_filter_control_present_flag"):
+        # disable_deblocking_filter_idc: 1 = filter off (no offsets
+        # follow, nothing to apply — decodable); 0/2 = in-loop filter on,
+        # which this decoder does not implement, so decoding would yield
+        # non-conformant pixels silently — refuse instead.
+        if r.ue() != 1:
+            raise NotImplementedError("in-loop deblocking filter not supported")
 
     n_mbs = (w // 16) * (h // 16)
     for mb in range(first_mb, n_mbs):

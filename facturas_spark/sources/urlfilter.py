@@ -117,9 +117,15 @@ def _component_exprs(url: Column, hand_fallback: bool = True) -> dict:
     host = F.lower(
         F.when(valid, host_probe).otherwise(F.substring_index(hostport, ":", 1))
     )
-    port = F.when(
-        hostport.contains(":"), F.substring_index(hostport, ":", -1)
-    ).otherwise(F.lit(""))
+    # a ':' marks a port only OUTSIDE an IPv6 bracket form: for
+    # 'https://[::1]/x' the hostport '[::1]' contains ':' but carries no
+    # port, and substring_index(...,-1) would yield '1]' (round-6
+    # advice). ONE regexp_extract — either a bracket-free prefix or a
+    # closing ']' precedes the port colon — so the hostport subtree is
+    # referenced once: the nested normalize(normalize(u)) fixpoint
+    # squares every reference, and a when/otherwise probe (4 refs) blew
+    # the codegen tree past the driver heap.
+    port = F.regexp_extract(hostport, r"(?:^[^\[\]]*|\]):([0-9]*)$", 1)
     path = F.when(valid, F.coalesce(F.try_parse_url(uu, F.lit("PATH")), F.lit("")))\
         .otherwise(hand_path)
     query = F.when(valid, F.coalesce(F.try_parse_url(uu, F.lit("QUERY")), F.lit("")))\
@@ -164,8 +170,13 @@ def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
     original columns intact.
     """
     url = F.coalesce(F.col(url_col), F.lit(""))
-    df = df.withColumn("_uc", url_components(url))
-    c = F.col("_uc")
+    # collision-proof temp name: a caller-provided '_uc' column must come
+    # back intact, not be clobbered then dropped (round-6 advice)
+    uc = "_uc"
+    while uc in df.columns:
+        uc = "_" + uc
+    df = df.withColumn(uc, url_components(url))
+    c = F.col(uc)
     path_low = F.lower(c["path"])
     query_low = F.lower(c["query"])
     frag_low = F.lower(c["fragment"])
@@ -206,7 +217,7 @@ def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
             "url_keep",
             ~(blocked_host | blocked_path | too_many_params | bad_ext | too_long),
         )
-        .drop("_uc")
+        .drop(uc)
     )
 
 

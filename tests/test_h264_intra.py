@@ -254,3 +254,104 @@ def test_multi_idr_stream_with_vui_fps():
         assert np.array_equal(dcr, rcr)
     # frames are genuinely different content
     assert not np.array_equal(frames[0][0], frames[1][0])
+
+
+# ------------------------------------------------ PPS gated slice fields --
+def _pps_rbsp(dbf_control=0, redundant=0):
+    """PPS mirroring _write_sps_pps's layout but with the two gated
+    presence flags parameterized (round-6 advice: they were parsed and
+    discarded, so a stream setting either misparsed MB data at a wrong
+    bit offset instead of hitting the refusal boundary)."""
+    pw = _BitWriter()
+    pw.ue(0)            # pps_id
+    pw.ue(0)            # sps_id
+    pw.u(0, 1)          # CAVLC
+    pw.u(0, 1)
+    pw.ue(0)            # one slice group
+    pw.ue(0)
+    pw.ue(0)
+    pw.u(0, 1)
+    pw.u(0, 2)
+    pw.se(0)            # pic_init_qp_minus26 -> 26
+    pw.se(0)
+    pw.se(0)            # chroma_qp_index_offset 0
+    pw.u(dbf_control, 1)   # deblocking_filter_control_present_flag
+    pw.u(0, 1)
+    pw.u(redundant, 1)     # redundant_pic_cnt_present_flag
+    pw.trailing()
+    return pw.tobytes()
+
+
+def _pcm_stream_with_gated_fields(y, cb, cr, dbf_control=0, redundant=0,
+                                  redundant_cnt=0, dbf_idc=1):
+    """Hand-crafted 1-MB I_PCM stream whose slice header carries the
+    fields gated by the two PPS flags, in spec 7.3.3 order."""
+    from facturas_spark.sources.h264 import add_emulation
+
+    sps_rbsp, _ = hi._write_sps_pps(16, 16)
+    b = _BitWriter()
+    b.ue(0)             # first_mb_in_slice
+    b.ue(7)             # slice_type I
+    b.ue(0)             # pps id
+    b.u(0, 4)           # frame_num
+    b.ue(0)             # idr_pic_id
+    if redundant:
+        b.ue(redundant_cnt)
+    b.u(0, 1)           # no_output_of_prior_pics_flag
+    b.u(0, 1)           # long_term_reference_flag
+    b.se(0)             # slice_qp_delta
+    if dbf_control:
+        b.ue(dbf_idc)   # disable_deblocking_filter_idc
+        if dbf_idc != 1:
+            b.se(0)     # slice_alpha_c0_offset_div2
+            b.se(0)     # slice_beta_offset_div2
+    b.ue(25)            # mb_type I_PCM
+    b.align_zero()
+    b.raw_bytes(y.tobytes() + cb.tobytes() + cr.tobytes())
+    b.trailing()
+    nal = lambda t, ref, rbsp: b"\x00\x00\x00\x01" + bytes([(ref << 5) | t]) + add_emulation(rbsp)
+    return (nal(7, 3, sps_rbsp) + nal(8, 3, _pps_rbsp(dbf_control, redundant))
+            + nal(5, 3, b.tobytes()))
+
+
+def test_pps_gated_slice_fields_consumed_bit_exactly():
+    """Both PPS presence flags set, benign values (redundant_pic_cnt=0,
+    deblocking disabled): the gated ue() fields must be CONSUMED so the
+    I_PCM payload decodes at the right offset — byte-identical pixels."""
+    rng = np.random.RandomState(42)
+    y = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    cb = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    cr = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    stream = _pcm_stream_with_gated_fields(y, cb, cr, dbf_control=1,
+                                           redundant=1, dbf_idc=1)
+    dy, dcb, dcr = hi.decode_h264_iframe(stream)
+    assert np.array_equal(dy, y) and np.array_equal(dcb, cb) and np.array_equal(dcr, cr)
+
+
+def test_pps_flags_parsed_and_stored():
+    from facturas_spark.sources.h264 import parse_pps
+
+    pps = parse_pps(_pps_rbsp(dbf_control=1, redundant=1))
+    assert pps["deblocking_filter_control_present_flag"] == 1
+    assert pps["redundant_pic_cnt_present_flag"] == 1
+    pps0 = parse_pps(_pps_rbsp())
+    assert pps0["deblocking_filter_control_present_flag"] == 0
+    assert pps0["redundant_pic_cnt_present_flag"] == 0
+
+
+def test_redundant_slice_refused():
+    y = np.zeros((16, 16), np.uint8); c = np.zeros((8, 8), np.uint8)
+    stream = _pcm_stream_with_gated_fields(y, c, c, redundant=1, redundant_cnt=1)
+    with pytest.raises(NotImplementedError, match="redundant"):
+        hi.decode_h264_iframe(stream)
+
+
+@pytest.mark.parametrize("idc", [0, 2])
+def test_inloop_deblocking_refused(idc):
+    """disable_deblocking_filter_idc 0/2 turns the in-loop filter ON —
+    this decoder has no filter, so it must refuse (documented boundary)
+    rather than return unfiltered, non-conformant pixels."""
+    y = np.zeros((16, 16), np.uint8); c = np.zeros((8, 8), np.uint8)
+    stream = _pcm_stream_with_gated_fields(y, c, c, dbf_control=1, dbf_idc=idc)
+    with pytest.raises(NotImplementedError, match="deblocking"):
+        hi.decode_h264_iframe(stream)

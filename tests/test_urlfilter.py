@@ -265,3 +265,48 @@ def test_invalid_url_fragment_question_mark_not_params(spark):
     rows = _flags(spark, ["http://a b.com/x#f?p1&p2&p3&p4"])
     r = rows["http://a b.com/x#f?p1&p2&p3&p4"]
     assert not r["too_many_params"]
+
+
+def test_ipv6_bracket_port(spark):
+    """Round-6 review pin: a ':' inside an IPv6 bracket authority is NOT
+    a port separator — 'https://[::1]/x' must not grow a corrupted
+    '[::1]:1]' canonical key; an explicit ']:8080' port still parses and
+    default ']:443' still strips."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.sources.urlfilter import normalize_url, url_components
+
+    cases = [
+        ("https://[::1]/x", "https://[::1]/x", ""),
+        ("https://[::1]:8080/x", "https://[::1]:8080/x", "8080"),
+        ("https://[::1]:443/x", "https://[::1]/x", "443"),
+        ("https://[2001:db8::1]/p?utm_source=1&q=2",
+         "https://[2001:db8::1]/p?q=2", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = df.select(
+        "url",
+        normalize_url(F.col("url")).alias("n"),
+        url_components(F.col("url"))["port"].alias("p"),
+    ).collect()
+    for (inp, want_n, want_p), r in zip(cases, got):
+        assert r["n"] == want_n, (inp, r["n"], want_n)
+        assert r["p"] == want_p, (inp, r["p"], want_p)
+
+
+def test_url_quality_flags_preserves_caller_uc_column(spark):
+    """Round-6 review pin: a caller-provided '_uc' column must survive
+    url_quality_flags untouched (the internal temp column picks a
+    collision-proof name)."""
+    from facturas_spark.sources.urlfilter import url_quality_flags
+
+    df = spark.createDataFrame(
+        [("https://ok.com/x", 7), ("https://ads.tracker.net/x", 9)],
+        "url string, _uc int",
+    )
+    out = url_quality_flags(df)
+    assert "_uc" in out.columns
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["https://ok.com/x"]["_uc"] == 7
+    assert rows["https://ads.tracker.net/x"]["_uc"] == 9
+    assert rows["https://ads.tracker.net/x"]["blocked_host"]
