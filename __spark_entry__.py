@@ -56,68 +56,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # priority order, (1) queries whose code changed this round,
         # (2) queries never driver-checked, (3) unchanged queries with
         # the OLDEST banked green row, oldest first. After each round,
-        # re-rank; with 113 queries and a 50-slot window every banked
-        # row is refreshed at most ~2.3 rounds after it lands.
-        # -- changed in round 5 (urlfilter unification; real-BPE
-        #    budgets; T3 walk de-copy) -> fresh rows required
+        # re-rank; with 114 queries and a 50-slot window every banked
+        # row is refreshed at most ~2.3 rounds after it lands. The four
+        # rows-only pipelines pinned by golden pytest (products/cotejo/
+        # multimodal) stay parked last: a rows-only driver row adds no
+        # evidence over their fixtures, so they never displace a
+        # hash-checkable refresh.
+        # -- changed in round 6 (urlfilter IPv6-port + _uc collision;
+        #    shared session-cached BPE vocab) or new (ocr_layout_facets)
         "url_quality_filter": D.url_quality_filter,
         "dedup_url_normalize": D.dedup_url_normalize,
         "txt_bpe_token_stats": D.txt_bpe_token_stats,
         "corpus_packing": D.corpus_packing,
         "corpus_chunking": D.corpus_chunking,
-        "ocr_layout_extraction": Q.ocr_layout_extraction,
-        # -- refactored in round 4 (shared _emb_candidates kernel,
-        #    component cache) but banked rows predate the refactor
-        "dedup_embedding_lsh": D.dedup_embedding_lsh,
-        "dedup_lsh_clusters": D.dedup_lsh_clusters,
-        "dedup_incremental": D.dedup_incremental,
-        "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
-        # -- oldest banked evidence (r02), unchanged since
-        "p14_multi_price": Q.p14_multi_price,
-        "p4_p7_line_parsers": Q.p4_p7_line_parsers,
-        "s2_mime_sniffing": Q.s2_mime_sniffing,
-        "f2_invoice_number": Q.f2_invoice_number,
-        "f1_cif_extraction": Q.f1_cif_extraction,
-        "f4_f6_amount_banks": Q.f4_f6_amount_banks,
-        "q08_price_history_log": Q.q08_price_history_log,
-        "q11_spend_per_product": Q.q11_spend_per_product,
-        "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
-        "m4_similarity_pairs": D.m4_similarity_pairs,
-        "master_products": M.master_products,
-        "m14_duplicate_orders": D.m14_duplicate_orders,
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "ann_cosine_topk": Q.ann_cosine_topk,
-        "txt_langid": D.txt_langid,
-        "dedup_simhash": D.dedup_simhash,
-        "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
-        # -- r03 bank, oldest-first
-        "whatsapp_routing": E.whatsapp_routing,
-        "mailgun_routing": E.mailgun_routing,
-        "numier_upsert_ventas": E.numier_upsert_ventas,
-        "numier_dashboard_resumen": E.numier_dashboard_resumen,
-        "numier_upsert_catalogo": E.numier_upsert_catalogo,
-        "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
-        "cotejo_scores": E.cotejo_scores,
-        "cotejo_consolidation": E.cotejo_consolidation,
-        "cola_procesamiento": E.cola_procesamiento,
-        "cotejo_decisiones": E.cotejo_decisiones,
-        "v_productos_top": E.v_productos_top,
-        "v_ventas_diarias": E.v_ventas_diarias,
-        "supplier_dim": M.supplier_dim,
-        "price_history_append": M.price_history_append,
-        "q14_ultima_factura": N.q14_ultima_factura,
-        "q14_facturas_semana": N.q14_facturas_semana,
-        "q14_gasto_mes": N.q14_gasto_mes,
-        "q14_proveedores_activos": N.q14_proveedores_activos,
-        "q14_resumen_anual": N.q14_resumen_anual,
-        "q14_top_proveedores": N.q14_top_proveedores,
-        "q14_productos_categoria": N.q14_productos_categoria,
-        "q14_ultima_factura_sistema": N.q14_ultima_factura_sistema,
-        # ---------------- driver window boundary (50) ----------------
-        # parked: r03/r04 green rows newer than everything above;
-        # next-oldest (q14_facturas_recientes, q15_*, stream/events r03
-        # rows) head the round-6 rotation
+        "ocr_layout_facets": Q.ocr_layout_facets,
+        # -- r03 bank: the oldest driver rows in the registry
+        "q14_facturas_recientes": N.q14_facturas_recientes,
+        "q14_productos_mas_comprados": N.q14_productos_mas_comprados,
+        "q15_hybrid_textual": N.q15_hybrid_textual,
+        "q15_semantic_ranked": N.q15_semantic_ranked,
+        "q15_datos_basicos": N.q15_datos_basicos,
+        "stream_window_equivalence": Q.stream_window_equivalence,
+        "events_sessionization": Q.events_sessionization,
+        "txt_gopher_quality": D.txt_gopher_quality,
+        "txt_repetition_filter": D.txt_repetition_filter,
+        "corpus_source_quota": D.corpus_source_quota,
+        "txt_pii_scan": D.txt_pii_scan,
+        "corpus_vocab_topk": D.corpus_vocab_topk,
+        "events_json_props": Q.events_json_props,
+        # -- r04 bank, oldest-first
         "host_reputation_filter": D.host_reputation_filter,
         "txt_charset_normalize": D.txt_charset_normalize,
         "corpus_mixture_sample": D.corpus_mixture_sample,
@@ -149,6 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_top_products": Q.q02_top_products,
         "q03_dashboard_resumen": Q.q03_dashboard_resumen,
         "q04_payment_pivot": Q.q04_payment_pivot,
+        # ---------------- driver window boundary (50) ----------------
+        # parked: r04 remainder (heads the round-7 rotation), then the
+        # r05 bank (newest rows), then the pinned rows-only pipelines
         "q07_category_share": Q.q07_category_share,
         "q09_purchase_frequency": Q.q09_purchase_frequency,
         "q10_purchase_gaps": Q.q10_purchase_gaps,
@@ -164,19 +134,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_price_closure": Q.p9_price_closure,
         "f12_confidence": Q.f12_confidence,
         "p13_price_per_unit": Q.p13_price_per_unit,
-        "q14_facturas_recientes": N.q14_facturas_recientes,
-        "q14_productos_mas_comprados": N.q14_productos_mas_comprados,
-        "q15_hybrid_textual": N.q15_hybrid_textual,
-        "q15_semantic_ranked": N.q15_semantic_ranked,
-        "q15_datos_basicos": N.q15_datos_basicos,
-        "stream_window_equivalence": Q.stream_window_equivalence,
-        "events_sessionization": Q.events_sessionization,
-        "txt_gopher_quality": D.txt_gopher_quality,
-        "txt_repetition_filter": D.txt_repetition_filter,
-        "corpus_source_quota": D.corpus_source_quota,
-        "txt_pii_scan": D.txt_pii_scan,
-        "corpus_vocab_topk": D.corpus_vocab_topk,
-        "events_json_props": Q.events_json_props,
+        # -- r05 bank
+        "ocr_layout_extraction": Q.ocr_layout_extraction,
+        "dedup_embedding_lsh": D.dedup_embedding_lsh,
+        "dedup_lsh_clusters": D.dedup_lsh_clusters,
+        "dedup_incremental": D.dedup_incremental,
+        "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
+        "p14_multi_price": Q.p14_multi_price,
+        "p4_p7_line_parsers": Q.p4_p7_line_parsers,
+        "s2_mime_sniffing": Q.s2_mime_sniffing,
+        "f2_invoice_number": Q.f2_invoice_number,
+        "f1_cif_extraction": Q.f1_cif_extraction,
+        "f4_f6_amount_banks": Q.f4_f6_amount_banks,
+        "q08_price_history_log": Q.q08_price_history_log,
+        "q11_spend_per_product": Q.q11_spend_per_product,
+        "m3_levenshtein_pairs": D.m3_levenshtein_pairs,
+        "m4_similarity_pairs": D.m4_similarity_pairs,
+        "master_products": M.master_products,
+        "m14_duplicate_orders": D.m14_duplicate_orders,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "ann_cosine_topk": Q.ann_cosine_topk,
+        "txt_langid": D.txt_langid,
+        "dedup_simhash": D.dedup_simhash,
+        "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
+        "whatsapp_routing": E.whatsapp_routing,
+        "mailgun_routing": E.mailgun_routing,
+        "numier_upsert_ventas": E.numier_upsert_ventas,
+        "numier_dashboard_resumen": E.numier_dashboard_resumen,
+        "numier_upsert_catalogo": E.numier_upsert_catalogo,
+        "cotejo_patron_efectividad": E.cotejo_patron_efectividad,
+        "cotejo_scores": E.cotejo_scores,
+        "cotejo_consolidation": E.cotejo_consolidation,
+        "cola_procesamiento": E.cola_procesamiento,
+        "cotejo_decisiones": E.cotejo_decisiones,
+        "v_productos_top": E.v_productos_top,
+        "v_ventas_diarias": E.v_ventas_diarias,
+        "supplier_dim": M.supplier_dim,
+        "price_history_append": M.price_history_append,
+        "q14_ultima_factura": N.q14_ultima_factura,
+        "q14_facturas_semana": N.q14_facturas_semana,
+        "q14_gasto_mes": N.q14_gasto_mes,
+        "q14_proveedores_activos": N.q14_proveedores_activos,
+        "q14_resumen_anual": N.q14_resumen_anual,
+        "q14_top_proveedores": N.q14_top_proveedores,
+        "q14_productos_categoria": N.q14_productos_categoria,
+        "q14_ultima_factura_sistema": N.q14_ultima_factura_sistema,
+        # -- rows-only, golden-fixture-pinned (no SQL oracle by design)
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
         "cotejo_inverso_pipeline": Q.cotejo_inverso_pipeline,
@@ -439,9 +443,60 @@ _CORPUS_CLEAN_SQL = f"""
 """
 
 
+def _ocr_layout_facets_sql() -> str:
+    """Twin for ``ocr_layout_facets``: flatten the SAME deterministic
+    ``synth.ocr_rows(60, seed=42)`` docs into raw VALUES — flat texts +
+    (doc_id, kind, start, end) spans — and let DuckDB REDO the T1/T3
+    arithmetic (1-based substr, bounds gates, whitespace strip,
+    empty-drop) with pure SQL. Nothing pre-computed leaks in: the Python
+    side here only serializes the synthesizer's raw inputs, so a wrong
+    gate or off-by-one in the Spark kernel hash-mismatches."""
+    from facturas_spark.extraction.ocr import _CONTAINERS
+    from facturas_spark.synth import ocr_rows
+
+    # pages tuple layout (synth.ocr_rows): (page_no, w, h, tokens,
+    # lines, blocks, paragraphs, tables); span tuples (start, end, ...)
+    field_slot = {"tokens": 3, "lines": 4, "blocks": 5, "paragraphs": 6}
+    texts, els = [], []
+    for doc_id, (_url, text, pages) in enumerate(ocr_rows(60, seed=42)):
+        texts.append((doc_id, text))
+        for page in pages:
+            for field, key, _conf in _CONTAINERS:
+                for span in page[field_slot[field]]:
+                    els.append((doc_id, key, span[0], span[1]))
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    texts_sql = ", ".join(f"({i}, {q(t)})" for i, t in texts)
+    els_sql = ", ".join(f"({d}, '{k}', {s}, {e})" for d, k, s, e in els)
+    prior_sql = " ".join(
+        f"WHEN '{key}' THEN {conf}" for _f, key, conf in _CONTAINERS
+    )
+    ws = "' ' || chr(10) || chr(9) || chr(13)"
+    return f"""
+        WITH texts(doc_id, text) AS (VALUES {texts_sql}),
+        els(doc_id, kind, s, e) AS (VALUES {els_sql}),
+        recon AS (
+          SELECT e.doc_id, e.kind,
+                 trim(substr(t.text, e.s + 1, e.e - e.s), {ws}) AS texto
+          FROM els e JOIN texts t ON e.doc_id = t.doc_id
+          WHERE e.s >= 0 AND e.e > e.s AND e.e <= length(t.text)
+        )
+        SELECT kind,
+               CAST(COUNT(*) AS BIGINT) AS elements,
+               CAST(SUM(length(texto)) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_with_kind,
+               CAST(CASE kind {prior_sql} END AS DOUBLE) AS conf_prior
+        FROM recon WHERE texto <> ''
+        GROUP BY kind ORDER BY kind
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins of every query above (ANSI SQL, same column aliases)."""
     return {
+        "ocr_layout_facets": _ocr_layout_facets_sql(),
         "corpus_split": """
             WITH b AS (
               SELECT doc_id,
@@ -474,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir_weights": """
             WITH toks AS (
               SELECT doc_id, lang,
-                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '')) AS token
+                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '')) AS token
               FROM documents
             ), raw AS (
               SELECT token, COUNT(*) AS c_raw FROM toks GROUP BY token
@@ -616,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_decontamination": """
             WITH d AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '') AS w
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS w
               FROM documents
             ), base AS (
               SELECT doc_id, w FROM d WHERE len(w) >= 13
@@ -645,7 +700,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_unigram_lm_score": """
             WITH toks AS (
               SELECT doc_id,
-                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '')) AS token
+                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '')) AS token
               FROM documents
             ), vocab AS (
               SELECT token, COUNT(*) AS c FROM toks GROUP BY token
@@ -700,7 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_tfidf_keywords": """
             WITH toks AS (
               SELECT doc_id,
-                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '')) AS token
+                     unnest(list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '')) AS token
               FROM documents
             ), tf AS (
               SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
@@ -725,7 +780,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_substring_dup": """
             WITH d AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '') AS w
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\\s+'), x -> x <> '') AS w
               FROM documents WHERE trim(COALESCE(text, '')) <> ''
             ), base AS (
               SELECT doc_id, w FROM d WHERE len(w) >= 20

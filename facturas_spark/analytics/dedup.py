@@ -778,15 +778,13 @@ def _emb_band_key(col: str, band: int, bits: int = EMB_BAND_BITS):
     return bucket
 
 
-def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
-    """Shared kernel of embedding near-dup (dedup_embedding_lsh) and the
-    clean job's SemDeDup stage: multi-band sign-bucket LSH candidates
-    (disjoint dim slices, join key (band, key) — never all-pairs) with
-    the exact cosine of every distinct candidate pair. ``emb`` carries
-    (id_col, embedding); returns (id1, id2, _cos) with id1 < id2.
-    Norms are precomputed ONCE PER VECTOR and carried through the join;
-    callers apply their own threshold/rounding so the oracle-pinned
-    query and the job stage share one set of expressions."""
+def _emb_band_table(emb: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, key) sign-bucket LSH index of an embedding frame — the
+    persistable form of the multi-band family: each of the N_EMB_BANDS
+    bands reads a disjoint EMB_BAND_BITS-dim slice, vectors shorter than
+    a band's slice simply skip that band. Shared by the in-frame
+    candidate kernel below and the streaming corpus index
+    (streaming/stream.py persists it per epoch)."""
     entries = F.array(
         *[
             F.when(
@@ -799,10 +797,22 @@ def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
             for j in range(N_EMB_BANDS)
         ]
     )
-    bands = emb.select(
+    return emb.select(
         id_col,
         F.explode(F.filter(entries, lambda s: s.isNotNull())).alias("b"),
     ).select(id_col, "b.band", "b.key")
+
+
+def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
+    """Shared kernel of embedding near-dup (dedup_embedding_lsh) and the
+    clean job's SemDeDup stage: multi-band sign-bucket LSH candidates
+    (disjoint dim slices, join key (band, key) — never all-pairs) with
+    the exact cosine of every distinct candidate pair. ``emb`` carries
+    (id_col, embedding); returns (id1, id2, _cos) with id1 < id2.
+    Norms are precomputed ONCE PER VECTOR and carried through the join;
+    callers apply their own threshold/rounding so the oracle-pinned
+    query and the job stage share one set of expressions."""
+    bands = _emb_band_table(emb, id_col)
     a = bands.select("band", "key", F.col(id_col).alias("id1"))
     b = bands.select("band", "key", F.col(id_col).alias("id2"))
     cand = (
@@ -811,6 +821,22 @@ def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
         .select("id1", "id2")
         .distinct()
     )
+    return _pair_cosine(cand, emb, emb, id_col)
+
+
+def _pair_cosine(
+    cand: DataFrame,
+    emb_l: DataFrame,
+    emb_r: DataFrame,
+    id_col: str,
+    lid: str = "id1",
+    rid: str = "id2",
+) -> DataFrame:
+    """Exact cosine for candidate (lid, rid) pairs, vectors looked up from
+    two (possibly distinct) embedding frames — point-lookup equi-joins,
+    norms computed once per side. Cross-frame form serves the streaming
+    batch-vs-corpus SemDeDup check; the in-frame kernel above passes the
+    same frame twice. Returns (lid, rid, _cos)."""
     norm = F.sqrt(
         F.aggregate(
             "embedding",
@@ -818,11 +844,11 @@ def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
             lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
     )
-    e1 = emb.select(
-        F.col(id_col).alias("id1"), F.col("embedding").alias("e1"), norm.alias("n1")
+    e1 = emb_l.select(
+        F.col(id_col).alias(lid), F.col("embedding").alias("e1"), norm.alias("n1")
     )
-    e2 = emb.select(
-        F.col(id_col).alias("id2"), F.col("embedding").alias("e2"), norm.alias("n2")
+    e2 = emb_r.select(
+        F.col(id_col).alias(rid), F.col("embedding").alias("e2"), norm.alias("n2")
     )
     dot = F.aggregate(
         F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
@@ -830,9 +856,9 @@ def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     return (
-        cand.join(e1, "id1")
-        .join(e2, "id2")
-        .select("id1", "id2", (dot / (F.col("n1") * F.col("n2"))).alias("_cos"))
+        cand.join(e1, lid)
+        .join(e2, rid)
+        .select(lid, rid, (dot / (F.col("n1") * F.col("n2"))).alias("_cos"))
     )
 
 
@@ -874,7 +900,40 @@ def txt_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
 
-def _bpe_doc_token_counts(docs: DataFrame, extra_cols: list | None = None) -> DataFrame:
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached full-corpus BPE vocabulary frame (w, toks, wn):
+    every distinct pre-token of the documents table with its merged
+    token array and count. The merge chain — the expensive part of the
+    vocabulary join — runs ONCE per (session, sf_dir) and is
+    materialized via ``session_cached``; txt_bpe_token_stats,
+    corpus_packing and corpus_chunking all join against the same frame
+    (round-5 advice: each rebuilt the distinct-word tokenization). The
+    full-corpus vocab is a superset of any doc-subset's, and the
+    consumers join INNER on w, so subset consumers (packing's
+    doc_id < 500 window) are exact. ``wn = size(toks)`` is identical to
+    ``bpe.token_count_expr`` by construction (same filter over the same
+    merged spread). At cluster scale this frame is the persisted
+    tokenizer-vocabulary staging table every trainer pipeline keeps."""
+    from facturas_spark.analytics.cache import session_cached
+    from facturas_spark.extraction import bpe
+
+    def make() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        return (
+            docs.select(F.explode(bpe.pretokens_expr(F.col("text"))).alias("w"))
+            .distinct()
+            .select("w", bpe.tokens_expr(F.col("w")).alias("toks"))
+            .withColumn("wn", F.size("toks").cast("long"))
+        )
+
+    return session_cached(spark, sf_dir, "bpe_vocab", make)
+
+
+def _bpe_doc_token_counts(
+    docs: DataFrame,
+    extra_cols: list | None = None,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc REAL-BPE token counts via the vocabulary join (the
     corpus-scale shape): explode docs into pre-tokens, run the merge
     chain over DISTINCT words only (Heaps' law keeps the vocabulary
@@ -883,18 +942,27 @@ def _bpe_doc_token_counts(docs: DataFrame, extra_cols: list | None = None) -> Da
     amortizes over word frequency instead of paying O(doc_len x merges)
     per document. Returns (doc_id, *extra_cols, tokens) covering every
     input doc (token-less docs count 0) — ``extra_cols`` ride along on
-    the final left join so callers don't re-scan the docs table."""
+    the final left join so callers don't re-scan the docs table.
+
+    ``vocab``: a prebuilt (w, .., wn) frame (``_bpe_vocab``) — must
+    cover every pre-token of ``docs``; when omitted the vocabulary is
+    derived from ``docs`` itself."""
     from facturas_spark.extraction import bpe
 
     pre = docs.select(
         "doc_id", F.explode(bpe.pretokens_expr(F.col("text"))).alias("w")
     )
-    vocab = (
-        pre.select("w")
-        .distinct()
-        .select("w", bpe.token_count_expr(F.col("w")).alias("wn"))
+    if vocab is None:
+        vocab = (
+            pre.select("w")
+            .distinct()
+            .select("w", bpe.token_count_expr(F.col("w")).alias("wn"))
+        )
+    per_doc = (
+        pre.join(vocab.select("w", "wn"), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("wn").alias("tokens"))
     )
-    per_doc = pre.join(vocab, "w").groupBy("doc_id").agg(F.sum("wn").alias("tokens"))
     return (
         docs.select("doc_id", *(extra_cols or []))
         .join(per_doc, "doc_id", "left")
@@ -912,7 +980,9 @@ def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned-merge tokenizer via the vocabulary join — the per-lang
     totals a trainer's tokenizer would actually bill."""
     docs = _t(spark, sf_dir, "documents")
-    counts = _bpe_doc_token_counts(docs, extra_cols=["lang"])
+    counts = _bpe_doc_token_counts(
+        docs, extra_cols=["lang"], vocab=_bpe_vocab(spark, sf_dir)
+    )
     return (
         counts.groupBy("lang")
         .agg(
@@ -1307,7 +1377,7 @@ def corpus_packing(
     # counts come through the vocabulary join (_bpe_doc_token_counts)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     budget = 512
-    base = _bpe_doc_token_counts(docs)
+    base = _bpe_doc_token_counts(docs, vocab=_bpe_vocab(spark, sf_dir))
     if shards is None:
         w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
         group_cols = ["pack_id"]
@@ -1983,13 +2053,9 @@ def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(bpe.pretokens_expr(F.col("text"))).alias("pos", "w"),
     )
-    vocab = (
-        pre.select("w")
-        .distinct()
-        .select("w", bpe.tokens_expr(F.col("w")).alias("toks"))
-    )
+    vocab = _bpe_vocab(spark, sf_dir)  # shared session-cached frame
     seq = (
-        pre.join(vocab, "w")
+        pre.join(vocab.select("w", "toks"), "w")
         .groupBy("doc_id")
         .agg(
             F.flatten(

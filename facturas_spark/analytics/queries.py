@@ -540,6 +540,63 @@ def ocr_layout_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ocr_layout_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable facet of the T3 layout walk (round-5 verdict
+    directive 4): per container kind, how many elements of the
+    synthesized Document-AI docs survive the span gates (bounds check +
+    empty-after-strip drop, including the planted out-of-bounds token),
+    the total reconstructed text length, the per-kind confidence prior
+    (process-invoice/index.ts:1125-1130), and how many docs carry the
+    kind. The Spark side runs the REAL ``walk_layout`` kernel; the
+    DuckDB twin re-derives every number from the raw (kind, start, end)
+    spans + flat texts with pure substr/trim arithmetic — a genuine
+    cross-engine check of T1 span reconstruction and the walk's gates."""
+    from pyspark.sql.functions import pandas_udf
+
+    from facturas_spark.extraction.ocr import OCR_DOC_DDL
+    from facturas_spark.synth import ocr_rows
+
+    df = spark.createDataFrame(ocr_rows(60, seed=42), OCR_DOC_DDL)
+
+    @pandas_udf("array<struct<kind:string, cnt:long, chars:long>>")
+    def kernel(text: pd.Series, pages: pd.Series) -> pd.Series:
+        from facturas_spark.extraction.ocr import walk_layout
+
+        out = []
+        for t, ps in zip(text, pages):
+            per: dict[str, list[int]] = {}
+            for e in walk_layout(t, ps):
+                acc = per.setdefault(e["kind"], [0, 0])
+                acc[0] += 1
+                acc[1] += len(e["texto"])
+            out.append(
+                [
+                    {"kind": k, "cnt": c, "chars": ch}
+                    for k, (c, ch) in per.items()
+                ]
+            )
+        return pd.Series(out)
+
+    from facturas_spark.extraction.ocr import _CONTAINERS
+
+    prior = F.create_map(
+        *[x for _f, key, conf in _CONTAINERS for x in (F.lit(key), F.lit(conf))]
+    )
+    per_doc = df.select(
+        "url", F.explode(kernel("text", "pages")).alias("k")
+    ).select("url", "k.*")
+    return (
+        per_doc.groupBy("kind")
+        .agg(
+            F.sum("cnt").alias("elements"),
+            F.sum("chars").alias("total_chars"),
+            F.count("*").alias("docs_with_kind"),
+        )
+        .withColumn("conf_prior", prior[F.col("kind")])
+        .orderBy("kind")
+    )
+
+
 # ------------------------------------------------------- text analytics --
 def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting over documents (whitespace tokenizer), per-lang stats.
