@@ -237,6 +237,7 @@ def stream_clean_increment(
     corpus_dir: str,
     checkpoint_dir: str,
     benchmark_path: str | None = None,
+    semantic_tau: float | None = None,
 ) -> None:
     """The continuously-fed corpus cleaner: NEW documents stream in, pass
     the per-doc quality stages (nonempty/langid/gopher/repetition/PII
@@ -249,9 +250,21 @@ def stream_clean_increment(
     Corpus state layout (all columnar, partition-per-epoch, all written
     by this sink so re-reads include prior epochs):
 
-      <corpus>/docs/epoch=N   kept docs (doc_id, source, text=scrubbed)
-      <corpus>/fps/epoch=N    exact-dedup fingerprint index (doc_id, fp)
-      <corpus>/bands/epoch=N  MinHash band index (doc_id, band, key)
+      <corpus>/docs/epoch=N      kept docs (doc_id, source, text=scrubbed)
+      <corpus>/fps/epoch=N       exact-dedup fingerprint index (doc_id, fp)
+      <corpus>/bands/epoch=N     MinHash band index (doc_id, band, key)
+      <corpus>/embs/epoch=N      hash embeddings (semantic_tau only)
+      <corpus>/embbands/epoch=N  sign-LSH index over embs (semantic_tau only)
+
+    ``semantic_tau`` adds the streaming twin of the batch job's
+    ``--semantic-dedup`` stage (round-5 verdict directive 3): each batch
+    is first SemDeDup'd internally with the SAME
+    ``corpus_clean.semantic_dedup_ids`` kernel the batch job runs, then
+    checked against the PERSISTED corpus embedding-band index — LSH
+    candidates via an equi-join on (band, key), exact-cosine verify as a
+    point lookup of only the collided corpus vectors. Survivors append
+    their embeddings + bands to the index, so a rephrased duplicate
+    arriving epochs later still hits its original.
 
     Scale notes: the fingerprint and band joins are equi-joins against
     PERSISTED indexes (never recomputed from corpus text); Jaccard
@@ -365,6 +378,56 @@ def stream_clean_increment(
         )
         kept = exact_kept.join(near_hit, "doc_id", "left_anti").persist()
 
+        # semantic phase (SemDeDup, streaming twin of --semantic-dedup):
+        # batch-internal drops via the batch job's own kernel, then
+        # batch-vs-corpus via the persisted embedding-band index
+        emb_kept = None
+        if semantic_tau is not None:
+            from facturas_spark.analytics.corpus_clean import semantic_dedup_ids
+            from facturas_spark.analytics.dedup import (
+                _emb_band_table,
+                _pair_cosine,
+            )
+            from facturas_spark.extraction.embed import embed_udf
+
+            internal = semantic_dedup_ids(
+                kept.select("doc_id", "text"), tau=semantic_tau
+            )
+            sem_kept = kept.join(internal, "doc_id", "left_anti")
+            emb_b = (
+                sem_kept.select(
+                    "doc_id", embed_udf(F.col("text")).alias("embedding")
+                )
+                .filter(F.col("embedding").isNotNull())
+                .persist()
+            )
+            prior_embbands = read_or_empty(
+                os.path.join(corpus_dir, "embbands"),
+                "doc_id long, band int, key int",
+            ).select(F.col("doc_id").alias("cid"), "band", "key")
+            prior_embs = read_or_empty(
+                os.path.join(corpus_dir, "embs"),
+                "doc_id long, embedding array<float>",
+            )
+            cand_sem = (
+                _emb_band_table(emb_b, "doc_id")
+                .withColumnRenamed("doc_id", "bid")
+                .join(prior_embbands, ["band", "key"])
+                .select("bid", "cid")
+                .distinct()
+            )
+            sem_hit = (
+                _pair_cosine(
+                    cand_sem, emb_b, prior_embs, "doc_id", lid="bid", rid="cid"
+                )
+                .filter(F.col("_cos") >= semantic_tau)
+                .select(F.col("bid").alias("doc_id"))
+                .distinct()
+            )
+            pre_sem_kept = kept
+            kept = sem_kept.join(sem_hit, "doc_id", "left_anti").persist()
+            emb_kept = emb_b.join(kept.select("doc_id"), "doc_id", "left_semi")
+
         try:
             # exactly-once appends: each epoch owns its directories wholesale
             ep = f"epoch={epoch_id}"
@@ -377,6 +440,15 @@ def stream_clean_increment(
             _band_table(_shingle_table(kept.select("doc_id", "text"))).write.mode(
                 "overwrite"
             ).parquet(os.path.join(corpus_dir, "bands", ep))
+            if emb_kept is not None:
+                from facturas_spark.analytics.dedup import _emb_band_table
+
+                emb_kept.write.mode("overwrite").parquet(
+                    os.path.join(corpus_dir, "embs", ep)
+                )
+                _emb_band_table(emb_kept, "doc_id").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(corpus_dir, "embbands", ep))
             ledger.write_json(f"epoch={epoch_id}.json", {"epoch": int(epoch_id)})
         finally:
             # the caches only serve THIS micro-batch; without the release
@@ -390,6 +462,9 @@ def stream_clean_increment(
             kept.unpersist()
             sh_b.unpersist()
             exact_kept.unpersist()
+            if semantic_tau is not None:
+                pre_sem_kept.unpersist()
+                emb_b.unpersist()
             release_stage_caches()
 
     q = (

@@ -623,3 +623,91 @@ def test_stream_clean_increment_decontamination(spark, tmp_path):
 
     kept = {r.doc_id for r in spark.read.parquet(f"{corpus}/docs").collect()}
     assert kept == {1}
+
+
+def test_stream_clean_increment_semantic_dedup(spark, tmp_path):
+    """Streaming twin of the batch job's --semantic-dedup (round-5
+    verdict directive 3), on the pinned reordered-words case: the
+    word-reversed duplicate has ZERO 3-word-shingle overlap (MinHash
+    keeps it) but ~0.89 hash-embedding cosine. Three properties:
+    (1) CROSS-EPOCH: the reversal arriving a later epoch drops against
+    the PERSISTED embedding-band index; (2) BATCH-INTERNAL: base + its
+    reversal in one batch keep only the min doc_id (the batch kernel's
+    rule); (3) EQUIVALENCE: the streamed corpus equals the batch
+    per_doc_flags(semantic_tau=0.8) survivor set on the same docs."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.analytics.corpus_clean import per_doc_flags
+    from facturas_spark.streaming.stream import stream_clean_increment
+
+    base = (
+        "the quick brown fox and the lazy dog of the farm run in a field "
+        "of corn with a river and the old mill behind the hill"
+    )
+    rev = " ".join(reversed(base.split()))
+    other = (
+        "a completely different story about boats and the open sea with "
+        "sails and the wind of the north and a calm blue harbor at dawn"
+    )
+    ddl = "doc_id long, source string, lang string, text string"
+
+    # -- (1) cross-epoch: base+other seed the index; rev arrives later
+    in_dir = tmp_path / "in"
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(0, "s0", "en", base), (2, "s1", "en", other)], ddl
+    ).write.mode("append").parquet(str(in_dir))
+    stream_clean_increment(spark, str(in_dir), corpus, ckpt, semantic_tau=0.8)
+    assert {r.doc_id for r in spark.read.parquet(f"{corpus}/docs").collect()} == {0, 2}
+    # the embedding index persisted alongside docs/fps/bands
+    assert spark.read.parquet(f"{corpus}/embs").count() == 2
+    assert spark.read.parquet(f"{corpus}/embbands").count() > 0
+
+    spark.createDataFrame([(1, "s0", "en", rev)], ddl).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    stream_clean_increment(spark, str(in_dir), corpus, ckpt, semantic_tau=0.8)
+    kept = {r.doc_id for r in spark.read.parquet(f"{corpus}/docs").collect()}
+    assert kept == {0, 2}, "reversal must drop against the persisted emb index"
+    assert spark.read.parquet(f"{corpus}/embs").count() == 2
+
+    # -- (2) batch-internal: base + rev in ONE epoch -> min doc_id wins
+    in2 = tmp_path / "in2"
+    corpus2 = str(tmp_path / "corpus2")
+    in2.mkdir()
+    spark.createDataFrame(
+        [(0, "s0", "en", base), (1, "s0", "en", rev), (2, "s1", "en", other)],
+        ddl,
+    ).write.mode("append").parquet(str(in2))
+    stream_clean_increment(
+        spark, str(in2), corpus2, str(tmp_path / "ckpt2"), semantic_tau=0.8
+    )
+    kept2 = {r.doc_id for r in spark.read.parquet(f"{corpus2}/docs").collect()}
+
+    # -- (3) equivalence with the batch job's flag chain
+    docs = spark.createDataFrame(
+        [(0, "s0", "en", base), (1, "s0", "en", rev), (2, "s1", "en", other)],
+        ddl,
+    )
+    batch_kept = {
+        r.doc_id
+        for r in per_doc_flags(docs, semantic_tau=0.8)
+        .filter(F.col("s6"))
+        .select("doc_id")
+        .collect()
+    }
+    assert kept2 == batch_kept == {0, 2}
+
+    # off by default: no embedding index is written
+    in3 = tmp_path / "in3"
+    corpus3 = str(tmp_path / "corpus3")
+    in3.mkdir()
+    spark.createDataFrame([(7, "s0", "en", base)], ddl).write.mode(
+        "append"
+    ).parquet(str(in3))
+    stream_clean_increment(spark, str(in3), corpus3, str(tmp_path / "ckpt3"))
+    import os
+
+    assert not os.path.exists(f"{corpus3}/embs")
