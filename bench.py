@@ -9,6 +9,10 @@ Modes:
   python bench.py                 # full suite at $SPARK_GRAFT_SF_DIR (sf0.1)
   python bench.py --scaling       # extraction job at 2 parallelism levels
                                   # (N=8 vs 4N=32 cores) -> efficiency ratio
+  python bench.py --scaling-shuffle  # shuffle-heavy jobs (LSH dedup chain +
+                                     # clean funnel) across the same levels
+  python bench.py --skew          # planted hot-key join: plain vs AQE vs
+                                  # salted_join absorption evidence
 """
 
 from __future__ import annotations
@@ -321,6 +325,276 @@ def run_scaling() -> dict:
     }
 
 
+SHUFFLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SHUFFLE_DIR", "/root/repo/.localdata/sf1"
+)
+
+
+def _bench_shuffle_jobs(spark, sf_dir: str) -> dict:
+    """Best-of-REPS COLD wall seconds for the two shuffle-dominated jobs
+    (the 100-TB-shaped DAGs: LSH dedup chain = 3 wide shuffles + verify
+    join; clean funnel = window + band self-join + components). Session
+    caches are cleared before every rep so each measures the full
+    shuffle DAG, not a localCheckpoint read."""
+    from facturas_spark.analytics import cache as _cache
+    from facturas_spark.analytics import corpus_clean as _cc
+    from facturas_spark.analytics import dedup as _d
+
+    jobs = {
+        "dedup_lsh_clusters": lambda: _d.dedup_lsh_clusters(
+            spark, sf_dir
+        ).count(),
+        "corpus_clean_stats": lambda: _cc.corpus_clean_stats(
+            spark, sf_dir
+        ).collect(),
+    }
+    out = {}
+    for name, fn in jobs.items():
+        best = None
+        for _ in range(SCALING_REPS):
+            _cache._CACHE.clear()
+            _cc.release_stage_caches()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        _cache._CACHE.clear()
+        _cc.release_stage_caches()
+        out[name] = round(best, 3)
+    return out
+
+
+def scale_one_shuffle(cores: int) -> dict:
+    """One pinned level of the SHUFFLE sweep (fresh process, same rules
+    as scale_one). shuffle_partitions stays at $SPARK_GRAFT_CPUS across
+    levels so every level runs the IDENTICAL DAG — only the slot count
+    varies, which is exactly the two-cluster-size question. The
+    extraction kernel control runs in the same host-weather window to
+    normalize out the VM's core-scaling ceiling."""
+    from facturas_spark.session import get_spark
+
+    _pin(cores)
+    spark = get_spark(
+        f"bench-shuffle-{cores}", cores=cores, shuffle_partitions=CPUS
+    )
+    _warm_workers(spark)
+    jobs = _bench_shuffle_jobs(spark, SHUFFLE_SF_DIR)
+    spark.stop()
+    kernel_dps = _kernel_control([cores])[str(cores)]
+    total = round(sum(jobs.values()), 3)
+    return {
+        "cores": cores,
+        "jobs": jobs,
+        "sec": total,
+        "kernel_docs_per_sec": kernel_dps,
+    }
+
+
+def run_scaling_shuffle() -> dict:
+    """The shuffle-heavy counterpart of run_scaling (round-5 verdict
+    directive 2): the extraction sweep proves the zero-shuffle UDF
+    scales; 100-TB behavior is decided by the shuffle DAG. Same
+    interleaved pinned-subprocess methodology over the sf1 corpus
+    (50k docs); efficiency from wall-time ratios (t_N / t_4N / 4),
+    reported raw AND normalized to the same-window kernel control."""
+    import subprocess
+
+    levels = [
+        c
+        for c in (
+            int(x)
+            for x in os.environ.get(
+                "BENCH_SHUFFLE_LEVELS", "4,8,16,32"
+            ).split(",")
+        )
+        if c <= CPUS
+    ]
+    if not levels:
+        raise RuntimeError(
+            "no runnable shuffle-sweep levels: BENCH_SHUFFLE_LEVELS="
+            f"{os.environ.get('BENCH_SHUFFLE_LEVELS', '4,8,16,32')!r} vs "
+            f"SPARK_GRAFT_CPUS={CPUS}"
+        )
+    results: dict[int, dict] = {}
+    for _ in range(SCALING_ROUNDS):
+        for cores in levels:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scale-one-shuffle", str(cores)],
+                capture_output=True,
+                text=True,
+                env={**os.environ,
+                     "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "24g")},
+            )
+            if out.returncode != 0 or not out.stdout.strip():
+                raise RuntimeError(
+                    f"scale-one-shuffle {cores} failed (rc={out.returncode}); "
+                    f"stderr tail: {out.stderr[-2000:]}"
+                )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if cores not in results or r["sec"] < results[cores]["sec"]:
+                results[cores] = r
+
+    def eff_time(lo: int, hi: int, job: str | None = None) -> float | None:
+        if lo not in results or hi not in results:
+            return None
+        tl = results[lo]["jobs"][job] if job else results[lo]["sec"]
+        th = results[hi]["jobs"][job] if job else results[hi]["sec"]
+        return round(tl / th / (hi / lo), 3)
+
+    control = {str(c): results[c]["kernel_docs_per_sec"] for c in levels}
+
+    def ctrl_eff(lo: int, hi: int) -> float | None:
+        if str(lo) not in control or str(hi) not in control:
+            return None
+        return round(control[str(hi)] / control[str(lo)] / (hi / lo), 3)
+
+    per_job_eff = {
+        job: {
+            "eff_4_to_16": eff_time(4, 16, job),
+            "eff_8_to_32": eff_time(8, 32, job),
+        }
+        for job in results[levels[0]]["jobs"]
+    }
+    eff_4_16 = eff_time(4, 16)
+    eff_8_32 = eff_time(8, 32)
+    c_4_16, c_8_32 = ctrl_eff(4, 16), ctrl_eff(8, 32)
+    return {
+        "metric": "shuffle_scaling_efficiency",
+        "value": eff_8_32 if eff_8_32 is not None else eff_4_16,
+        "unit": "ratio",
+        "queries": {f"local[{c}]": results[c]["sec"] for c in levels},
+        "sf": 1.0,
+        "detail": {str(c): results[c] for c in levels},
+        "per_job_efficiency": per_job_eff,
+        "efficiency_4_to_16": eff_4_16,
+        "efficiency_8_to_32": eff_8_32,
+        "kernel_control_docs_per_sec": control,
+        "kernel_control_eff_4_to_16": c_4_16,
+        "kernel_control_eff_8_to_32": c_8_32,
+        "framework_eff_4_to_16": (
+            round(eff_4_16 / c_4_16, 3) if eff_4_16 and c_4_16 else None
+        ),
+        "framework_eff_8_to_32": (
+            round(eff_8_32 / c_8_32, 3) if eff_8_32 and c_8_32 else None
+        ),
+        "reps": SCALING_REPS,
+        "rounds": SCALING_ROUNDS,
+        "pinned": True,
+        "shuffle_partitions": CPUS,
+        "input": SHUFFLE_SF_DIR,
+    }
+
+
+def run_skew_probe() -> dict:
+    """Planted hot-key skew probe (round-5 verdict directive 2): 60% of
+    a 4M-row fact lands on ONE host key; the host-dim join is forced to
+    sort-merge (hint) so the broadcast planner can't hide the skew.
+    Three strategies timed on identical input:
+
+      plain      AQE skew-join OFF  -> the hot partition serializes
+      aqe        AQE skew-join ON   -> runtime split absorbs it
+      salted     explicit salted_join (matching/cotejo.py), AQE OFF
+
+    Evidence target: aqe and salted both well under plain, and the
+    executed plan for `aqe` carries the skew=true marker."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.matching.cotejo import salted_join
+    from facturas_spark.session import get_spark
+
+    n_rows, n_hosts = 4_000_000, 500
+    spark = get_spark("bench-skew", cores=CPUS, shuffle_partitions=CPUS)
+    _warm_workers(spark)
+    big = (
+        spark.range(n_rows)
+        .withColumn(
+            "host",
+            F.when(F.pmod("id", 10) < 6, F.lit("h0")).otherwise(
+                F.concat(F.lit("h"), F.pmod(F.xxhash64("id"), F.lit(n_hosts)))
+            ),
+        )
+        .withColumn("v", (F.col("id") % 97).cast("double"))
+        .persist()
+    )
+    big.count()
+    dim = (
+        spark.range(n_hosts)
+        .select(F.concat(F.lit("h"), F.col("id")).alias("host"),
+                (F.col("id") % 7).alias("tier"))
+        .persist()
+    )
+    dim.count()
+
+    def timed(fn) -> tuple[float, object]:
+        t0 = time.perf_counter()
+        res = fn()
+        return round(time.perf_counter() - t0, 3), res
+
+    def agg(df):
+        return df.groupBy("tier").agg(F.sum("v").alias("sv")).collect()
+
+    out: dict = {"metric": "skew_probe", "unit": "sec", "rows": n_rows,
+                 "hot_share": 0.6, "queries": {}}
+    plan_marker = None
+    for name, aqe in (("plain", False), ("aqe", True)):
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe).lower())
+        if aqe:
+            # the planted hot partition is ~100 MB — under the 256 MB
+            # default threshold AQE would only coalesce, not split; a
+            # production 100-TB hot host clears the default on its own.
+            # Scale the thresholds to the probe so the SPLIT path (the
+            # mechanism under test) is what runs.
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "1m",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
+            )
+        plan_df = (
+            big.join(dim.hint("merge"), "host")
+            .groupBy("tier")
+            .agg(F.sum("v").alias("sv"))
+        )
+        sec, rows = timed(plan_df.collect)
+        out["queries"][name] = sec
+        if aqe:
+            executed = plan_df._jdf.queryExecution().executedPlan().toString()
+            plan_marker = ("skew=true" in executed) or ("isSkew=true" in executed)
+            spark.conf.unset(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            )
+            spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    # the exploded 4000-row dim is broadcast-sized, and a BroadcastHash
+    # join would sidestep the shuffle entirely — measuring broadcast, not
+    # salting (round-6 review). Disable auto-broadcast so the salted run
+    # exercises the salted SHUFFLE join it exists to demonstrate.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    j = salted_join(big, dim, "host")
+    sec, rows = timed(lambda: agg(j))
+    out["queries"]["salted"] = sec
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    out["value"] = round(out["queries"]["plain"] / out["queries"]["aqe"], 3)
+    out["speedup_aqe"] = out["value"]
+    out["speedup_salted"] = round(
+        out["queries"]["plain"] / out["queries"]["salted"], 3
+    )
+    out["aqe_plan_skew_marker"] = plan_marker
+    big.unpersist()
+    dim.unpersist()
+    return out
+
+
 def _compact(out: dict, limit: int = 1700) -> dict:
     """Shrink the printed JSON line under the driver's ~2 KB stdout-tail
     window (the round-2 artifact had 'parsed: null' because the full
@@ -350,10 +624,20 @@ if __name__ == "__main__":
         cores = int(sys.argv[sys.argv.index("--scale-one") + 1])
         print(json.dumps(scale_one(cores)))
         sys.exit(0)
-    out = run_scaling() if "--scaling" in sys.argv else run_suite()
+    if "--scale-one-shuffle" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--scale-one-shuffle") + 1])
+        print(json.dumps(scale_one_shuffle(cores)))
+        sys.exit(0)
+    if "--scaling-shuffle" in sys.argv:
+        out, mode = run_scaling_shuffle(), "scaling_shuffle"
+    elif "--skew" in sys.argv:
+        out, mode = run_skew_probe(), "skew"
+    elif "--scaling" in sys.argv:
+        out, mode = run_scaling(), "scaling"
+    else:
+        out, mode = run_suite(), "suite"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_full.json")
-    mode = "scaling" if "--scaling" in sys.argv else "suite"
     try:
         with open(full_path) as f:
             full = json.load(f)

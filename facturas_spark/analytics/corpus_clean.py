@@ -372,7 +372,19 @@ def per_doc_flags(
     else:
         f3 = f3.withColumn("sem_drop", F.lit(False))
 
-    # stage 7: per-source quota among s6 survivors
+    # stage 7: per-source quota among s6 survivors.
+    # Skew note (the 100-TB shape): partitionBy(source) puts every row
+    # of a source in ONE window partition — a Zipf-hot crawl source
+    # (tools/sf3_bench.py plants 30% of the corpus on one source)
+    # serializes in a single fat task, and AQE cannot split a window.
+    # The row_number form is exact and fine up to ~10^7 rows/source;
+    # past that, the scale mitigation is the two-phase form: a cheap
+    # groupBy(source).count() first, sources under quota_k pass wholesale
+    # with NO window, and only the hot tail (few sources) runs the
+    # ordered window — or, when "first K under the md5 shuffle order" can
+    # relax to "a uniform K-sample", a filter on
+    # md5(doc_id) < K/count quantile, which is a pure map. Same keep
+    # semantics for every cold source either way.
     qw = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )

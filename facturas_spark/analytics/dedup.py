@@ -367,6 +367,14 @@ def _min_label_components(
 
     if os.environ.get("SPARK_GRAFT_COMPONENT_ALGO") == "star":
         return _star_components(pairs, partitions)
+    if partitions is None and os.environ.get("SPARK_GRAFT_COMPONENT_PARTITIONS"):
+        # deployment knob: callers that don't thread the parameter (the
+        # registry queries) can still select the N-way co-partitioned
+        # cluster layout — the single-partition default is right for the
+        # sandbox's tiny pair graphs, but each loop round is one task,
+        # and that serial floor grows with the component count (measured
+        # by the round-6 shuffle sweep)
+        partitions = int(os.environ["SPARK_GRAFT_COMPONENT_PARTITIONS"])
 
     def _layout(df: DataFrame, key: str) -> DataFrame:
         if partitions is None:
@@ -376,6 +384,15 @@ def _min_label_components(
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if partitions is None else df
 
+    # Materialize the pair graph AT ITS OWN PARALLELISM before any
+    # single-partition collapse: in the sandbox layout `_layout` does
+    # coalesce(1), and coalesce is not a shuffle boundary — without this
+    # checkpoint the ENTIRE upstream DAG (the LSH Jaccard verify over
+    # every candidate pair) would execute inside that one merged task.
+    # Found by the round-6 shuffle scaling sweep: the dedup chain's wall
+    # was flat 16->32 cores because verify ran single-threaded here
+    # (sf3: 29 s -> 14 s at 32 cores with the checkpoint).
+    pairs = pairs.localCheckpoint(eager=True)
     und = _layout(
         pairs.unionByName(
             pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
@@ -444,6 +461,10 @@ def _star_components(
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if partitions is None else df
 
+    # same parallel-materialization guard as _min_label_components: the
+    # sandbox _layout coalesces to 1 partition, and without a checkpoint
+    # the upstream candidate-verify DAG would run inside that one task
+    pairs = pairs.localCheckpoint(eager=True)
     nodes = _layout(
         pairs.select(F.col("id1").alias("doc_id"))
         .unionByName(pairs.select(F.col("id2").alias("doc_id")))

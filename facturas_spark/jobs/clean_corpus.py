@@ -40,6 +40,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if _ROOT not in sys.path:
@@ -125,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
 
     flags_path = os.path.join(args.output, "flags")
     if "flags" not in done:
+        t_stage = time.perf_counter()
         docs = spark.read.parquet(args.input)
         if args.synth_pii:
             docs = with_synth_pii(docs)
@@ -167,16 +169,23 @@ def main(argv: list[str] | None = None) -> int:
         manifest.write_json(
             "stage=flags.json", {"stage": "flags", "rows": rows, **decon_meta}
         )
-        result["stages"]["flags"] = {"rows": rows, **decon_meta}
+        result["stages"]["flags"] = {
+            "rows": rows,
+            "sec": round(time.perf_counter() - t_stage, 2),
+            **decon_meta,
+        }
 
     flags_df = spark.read.parquet(flags_path)
 
     if "clean" not in done:
+        t_stage = time.perf_counter()
         clean_path = os.path.join(args.output, "clean")
         cleaned_corpus(flags_df).write.mode("overwrite").parquet(clean_path)
         rows = spark.read.parquet(clean_path).count()
         manifest.write_json("stage=clean.json", {"stage": "clean", "rows": rows})
-        result["stages"]["clean"] = {"rows": rows}
+        result["stages"]["clean"] = {
+            "rows": rows, "sec": round(time.perf_counter() - t_stage, 2)
+        }
         if args.iceberg_table:
             from facturas_spark.sources.iceberg import iceberg_available
 
@@ -193,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
     if "stats" not in done:
+        t_stage = time.perf_counter()
         stats_path = os.path.join(args.output, "stats")
         funnel = clean_funnel(flags_df).orderBy("stage")
         funnel.coalesce(1).write.mode("overwrite").parquet(stats_path)
@@ -200,7 +210,9 @@ def main(argv: list[str] | None = None) -> int:
         manifest.write_json(
             "stage=stats.json", {"stage": "stats", "funnel": stats_rows}
         )
-        result["stages"]["stats"] = {"funnel": stats_rows}
+        result["stages"]["stats"] = {
+            "funnel": stats_rows, "sec": round(time.perf_counter() - t_stage, 2)
+        }
 
     print(json.dumps(result))
     return 0

@@ -1,6 +1,8 @@
 """Iceberg table IO (north rule: Iceberg tables bucketed by url hash).
 
-This sandbox ships no Iceberg runtime jar, so the module degrades
+This sandbox ships no Iceberg runtime jar (re-probed round 6, 2026-08-17:
+`getent hosts repo1.maven.org` → no DNS, no iceberg*.jar anywhere on
+disk), so the module degrades
 explicitly: :func:`iceberg_available` probes the Spark session for the
 catalog plugin; the writer uses real Iceberg DDL/DataFrameWriterV2 when the
 plugin is present and otherwise raises ``IcebergUnavailable`` so callers

@@ -179,7 +179,9 @@ def test_clean_job_decontamination(spark, tmp_path):
             == 0
         )
     r = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert r["stages"]["flags"] == {"rows": 2, "decontaminated": 1}
+    flags_meta = dict(r["stages"]["flags"])
+    assert flags_meta.pop("sec") >= 0  # per-stage wall (round 6)
+    assert flags_meta == {"rows": 2, "decontaminated": 1}
     clean_ids = {
         row["doc_id"]
         for row in spark.read.parquet(f"{out}/clean").select("doc_id").collect()
