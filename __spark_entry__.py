@@ -443,6 +443,9 @@ _CORPUS_CLEAN_SQL = f"""
 """
 
 
+_OCR_FACETS_SQL: str | None = None
+
+
 def _ocr_layout_facets_sql() -> str:
     """Twin for ``ocr_layout_facets``: flatten the SAME deterministic
     ``synth.ocr_rows(60, seed=42)`` docs into raw VALUES — flat texts +
@@ -450,7 +453,14 @@ def _ocr_layout_facets_sql() -> str:
     arithmetic (1-based substr, bounds gates, whitespace strip,
     empty-drop) with pure SQL. Nothing pre-computed leaks in: the Python
     side here only serializes the synthesizer's raw inputs, so a wrong
-    gate or off-by-one in the Spark kernel hash-mismatches."""
+    gate or off-by-one in the Spark kernel hash-mismatches.
+
+    Module-memoized: every other twin is a static string, and consumers
+    call ``oracle_sql()`` repeatedly — the 60-doc synthesis + ~80 KB
+    VALUES build should run once per process (round-6 review)."""
+    global _OCR_FACETS_SQL
+    if _OCR_FACETS_SQL is not None:
+        return _OCR_FACETS_SQL
     from facturas_spark.extraction.ocr import _CONTAINERS
     from facturas_spark.synth import ocr_rows
 
@@ -474,7 +484,7 @@ def _ocr_layout_facets_sql() -> str:
         f"WHEN '{key}' THEN {conf}" for _f, key, conf in _CONTAINERS
     )
     ws = "' ' || chr(10) || chr(9) || chr(13)"
-    return f"""
+    _OCR_FACETS_SQL = f"""
         WITH texts(doc_id, text) AS (VALUES {texts_sql}),
         els(doc_id, kind, s, e) AS (VALUES {els_sql}),
         recon AS (
@@ -491,6 +501,7 @@ def _ocr_layout_facets_sql() -> str:
         FROM recon WHERE texto <> ''
         GROUP BY kind ORDER BY kind
     """
+    return _OCR_FACETS_SQL
 
 
 def oracle_sql() -> dict[str, str]:

@@ -125,7 +125,11 @@ def _component_exprs(url: Column, hand_fallback: bool = True) -> dict:
     # referenced once: the nested normalize(normalize(u)) fixpoint
     # squares every reference, and a when/otherwise probe (4 refs) blew
     # the codegen tree past the driver heap.
-    port = F.regexp_extract(hostport, r"(?:^[^\[\]]*|\]):([0-9]*)$", 1)
+    # port charset [^:\[\]]* (not [0-9]*): crawl junk like
+    # 'example.com:8080x' must keep its junk port so its canonical form
+    # stays DISTINCT from 'example.com' — narrowing to digits would merge
+    # two different source URLs onto one dedup key (round-6 review)
+    port = F.regexp_extract(hostport, r"(?:^[^\[\]]*|\]):([^:\[\]]*)$", 1)
     path = F.when(valid, F.coalesce(F.try_parse_url(uu, F.lit("PATH")), F.lit("")))\
         .otherwise(hand_path)
     query = F.when(valid, F.coalesce(F.try_parse_url(uu, F.lit("QUERY")), F.lit("")))\
@@ -172,8 +176,12 @@ def url_quality_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
     url = F.coalesce(F.col(url_col), F.lit(""))
     # collision-proof temp name: a caller-provided '_uc' column must come
     # back intact, not be clobbered then dropped (round-6 advice)
+    # case-INSENSITIVE check: Spark resolves column names case-
+    # insensitively by default, so withColumn('_uc', ...) would REPLACE a
+    # caller's '_UC' even though the exact-match probe missed it
+    lower_cols = {c.lower() for c in df.columns}
     uc = "_uc"
-    while uc in df.columns:
+    while uc in lower_cols:
         uc = "_" + uc
     df = df.withColumn(uc, url_components(url))
     c = F.col(uc)

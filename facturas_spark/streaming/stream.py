@@ -305,10 +305,18 @@ def stream_clean_increment(
         }
 
     def read_or_empty(path: str, ddl: str) -> DataFrame:
+        """Read a corpus index layer restricted to LEDGER-COMMITTED
+        epochs. The epoch=N directories are written BEFORE the ledger
+        marker commits, so a crash-replayed epoch must not see its own
+        partial writes: without the filter, epoch N's retry would find
+        its own fps/embs rows, self-match every batch doc, and commit
+        the epoch EMPTY — silent data loss (round-6 review)."""
+        committed = [int(e) for e in committed_epochs()]
         try:
-            return spark.read.parquet(path)
+            df = spark.read.parquet(path)
         except Exception:
             return spark.createDataFrame([], ddl)
+        return df.filter(F.col("epoch").isin(committed)).drop("epoch")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in committed_epochs():

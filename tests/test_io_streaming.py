@@ -711,3 +711,68 @@ def test_stream_clean_increment_semantic_dedup(spark, tmp_path):
     import os
 
     assert not os.path.exists(f"{corpus3}/embs")
+
+
+def test_stream_clean_increment_crash_replay_ignores_partial_indexes(
+    spark, tmp_path
+):
+    """Round-6 review: the epoch=N index directories are written BEFORE
+    the ledger marker commits. A crash between the two leaves partial
+    fps/bands (and embs/embbands) on disk; the replayed epoch must NOT
+    read its own partial writes — or every batch doc self-matches and
+    the epoch commits EMPTY (silent data loss). Simulated by planting
+    an epoch-0 index layer with no ledger entry."""
+    import os
+
+    from facturas_spark.streaming.stream import stream_clean_increment
+
+    base = (
+        "the quick brown fox and the lazy dog of the farm run in a field "
+        "of corn with a river and the old mill behind the hill"
+    )
+    ddl = "doc_id long, source string, lang string, text string"
+    in_dir = tmp_path / "in"
+    corpus = str(tmp_path / "corpus")
+    in_dir.mkdir()
+    other = (
+        "a completely different story about boats and the open sea with "
+        "sails and the wind of the north and a calm blue harbor at dawn"
+    )
+    docs = [(0, "s0", "en", base), (1, "s1", "en", other)]
+    spark.createDataFrame(docs, ddl).write.mode("append").parquet(str(in_dir))
+
+    # plant the poison: epoch-0's own fingerprints/bands/embs on disk,
+    # exactly what a crash after the writes but before the ledger leaves
+    from pyspark.sql import functions as F
+
+    from facturas_spark.analytics.dedup import (
+        _band_table,
+        _emb_band_table,
+        _shingle_table,
+    )
+    from facturas_spark.extraction.embed import embed_udf
+
+    df = spark.createDataFrame(docs, ddl)
+    df.select("doc_id", F.md5("text").alias("fp")).write.parquet(
+        os.path.join(corpus, "fps", "epoch=0")
+    )
+    _band_table(_shingle_table(df.select("doc_id", "text"))).write.parquet(
+        os.path.join(corpus, "bands", "epoch=0")
+    )
+    df.select("doc_id", "source", "text").write.parquet(
+        os.path.join(corpus, "docs", "epoch=0")
+    )
+    emb = df.select("doc_id", embed_udf(F.col("text")).alias("embedding"))
+    emb.write.parquet(os.path.join(corpus, "embs", "epoch=0"))
+    _emb_band_table(emb, "doc_id").write.parquet(
+        os.path.join(corpus, "embbands", "epoch=0")
+    )
+    # NO ledger entry for epoch 0 — the replay must treat it as void
+
+    stream_clean_increment(
+        spark, str(in_dir), corpus, str(tmp_path / "ckpt"), semantic_tau=0.8
+    )
+    kept = {r.doc_id for r in spark.read.parquet(f"{corpus}/docs").collect()}
+    assert kept == {0, 1}, (
+        "replayed epoch saw its own partial index and dropped everything"
+    )
