@@ -59,6 +59,10 @@ def test_sql_queries_have_no_python(spark):
     # projection, vectorized pandas_udf) — oracle-twinned for exactness
     # but per-doc Python by design, like the rows-only pipelines
     oracle_backed.discard("embed_fingerprint_stats")
+    # the layout facet runs the REAL walk_layout kernel on purpose — the
+    # DuckDB twin re-derives its numbers from raw spans with pure SQL, so
+    # the pair is a cross-engine check OF the Python kernel itself
+    oracle_backed.discard("ocr_layout_facets")
     oracle_backed.discard("corpus_clean_stats")  # built-ins + the loop
     # NFC normalization has no Spark built-in — the Arrow pandas UDF is
     # the documented exemption (control-char strip stays JVM-side)
