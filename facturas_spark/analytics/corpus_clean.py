@@ -46,15 +46,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import os
+
 from facturas_spark.analytics.dedup import (
     DECON_K,
-    LSH_JACCARD_THRESHOLD,
     _kgram_hashes,
-    _band_table,
-    _jaccard,
+    _lsh_candidate_pairs,
     _min_label_components,
     _shingle_table,
     _t,
+    _verified_pairs,
     _words,
 )
 
@@ -144,13 +145,79 @@ def _marker_hits(words, markers: list[str]):
     return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
 
 
+def _grams_col(wcol, k: int):
+    """k-gram strings over a words-array column (space-joined windows) —
+    the same gram values the DuckDB twin builds with list_transform."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(wcol) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(wcol, i + j + 1) for j in range(k)]
+        ),
+    )
+
+
+def _run_stats(arr):
+    """One aggregate pass over a SORTED array returning struct(best,
+    dup): best = longest run of equal consecutive elements (== max
+    multiplicity of the multiset), dup = count of elements whose
+    multiplicity is >= 2 (when a run reaches length 2 both members
+    count, each further member adds 1).
+
+    HOF discipline (the reason this is ONE aggregate, not an indexed
+    transform): any outer expression referenced inside a HOF lambda body
+    is re-evaluated PER ELEMENT — an earlier draft that probed neighbors
+    with F.get(sorted_arr, i) re-ran the whole gram-build+sort for every
+    index, turning the per-doc cost quadratic (measured: 75 s -> 494 s
+    on the 2.4M-doc corpus). aggregate() evaluates its input array
+    exactly once; the lambda touches only accumulator/element vars."""
+
+    def step(acc, x):
+        same = acc.prev.isNotNull() & (acc.prev == x)
+        run = F.when(same, acc.run + F.lit(1)).otherwise(F.lit(1))
+        dup = (
+            F.when(same & (acc.run == F.lit(1)), acc.dup + F.lit(2))
+            .when(same, acc.dup + F.lit(1))
+            .otherwise(acc.dup)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dup"),
+        ),
+        step,
+        lambda acc: F.struct(acc.best.alias("best"), acc.dup.alias("dup")),
+    )
+
+
 def quality_frame(docs: DataFrame) -> DataFrame:
     """Stages 0-4 (the per-doc map/agg filters: nonempty, langid, gopher,
     repetition, PII scrub) as one frame with cumulative flags s0..s3 +
     scrubbed text + redaction counts. This is the batch chain's front
     half AND the per-micro-batch stage of the streaming increment
     (``streaming/stream.py:stream_clean_increment``) — corpus-wide
-    stages (dedup/quota/packing) stay out of it by design."""
+    stages (dedup/quota/packing) stay out of it by design.
+
+    Scale shape: ONE linear map over the corpus, zero shuffles. The
+    repetition stats (C4/Gopher top-2-gram share + dup-3-gram fraction)
+    are per-doc multiset statistics; the original form exploded every
+    gram into two corpus-wide groupBy shuffles and joined the results
+    back (three shuffles of gram-string keys). Since every gram of a doc
+    lives in its own row, the same counts fall out of a sorted gram
+    array map-side: max multiplicity = longest equal-run, multiplicity>1
+    membership = run-length >= 2 (one ``_run_stats`` aggregate pass per
+    gram order) — identical values (same integer ratios the DuckDB twin
+    computes from its explode), computed only for s2 survivors via a
+    conditional branch, embarrassingly parallel at any corpus size."""
     base = docs.select("doc_id", "source", "text")
 
     words = _words(F.col("text"))
@@ -195,6 +262,7 @@ def quality_frame(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "source",
+        "w",
         "s0",
         "scrubbed",
         "n_red",
@@ -214,54 +282,31 @@ def quality_frame(docs: DataFrame) -> DataFrame:
         & (F.col("alpha_frac") >= 0.8)
         & (F.col("n_stop") >= 2),
     )
-    # the chain is diamond-shaped: f0/f1/f2 each feed BOTH the main frame
-    # and a survivor-only aggregation branch that joins back. Without
-    # persistence Catalyst re-evaluates the whole upstream (scan + word
-    # split + regex scrub) once per reference — ~6 scans of the corpus in
-    # one job. Persisting the three reused joints makes it one scan; at
-    # cluster scale these are MEMORY_AND_DISK frames a real job would
-    # stage anyway (the spark-submit job materializes flags to parquet).
-    f0 = _stage_persist(f0)
-
-    # stage 3: repetition stats only for stage-2 survivors (explode cost
-    # is bounded by the surviving set)
-    surv2 = docs.join(
-        f0.filter(F.col("s2")).select("doc_id"), "doc_id"
-    ).select("doc_id", "text")
-    wcol = _words(F.col("text"))
-    rep_base = surv2.select("doc_id", wcol.alias("w")).filter(F.size("w") >= 3)
-
-    def grams_of(k: int):
-        return F.transform(
-            F.sequence(F.lit(0), F.size("w") - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("w", i + j + 1) for j in range(k)]
-            ),
-        )
-
-    def rep_stats(k: int, out_col, expr):
-        return (
-            rep_base.select("doc_id", F.explode(grams_of(k)).alias("g"))
-            .groupBy("doc_id", "g")
-            .agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg(expr.alias(out_col))
-        )
-
-    g2 = rep_stats(2, "top2", F.max("c") / F.sum("c"))
-    g3 = rep_stats(
-        3,
-        "dup3",
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))) / F.sum("c"),
+    # stage 3: repetition stats, map-side (see docstring), computed only
+    # for stage-2 survivors — the F.when branch evaluates conditionally,
+    # so failing docs never pay the gram sort. s2 implies n_words >= 10,
+    # so the gram sequences are always non-empty inside the branch.
+    top2 = F.when(
+        F.col("s2"),
+        _run_stats(F.array_sort(_grams_col(F.col("w"), 2))).getField("best")
+        / (F.col("n_words") - 1),
+    )
+    dup3 = F.when(
+        F.col("s2"),
+        _run_stats(F.array_sort(_grams_col(F.col("w"), 3))).getField("dup")
+        / (F.col("n_words") - 2),
     )
     return (
-        f0.join(g2, "doc_id", "left")
-        .join(g3, "doc_id", "left")
+        f0.withColumn("top2", top2)
+        .withColumn("dup3", dup3)
         .withColumn(
             "s3",
-            F.col("s2") & (F.col("top2") <= 0.20) & (F.col("dup3") <= 0.30),
+            F.coalesce(
+                F.col("s2") & (F.col("top2") <= 0.20) & (F.col("dup3") <= 0.30),
+                F.lit(False),
+            ),
         )
-        .withColumn("s3", F.coalesce("s3", F.lit(False)))
+        .drop("w")
         .transform(_stage_persist)
     )
 
@@ -332,24 +377,18 @@ def per_doc_flags(
         "s5", F.col("s3") & F.coalesce("exact_keep", F.lit(False))
     ))
 
-    # stage 6: near-dup LSH chain over the scrubbed text of s5 survivors
+    # stage 6: near-dup LSH chain over the scrubbed text of s5 survivors.
+    # ``family`` mirrors _band_table's knob: md5 (default) is the
+    # DuckDB-portable oracle family; the shuffle sweep benches the
+    # integer xxhash64 production family (SPARK_GRAFT_LSH_FAMILY=xxhash64
+    # — same chain shape, ~2x cheaper minhash, pytest-pinned equivalence
+    # on the final keep decisions at oracle scale).
+    family = os.environ.get("SPARK_GRAFT_LSH_FAMILY", "md5")
     sh = _stage_persist(_shingle_table(
         f2.filter(F.col("s5")).select("doc_id", F.col("scrubbed").alias("text"))
     ))
-    bands = _band_table(sh)
-    cand = (
-        bands.select("band", "key", F.col("doc_id").alias("id1"))
-        .join(bands.select("band", "key", F.col("doc_id").alias("id2")), ["band", "key"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    verified = (
-        cand.join(sh.toDF("id1", "sh1"), "id1")
-        .join(sh.toDF("id2", "sh2"), "id2")
-        .filter(_jaccard(F.col("sh1"), F.col("sh2")) >= LSH_JACCARD_THRESHOLD)
-        .select("id1", "id2")
-    )
+    cand = _lsh_candidate_pairs(sh, family)
+    verified = _verified_pairs(sh, cand)
     labels = _min_label_components(verified)
     f3 = _stage_persist(f2.join(labels, "doc_id", "left").withColumn(
         "s6",

@@ -14,6 +14,8 @@ uses md5-derived hex-nibble bits (see simhash_expr).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -363,8 +365,6 @@ def _min_label_components(
       must be survivable (needs a checkpoint dir; plan shape identical).
     Both paths run the same loop body and produce identical labels
     (pinned by tests/test_dedup_chain.py)."""
-    import os
-
     if os.environ.get("SPARK_GRAFT_COMPONENT_ALGO") == "star":
         return _star_components(pairs, partitions)
     if partitions is None and os.environ.get("SPARK_GRAFT_COMPONENT_PARTITIONS"):
@@ -632,6 +632,42 @@ def _band_table(sh: DataFrame, family: str = "md5") -> DataFrame:
     )
 
 
+def _verified_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Jaccard-verify candidate pairs against their shingle sets:
+    semi-join-prune the shingle table to docs that appear in >=1 pair,
+    then fetch both sides' sets and keep pairs at/above the threshold.
+
+    The prune is the scale move: candidates are SPARSE relative to the
+    corpus (banded LSH emits ~true-dup-proportional pairs), while the
+    shingle column is the FAT payload — without the prune both id-joins
+    shuffle the entire corpus's shingle arrays (2.6 GiB at the 2.4M-doc
+    sweep corpus; measured 10.7 s -> 2.7 s at 32 cores with the prune).
+    Results are identical: pruned rows are exactly those the inner joins
+    would drop. The broadcast hint on the id set is deliberate, not
+    left to AQE: the semi-join's big side is an independent query stage
+    that AQE submits BEFORE the distinct's true (tiny) size is known, so
+    without the hint the initial sort-merge plan shuffles the fat
+    shingle column anyway (measured: verify 2.7 s hinted vs 11 s
+    AQE-planned at 32 cores). Candidate ids are bounded by 2x the
+    verified-dup rate times the corpus — at dup rates where that
+    outgrows executor memory, drop the hint and pre-partition both
+    sides on doc_id instead (plan shape stays a key semi-join)."""
+    ids = (
+        cand.select(F.col("id1").alias("doc_id"))
+        .unionByName(cand.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    shp = sh.join(F.broadcast(ids), "doc_id", "semi")
+    s1 = shp.select(F.col("doc_id").alias("id1"), F.col("sh").alias("s1"))
+    s2 = shp.select(F.col("doc_id").alias("id2"), F.col("sh").alias("s2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(_jaccard("s1", "s2") >= LSH_JACCARD_THRESHOLD)
+        .select("id1", "id2")
+    )
+
+
 def _lsh_candidate_pairs(sh: DataFrame, family: str = "md5") -> DataFrame:
     """Candidate pairs from MinHash band collisions over a shingle table:
     band table self equi-join on (band, key) -> distinct (id1 < id2) pairs.
@@ -651,7 +687,7 @@ def _lsh_candidate_pairs(sh: DataFrame, family: str = "md5") -> DataFrame:
 
 
 def dedup_lsh_clusters(
-    spark: SparkSession, sf_dir: str, family: str = "md5"
+    spark: SparkSession, sf_dir: str, family: str | None = None
 ) -> DataFrame:
     """The END-TO-END scale dedup chain over the FULL documents table:
     shingle MinHash -> LSH band collisions -> candidate pairs -> Jaccard
@@ -667,7 +703,13 @@ def dedup_lsh_clusters(
     same 25 true pairs). Hash family: min(md5(shingle || ':' || i)) under
     lexicographic order, portable to the DuckDB oracle. 8 hashes, 4 bands
     x 2 rows: collision prob j^2 per band — ~0.97 recall at j=0.7 and
-    band count tunes recall/cost at scale."""
+    band count tunes recall/cost at scale.
+
+    ``family=None`` resolves via $SPARK_GRAFT_LSH_FAMILY (default md5 —
+    the DuckDB-portable oracle family). The shuffle-scaling bench sets
+    xxhash64, the integer production family (_band_table docstring)."""
+    if family is None:
+        family = os.environ.get("SPARK_GRAFT_LSH_FAMILY", "md5")
 
     def make() -> DataFrame:
         docs = _t(spark, sf_dir, "documents").filter(
@@ -675,14 +717,7 @@ def dedup_lsh_clusters(
         )
         sh = _shingle_table(docs).persist()
         cand = _lsh_candidate_pairs(sh, family)
-        s1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("s1"))
-        s2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("s2"))
-        verified = (
-            cand.join(s1, "id1")
-            .join(s2, "id2")
-            .filter(_jaccard("s1", "s2") >= LSH_JACCARD_THRESHOLD)
-            .select("id1", "id2")
-        )
+        verified = _verified_pairs(sh, cand)
         out = _min_label_components(verified)
         sh.unpersist()
         return out
@@ -1247,9 +1282,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bid", "cid")
         .distinct()
     )
+    # corpus side gets the _verified_pairs semi-join prune: band hits
+    # touch few corpus docs, so fetch only those docs' (fat) shingle
+    # sets instead of shuffling the whole corpus's arrays into the join
+    sh_c_hit = sh_c.join(
+        F.broadcast(cand.select(F.col("cid").alias("doc_id")).distinct()),
+        "doc_id",
+        "semi",
+    )
     near = (
         cand.join(sh_b.toDF("bid", "s1"), "bid")
-        .join(sh_c.toDF("cid", "s2"), "cid")
+        .join(sh_c_hit.toDF("cid", "s2"), "cid")
         .filter(_jaccard(F.col("s1"), F.col("s2")) >= LSH_JACCARD_THRESHOLD)
         .groupBy("bid")
         .agg(F.min("cid").alias("near_match"))

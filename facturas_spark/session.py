@@ -48,6 +48,16 @@ def get_spark(
         # override is a conscious choice; raise only with fatter executors)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Throughput GC: this engine is pure batch — allocation-heavy
+        # string/array expressions at 32 concurrent task threads choke
+        # Java 17's default G1 (tuned for pause latency, which batch
+        # never needs). Measured on the 2.4M-doc quality_frame map at 32
+        # cores: 39 s (G1) -> 24 s (ParallelGC). On a real cluster the
+        # same flag goes in spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
