@@ -651,7 +651,18 @@ def _verified_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
     AQE-planned at 32 cores). Candidate ids are bounded by 2x the
     verified-dup rate times the corpus — at dup rates where that
     outgrows executor memory, drop the hint and pre-partition both
-    sides on doc_id instead (plan shape stays a key semi-join)."""
+    sides on doc_id instead (plan shape stays a key semi-join).
+
+    The eager checkpoint on the candidate frame is load-bearing: cand is
+    referenced three times below (two id projections + the join's probe
+    side), and under AQE the nested broadcast query stages do NOT reuse
+    the exchange across those references — the whole candidate DAG
+    (minhash + band self-join + distinct) re-executes per reference,
+    measured as a >10x wall blowup on the 2.4M-doc sweep corpus. Same
+    materialize-the-small-frame trade _min_label_components makes with
+    its pair graph; candidates are dup-rate-bounded, so this is a few
+    MB per million docs."""
+    cand = cand.localCheckpoint(eager=True)
     ids = (
         cand.select(F.col("id1").alias("doc_id"))
         .unionByName(cand.select(F.col("id2").alias("doc_id")))
@@ -1228,6 +1239,21 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incr_candidate_pairs(sh_b: DataFrame, sh_c: DataFrame) -> DataFrame:
+    """Batch-vs-corpus LSH candidate pairs: band tables for each side,
+    equi-joined on (band, key) — the incremental twin of
+    `_lsh_candidate_pairs`. Kept as a separate un-materialized builder so
+    the plan tests can assert the banded equi-join shape (no
+    cartesian/theta join) before `dedup_incremental` checkpoints it."""
+    return (
+        _band_table(sh_b)
+        .withColumnRenamed("doc_id", "bid")
+        .join(_band_table(sh_c).withColumnRenamed("doc_id", "cid"), ["band", "key"])
+        .select("bid", "cid")
+        .distinct()
+    )
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a NEW BATCH of documents arrives and must be
     deduplicated against the already-ingested corpus without re-deduping
@@ -1275,13 +1301,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (session-lifetime cache, same trade dedup_lsh_clusters makes)
     sh_b = _shingle_table(batch).persist()
     sh_c = _shingle_table(corpus).persist()
-    cand = (
-        _band_table(sh_b)
-        .withColumnRenamed("doc_id", "bid")
-        .join(_band_table(sh_c).withColumnRenamed("doc_id", "cid"), ["band", "key"])
-        .select("bid", "cid")
-        .distinct()
-    )
+    # referenced twice below (prune ids + verify probe); see
+    # _verified_pairs for why AQE re-executes unmaterialized candidate
+    # DAGs per reference. Plan shape of the un-checkpointed frame is
+    # asserted by tests/test_plans.py (band-key equi-join, no theta).
+    cand = _incr_candidate_pairs(sh_b, sh_c).localCheckpoint(eager=True)
     # corpus side gets the _verified_pairs semi-join prune: band hits
     # touch few corpus docs, so fetch only those docs' (fat) shingle
     # sets instead of shuffling the whole corpus's arrays into the join

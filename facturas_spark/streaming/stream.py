@@ -371,6 +371,10 @@ def stream_clean_increment(
             .join(prior_bands, ["band", "key"])
             .select("bid", "cid")
             .distinct()
+            # referenced twice (corpus re-shingle ids + verify probe);
+            # see dedup._verified_pairs — AQE re-executes an
+            # unmaterialized candidate DAG once per reference
+            .localCheckpoint(eager=True)
         )
         cand_corpus_sh = _shingle_table(
             cand.select("cid").distinct()

@@ -182,11 +182,23 @@ def test_incremental_dedup_no_theta_join(spark):
     plan = _plan(em.queries()["dedup_incremental"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the band-key candidate join is eagerly checkpointed in production
+    # (AQE re-executes multiply-referenced candidate DAGs — see
+    # dedup._verified_pairs), so assert its equi-join shape on the
+    # un-materialized builder, same pattern as the full-chain test.
+    from facturas_spark.analytics import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh_b = D._shingle_table(docs.filter(docs.doc_id % 5 == 0))
+    sh_c = D._shingle_table(docs.filter(docs.doc_id % 5 != 0))
+    cand_plan = _plan(D._incr_candidate_pairs(sh_b, sh_c))
+    assert "CartesianProduct" not in cand_plan
+    assert "BroadcastNestedLoopJoin" not in cand_plan
     assert any(
         "band" in line and "key" in line
-        for line in plan.splitlines()
+        for line in cand_plan.splitlines()
         if "Join" in line or "hashpartitioning" in line
-    ), plan
+    ), cand_plan
 
 
 def test_repetition_filter_no_python_no_cartesian(spark):
