@@ -70,6 +70,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_packing": D.corpus_packing,
         "corpus_chunking": D.corpus_chunking,
         "ocr_layout_facets": Q.ocr_layout_facets,
+        # -- late round 6: LSH candidate frames are eagerly checkpointed
+        #    (AQE re-execution fix) — both chains re-enter the window;
+        #    corpus_quota_two_phase is NEW (exact salted two-phase quota,
+        #    single-window oracle proves keep-set equality cross-engine)
+        "dedup_lsh_clusters": D.dedup_lsh_clusters,
+        "dedup_incremental": D.dedup_incremental,
+        "corpus_quota_two_phase": CC.corpus_quota_two_phase,
         # -- r03 bank: the oldest driver rows in the registry
         "q14_facturas_recientes": N.q14_facturas_recientes,
         "q14_productos_mas_comprados": N.q14_productos_mas_comprados,
@@ -113,12 +120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
         "m5_product_match_pairs": D.m5_product_match_pairs,
         "q01_daily_sales": Q.q01_daily_sales,
+        # ---------------- driver window boundary (50) ----------------
+        # parked: r04 remainder (heads the round-7 rotation; q02-q04
+        # displaced late round 6 by the checkpointed dedup chains +
+        # corpus_quota_two_phase), then the r05 bank (newest rows), then
+        # the pinned rows-only pipelines
         "q02_top_products": Q.q02_top_products,
         "q03_dashboard_resumen": Q.q03_dashboard_resumen,
         "q04_payment_pivot": Q.q04_payment_pivot,
-        # ---------------- driver window boundary (50) ----------------
-        # parked: r04 remainder (heads the round-7 rotation), then the
-        # r05 bank (newest rows), then the pinned rows-only pipelines
         "q07_category_share": Q.q07_category_share,
         "q09_purchase_frequency": Q.q09_purchase_frequency,
         "q10_purchase_gaps": Q.q10_purchase_gaps,
@@ -134,11 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_price_closure": Q.p9_price_closure,
         "f12_confidence": Q.f12_confidence,
         "p13_price_per_unit": Q.p13_price_per_unit,
-        # -- r05 bank
+        # -- r05 bank (dedup_lsh_clusters / dedup_incremental moved into
+        #    the window late round 6: candidate-checkpoint change)
         "ocr_layout_extraction": Q.ocr_layout_extraction,
         "dedup_embedding_lsh": D.dedup_embedding_lsh,
-        "dedup_lsh_clusters": D.dedup_lsh_clusters,
-        "dedup_incremental": D.dedup_incremental,
         "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
         "p14_multi_price": Q.p14_multi_price,
         "p4_p7_line_parsers": Q.p4_p7_line_parsers,
@@ -961,6 +969,22 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1 ORDER BY pack_id
         """,
         "corpus_source_quota": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS total,
+                   CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                   MIN(CASE WHEN rn <= 8 THEN doc_id END) AS min_kept_doc
+            FROM r GROUP BY 1 ORDER BY source
+        """,
+        # DELIBERATELY the corpus_source_quota oracle verbatim: the Spark
+        # side runs the two-phase salted top-k (quota_keep_ids salts=4),
+        # the oracle the single global window — a hash match IS the proof
+        # that the two-phase decomposition picks the identical keep set.
+        "corpus_quota_two_phase": """
             WITH r AS (
               SELECT source, doc_id,
                      row_number() OVER (PARTITION BY source

@@ -668,6 +668,82 @@ def run_skew_probe() -> dict:
     return out
 
 
+def run_quota_skew_probe() -> dict:
+    """Planted hot-SOURCE quota probe: the per-source quota stage's
+    single-phase window puts a Zipf-hot crawl source in ONE unsplittable
+    window task (AQE cannot split windows, unlike joins — this is the
+    skew case `--skew` can't cover). 60% of a 32M-row corpus lands on
+    one source; the rest spreads over 2000 sources. Times the exact
+    single-window form vs the exact two-phase salted form
+    (corpus_clean.quota_keep_ids salts=32) on identical input and
+    asserts the keep counts match.
+
+    MEASURED FINDING (recorded honestly): at this scale the two forms
+    are at PARITY (0.87-1.4x across runs, within host weather) — the
+    quota input is two narrow columns, so the 19.2M-row hot sort is
+    ~1-2 s and both forms are bound by the common 32M-row exchange.
+    The two-phase form's value is not wall time here but the BOUNDED
+    hot-task footprint: 600k rows/task vs 19.2M (salts=32), which is
+    what decides spill/completion once a crawl source passes ~10^8
+    rows. The probe's job is proving the exact-equality + bounded-task
+    mechanism end-to-end at the largest in-sandbox size."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.analytics.corpus_clean import quota_keep_ids
+    from facturas_spark.session import get_spark
+
+    n_rows, n_sources, k, salts = 32_000_000, 2_000, 100, 32
+    spark = get_spark("bench-quota-skew", cores=CPUS, shuffle_partitions=CPUS)
+    _warm_workers(spark)
+    docs = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.pmod("id", 10) < 6, F.lit("hot.example"))
+            .otherwise(
+                F.concat(
+                    F.lit("s"),
+                    F.pmod(F.xxhash64(F.col("id")), F.lit(n_sources)),
+                )
+            )
+            .alias("source"),
+        )
+        .persist()
+    )
+    docs.count()
+
+    out: dict = {
+        "metric": "quota_skew_probe",
+        "unit": "sec",
+        "rows": n_rows,
+        "hot_share": 0.6,
+        "quota_k": k,
+        "salts": salts,
+        "queries": {},
+    }
+    # 3 interleaved rounds, best-of: both forms sit on the same 32M-row
+    # exchange (~5 s) so single-shot deltas drown in host weather
+    counts = {}
+    for _ in range(3):
+        for name, s in (("single_window", None), ("two_phase_salted", salts)):
+            t0 = time.perf_counter()
+            counts[name] = (
+                quota_keep_ids(docs, k, salts=s).filter("quota_keep").count()
+            )
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in out["queries"] or dt < out["queries"][name]:
+                out["queries"][name] = dt
+    assert counts["single_window"] == counts["two_phase_salted"], counts
+    out["kept_rows"] = counts["single_window"]
+    out["value"] = round(
+        out["queries"]["single_window"] / out["queries"]["two_phase_salted"], 3
+    )
+    out["speedup_two_phase"] = out["value"]
+    docs.unpersist()
+    spark.stop()
+    return out
+
+
 def _compact(out: dict, limit: int = 1700) -> dict:
     """Shrink the printed JSON line under the driver's ~2 KB stdout-tail
     window (the round-2 artifact had 'parsed: null' because the full
@@ -705,6 +781,8 @@ if __name__ == "__main__":
         out, mode = run_scaling_shuffle(), "scaling_shuffle"
     elif "--skew" in sys.argv:
         out, mode = run_skew_probe(), "skew"
+    elif "--quota-skew" in sys.argv:
+        out, mode = run_quota_skew_probe(), "quota_skew"
     elif "--scaling" in sys.argv:
         out, mode = run_scaling(), "scaling"
     else:

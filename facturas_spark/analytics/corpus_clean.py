@@ -140,6 +140,61 @@ PACK_BUDGET = 512
 QUOTA_K = 15  # stats-query default; the job parameterizes
 
 
+def quota_keep_ids(
+    survivors: DataFrame, quota_k: int, salts: int | None = None
+) -> DataFrame:
+    """Per-source quota keep-set over a (doc_id, source) frame: keep the
+    quota_k rows per source that sort first under the deterministic
+    (md5(doc_id), doc_id) shuffle order. Returns (doc_id, quota_keep).
+
+    ``salts=None`` (default) is the single-phase exact window — one
+    partition per source, right up to ~10^7 rows/source, after which a
+    Zipf-hot crawl source serializes in one fat task that AQE cannot
+    split (windows are not skew-splittable).
+
+    ``salts=S`` is the exact TWO-PHASE form, the 100-TB shape:
+      1. salt each row by pmod(xxhash64(doc_id), S) and take the local
+         top-k per (source, salt) window — a hot source spreads over S
+         partitions, and every row ranked > quota_k in its salt bucket
+         is provably outside the global per-source top-k (its bucket
+         already holds quota_k smaller keys);
+      2. re-rank ONLY the surviving candidates (<= S*quota_k rows per
+         source, bounded regardless of source size) in a per-source
+         window and keep rn <= quota_k.
+
+    OUTPUT CONTRACT: the two-phase form returns ONLY the kept rows
+    (quota_keep always True) — a frame bounded by #sources * quota_k,
+    usually broadcast-sized — and consumers must left-join and coalesce
+    missing to False, which the quota stage already does. (Emitting the
+    False rows too would need a full-corpus-width join back on doc_id;
+    measured at 32M rows that join costs more than the skew it cures —
+    bench.py --quota-skew.) The single-phase form keeps the historical
+    all-rows output. Both forms pick the identical keep SET (the order
+    key is unique per row); equality is property-tested and the
+    two-phase form is oracle-twinned (corpus_quota_two_phase)."""
+    key = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    if not salts or salts <= 1:
+        w = Window.partitionBy("source").orderBy(*key)
+        return (
+            survivors.withColumn("_rn", F.row_number().over(w))
+            .select("doc_id", (F.col("_rn") <= quota_k).alias("quota_keep"))
+        )
+    w1 = Window.partitionBy("source", "_salt").orderBy(*key)
+    cand = (
+        survivors.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salts))
+        )
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= quota_k)
+    )
+    w2 = Window.partitionBy("source").orderBy(*key)
+    return (
+        cand.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= quota_k)
+        .select("doc_id", F.lit(True).alias("quota_keep"))
+    )
+
+
 def _marker_hits(words, markers: list[str]):
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
@@ -351,6 +406,7 @@ def per_doc_flags(
     pack_budget: int = PACK_BUDGET,
     pack_shards: int | None = None,
     semantic_tau: float | None = None,
+    quota_salts: int | None = None,
 ) -> DataFrame:
     """One row per input doc with cumulative stage-survival flags
     (s0..s7), the scrubbed text, PII span counts, and pack assignment.
@@ -412,26 +468,18 @@ def per_doc_flags(
         f3 = f3.withColumn("sem_drop", F.lit(False))
 
     # stage 7: per-source quota among s6 survivors.
-    # Skew note (the 100-TB shape): partitionBy(source) puts every row
-    # of a source in ONE window partition — a Zipf-hot crawl source
+    # Skew note (the 100-TB shape): the default single-phase window puts
+    # every row of a source in ONE partition — a Zipf-hot crawl source
     # (tools/sf3_bench.py plants 30% of the corpus on one source)
     # serializes in a single fat task, and AQE cannot split a window.
-    # The row_number form is exact and fine up to ~10^7 rows/source;
-    # past that, the scale mitigation is the two-phase form: a cheap
-    # groupBy(source).count() first, sources under quota_k pass wholesale
-    # with NO window, and only the hot tail (few sources) runs the
-    # ordered window — or, when "first K under the md5 shuffle order" can
-    # relax to "a uniform K-sample", a filter on
-    # md5(doc_id) < K/count quantile, which is a pure map. Same keep
-    # semantics for every cold source either way.
-    qw = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    quota = (
-        f3.filter(F.col("s6"))
-        .select("doc_id", "source")
-        .withColumn("rn", F.row_number().over(qw))
-        .select("doc_id", (F.col("rn") <= quota_k).alias("quota_keep"))
+    # Exact and fine up to ~10^7 rows/source; past that, pass
+    # quota_salts=S (job flag --quota-salts) for the exact two-phase
+    # salted top-k — same keep set, hot partitions bounded at S*quota_k
+    # rows in the merge phase. See quota_keep_ids.
+    quota = quota_keep_ids(
+        f3.filter(F.col("s6")).select("doc_id", "source"),
+        quota_k,
+        salts=quota_salts,
     )
     f4 = _stage_persist(f3.join(quota, "doc_id", "left").withColumn(
         "s7", F.col("s6") & F.coalesce("quota_keep", F.lit(False))
@@ -655,3 +703,33 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intermediate persists are dead weight the moment it returns
     release_stage_caches()
     return clean_funnel(flags).orderBy("stage")
+
+
+def corpus_quota_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the EXACT two-phase salted per-source quota
+    (quota_keep_ids salts=4, k=8) over the documents table, aggregated to
+    the same per-source facet as corpus_source_quota — and checked
+    against the same single-window DuckDB oracle, so the driver gate
+    itself proves two-phase == single-phase == DuckDB on the identical
+    input. This is the quota stage's 100-TB shape: a Zipf-hot source
+    spreads over the salt partitions instead of serializing in one
+    unsplittable window task (bench.py --quota-skew measures both forms
+    on a planted 60%-hot corpus: wall parity at 32M rows, hot-task
+    footprint bounded at salts*k candidates instead of the whole
+    source)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = quota_keep_ids(docs.select("doc_id", "source"), quota_k=8, salts=4)
+    return (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id", "left")
+        .withColumn("quota_keep", F.coalesce("quota_keep", F.lit(False)))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("quota_keep"), 1).otherwise(0)).alias("kept"),
+            F.min(F.when(F.col("quota_keep"), F.col("doc_id"))).alias(
+                "min_kept_doc"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -61,6 +61,16 @@ def main(argv: list[str] | None = None) -> int:
         "the running sum never crosses executors; pack identity becomes "
         "(pack_shard, pack_id))",
     )
+    parser.add_argument(
+        "--quota-salts",
+        type=int,
+        default=None,
+        metavar="S",
+        help="exact two-phase salted per-source quota (cluster scale: a "
+        "Zipf-hot source spreads over S salt partitions instead of one "
+        "unsplittable window task; merge phase bounded at S*quota_k "
+        "rows/source; identical keep set — see quota_keep_ids)",
+    )
     parser.add_argument("--cores", type=int, default=None, help="local-mode cores")
     parser.add_argument(
         "--synth-pii",
@@ -147,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
             pack_budget=args.pack_budget,
             pack_shards=args.pack_shards,
             semantic_tau=args.semantic_dedup,
+            quota_salts=args.quota_salts,
         )
         flags.write.mode("overwrite").parquet(flags_path)
         # the flags parquet is now the source of truth — free the

@@ -272,3 +272,81 @@ def test_decontamination_families_agree(spark):
     }
     assert ids_md5 == ids_xx
     assert len(ids_md5) > 0  # the slice genuinely contaminates (4 docs)
+
+
+def test_quota_two_phase_exact_equivalence(spark):
+    """The salted two-phase quota picks the IDENTICAL keep set as the
+    single-window form on a planted Zipf-hot corpus (60% of rows on one
+    source, several boundary sources at exactly/below/above k)."""
+    from facturas_spark.analytics.corpus_clean import quota_keep_ids
+
+    k = 7
+    rows = []
+    # hot source: 600 rows; mid: 40; boundary: exactly k; under: k-2;
+    # singleton; null-ish name source
+    for i in range(600):
+        rows.append((i, "hot.example"))
+    for i in range(600, 640):
+        rows.append((i, "mid.example"))
+    for i in range(640, 640 + k):
+        rows.append((i, "exact.example"))
+    for i in range(700, 700 + k - 2):
+        rows.append((i, "under.example"))
+    rows.append((800, "single.example"))
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+
+    one = quota_keep_ids(df, k, salts=None).collect()
+    two = quota_keep_ids(df, k, salts=5).collect()
+    # two-phase contract: kept rows only, all True; identical keep SET
+    assert all(r.quota_keep for r in two)
+    assert {r.doc_id for r in one if r.quota_keep} == {r.doc_id for r in two}
+    kept = {r.doc_id for r in two}
+    # every cold source keeps everything; hot/mid keep exactly k
+    assert sum(1 for d in kept if d < 600) == k
+    assert sum(1 for d in kept if 600 <= d < 640) == k
+    assert sum(1 for d in kept if 640 <= d < 640 + k) == k
+    assert sum(1 for d in kept if 700 <= d < 700 + k - 2) == k - 2
+    assert 800 in kept
+    # single-phase output still covers every input row exactly once
+    assert len(one) == len(rows)
+
+
+def test_quota_two_phase_plan_shape(spark):
+    """Phase 1 must window over (source, salt) — the skew spread — and
+    the chain must stay equi-join only (the keep flag re-joins on the
+    uniform doc_id key)."""
+    from facturas_spark.analytics.corpus_clean import quota_keep_ids
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    df = quota_keep_ids(docs, 8, salts=4)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # phase-1 window partition keys include the salt
+    assert any(
+        "_salt" in line and "source" in line
+        for line in plan.splitlines()
+        if "Window" in line or "windowspecdefinition" in line.lower()
+    ), plan
+
+
+def test_per_doc_flags_quota_salts_same_decisions(spark):
+    """per_doc_flags(quota_salts=3) reproduces the default chain's s7
+    keep decisions exactly (the quota stage is the only consumer)."""
+    docs = with_synth_pii(spark.read.parquet(f"{SF}/documents.parquet"))
+    base = {
+        r.doc_id: r.s7 for r in per_doc_flags(docs).select("doc_id", "s7").collect()
+    }
+    salted = {
+        r.doc_id: r.s7
+        for r in per_doc_flags(docs, quota_salts=3)
+        .select("doc_id", "s7")
+        .collect()
+    }
+    assert base == salted
