@@ -330,6 +330,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _component_layout(
+    pairs: DataFrame, partitions: int | None
+) -> tuple[DataFrame, int | None]:
+    """Materialize the pair graph at its own parallelism and resolve the
+    component-loop layout. The eager checkpoint is load-bearing twice
+    over: (a) the sandbox layout collapses to coalesce(1), which is NOT
+    a shuffle boundary — without the checkpoint the entire upstream LSH
+    Jaccard-verify DAG would execute inside that one merged task (found
+    by the round-6 shuffle sweep: dedup wall flat 16->32 cores; sf3
+    29 s -> 14 s fixed); (b) it makes the pair COUNT a near-free job,
+    which funds the adaptive layout choice.
+
+    Layout resolution, in priority order:
+    1. explicit ``partitions`` argument (callers that know their graph);
+    2. env SPARK_GRAFT_COMPONENT_PARTITIONS (deployment override);
+    3. ADAPTIVE default: count the materialized pairs — small graphs
+       (<= SPARK_GRAFT_COMPONENT_AUTO_THRESHOLD, default 200k pairs)
+       take the single-partition broadcast loop (each round a handful
+       of tasks — right for the sandbox's sparse near-dup graphs);
+       larger graphs switch to the N-way co-partitioned shuffle-join
+       layout with N ~ pairs/100k capped at spark.sql.shuffle.partitions,
+       so a 100-TB crawl's billion-edge graph never funnels its loop
+       rounds through one task and nothing needs a manual knob. Both
+       layouts produce identical labels (property-pinned)."""
+    pairs = pairs.localCheckpoint(eager=True)
+    if partitions is not None:
+        return pairs, partitions
+    env = os.environ.get("SPARK_GRAFT_COMPONENT_PARTITIONS")
+    if env:
+        return pairs, int(env)
+    thresh = int(
+        os.environ.get("SPARK_GRAFT_COMPONENT_AUTO_THRESHOLD", "200000")
+    )
+    n = pairs.count()
+    if n <= thresh:
+        return pairs, None
+    cap = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return pairs, max(2, min(cap, n // max(1, thresh // 2)))
+
+
 def _min_label_components(
     pairs: DataFrame, partitions: int | None = None
 ) -> DataFrame:
@@ -353,28 +393,24 @@ def _min_label_components(
     per round and Catalyst re-analyzes the whole stack on every later
     action (measured: 3-36 s to collect a 24-row cached result).
 
-    ``partitions`` selects the layout:
-    - None (sandbox default): the pair graph is tiny relative to the
-      corpus (near-dups are rare), so collapse to one partition and
-      broadcast the label side — each round is a handful of tasks.
-    - N (cluster scale): hash-partition edges and labels on the node id
-      into N partitions and use plain shuffle joins — every round is an
-      N-way parallel co-partitioned join, no single-task stage and no
-      assumption the label table fits in one executor. Swap
+    ``partitions`` selects the layout (None = ADAPTIVE, resolved by
+    ``_component_layout`` from the materialized pair count):
+    - single-partition broadcast loop (small graphs): the pair graph is
+      tiny relative to the corpus (near-dups are rare), so collapse to
+      one partition and broadcast the label side — each round is a
+      handful of tasks.
+    - N-way co-partitioned (large graphs / explicit N): hash-partition
+      edges and labels on the node id into N partitions and use plain
+      shuffle joins — every round is an N-way parallel co-partitioned
+      join, no single-task stage and no assumption the label table fits
+      in one executor. Swap
       localCheckpoint for reliable ``checkpoint()`` when executor loss
       must be survivable (needs a checkpoint dir; plan shape identical).
     Both paths run the same loop body and produce identical labels
     (pinned by tests/test_dedup_chain.py)."""
     if os.environ.get("SPARK_GRAFT_COMPONENT_ALGO") == "star":
         return _star_components(pairs, partitions)
-    if partitions is None and os.environ.get("SPARK_GRAFT_COMPONENT_PARTITIONS"):
-        # deployment knob: callers that don't thread the parameter (the
-        # registry queries) can still select the N-way co-partitioned
-        # cluster layout — the single-partition default is right for the
-        # sandbox's tiny pair graphs, but each loop round is one task,
-        # and that serial floor grows with the component count (measured
-        # by the round-6 shuffle sweep)
-        partitions = int(os.environ["SPARK_GRAFT_COMPONENT_PARTITIONS"])
+    pairs, partitions = _component_layout(pairs, partitions)
 
     def _layout(df: DataFrame, key: str) -> DataFrame:
         if partitions is None:
@@ -384,15 +420,6 @@ def _min_label_components(
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if partitions is None else df
 
-    # Materialize the pair graph AT ITS OWN PARALLELISM before any
-    # single-partition collapse: in the sandbox layout `_layout` does
-    # coalesce(1), and coalesce is not a shuffle boundary — without this
-    # checkpoint the ENTIRE upstream DAG (the LSH Jaccard verify over
-    # every candidate pair) would execute inside that one merged task.
-    # Found by the round-6 shuffle scaling sweep: the dedup chain's wall
-    # was flat 16->32 cores because verify ran single-threaded here
-    # (sf3: 29 s -> 14 s at 32 cores with the checkpoint).
-    pairs = pairs.localCheckpoint(eager=True)
     und = _layout(
         pairs.unionByName(
             pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
@@ -451,7 +478,9 @@ def _star_components(
     label read-off is one projection. Each half-round is one groupBy
     shuffle on the node id + a co-keyed join, localCheckpoint-truncated
     like the min-label loop; ``partitions`` selects the same broadcast
-    (sandbox) vs N-way co-partitioned (cluster) layouts."""
+    (small-graph) vs N-way co-partitioned (large-graph) layouts, with
+    None resolved adaptively by ``_component_layout``."""
+    pairs, partitions = _component_layout(pairs, partitions)
 
     def _layout(df: DataFrame, key: str) -> DataFrame:
         if partitions is None:
@@ -461,10 +490,6 @@ def _star_components(
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if partitions is None else df
 
-    # same parallel-materialization guard as _min_label_components: the
-    # sandbox _layout coalesces to 1 partition, and without a checkpoint
-    # the upstream candidate-verify DAG would run inside that one task
-    pairs = pairs.localCheckpoint(eager=True)
     nodes = _layout(
         pairs.select(F.col("id1").alias("doc_id"))
         .unionByName(pairs.select(F.col("id2").alias("doc_id")))

@@ -199,3 +199,41 @@ def test_star_components_equal_min_label(spark):
         assert labels(_min_label_components(pairs)) == want
     finally:
         del os.environ["SPARK_GRAFT_COMPONENT_ALGO"]
+
+
+def test_components_adaptive_layout_threshold(spark):
+    """_component_layout auto-selects the N-way co-partitioned loop once
+    the materialized pair count crosses the threshold (env-overridable),
+    with identical labels either side of the switch."""
+    import os
+
+    from facturas_spark.analytics.dedup import (
+        _component_layout,
+        _min_label_components,
+    )
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)]  # 20 disjoint pairs
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+
+    # below threshold: sandbox single-partition broadcast layout
+    _, p = _component_layout(pairs, None)
+    assert p is None
+
+    os.environ["SPARK_GRAFT_COMPONENT_AUTO_THRESHOLD"] = "10"
+    try:
+        _, p = _component_layout(pairs, None)
+        assert p is not None and p >= 2
+        # the adaptive run (threshold crossed -> partitioned loop) keeps
+        # exactly the labels of the explicit layouts
+        want = {(a, a) for a, _ in edges} | {(b, a) for a, b in edges}
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in _min_label_components(pairs).collect()
+        }
+        assert got == want
+    finally:
+        del os.environ["SPARK_GRAFT_COMPONENT_AUTO_THRESHOLD"]
+
+    # explicit argument always wins over the adaptive count
+    _, p = _component_layout(pairs, 4)
+    assert p == 4
