@@ -56,12 +56,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # priority order, (1) queries whose code changed this round,
         # (2) queries never driver-checked, (3) unchanged queries with
         # the OLDEST banked green row, oldest first. After each round,
-        # re-rank; with 114 queries and a 50-slot window every banked
+        # re-rank; with 115 queries and a 50-slot window every banked
         # row is refreshed at most ~2.3 rounds after it lands. The four
         # rows-only pipelines pinned by golden pytest (products/cotejo/
         # multimodal) stay parked last: a rows-only driver row adds no
         # evidence over their fixtures, so they never displace a
-        # hash-checkable refresh.
+        # hash-checkable refresh. (115 queries after late round 6, so a
+        # banked row waits at most ~2.4 rounds for its refresh.)
         # -- changed in round 6 (urlfilter IPv6-port + _uc collision;
         #    shared session-cached BPE vocab) or new (ocr_layout_facets)
         "url_quality_filter": D.url_quality_filter,

@@ -352,13 +352,16 @@ def _bench_shuffle_jobs(spark, sf_dir: str) -> dict:
     for name, fn in jobs.items():
         best = None
         for _ in range(SCALING_REPS):
-            _cache._CACHE.clear()
+            # free the BLOCKS, not just the dict: clearing references
+            # leaves prior reps' checkpointed frames resident until GC,
+            # polluting the timed cold reps with their memory footprint
+            _cache.release_session_cache(spark)
             _cc.release_stage_caches()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        _cache._CACHE.clear()
+        _cache.release_session_cache(spark)
         _cc.release_stage_caches()
         out[name] = round(best, 3)
     return out

@@ -28,3 +28,23 @@ def session_cached(
     if key not in _CACHE:
         _CACHE[key] = make().localCheckpoint(eager=True)
     return _CACHE[key]
+
+
+def release_session_cache(spark: SparkSession) -> int:
+    """Free the BLOCKS, not just the references: ``_CACHE.clear()`` alone
+    drops the Python handles while every eagerly localCheckpointed
+    frame's materialized RDD stays resident in the block manager until
+    py4j finalizers + the ContextCleaner nondeterministically collect it
+    — measured by the round-6 review as prior-rep cluster-label and flag
+    frames sitting in memory during the shuffle sweep's timed cold reps.
+    Unpersists every persistent RDD in the context (localCheckpoint
+    blocks included) and clears the registry. ONLY for bench/test
+    teardown between cold reps: a checkpointed frame has no lineage to
+    recompute from, so any still-held reference becomes unusable."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in jmap.values():
+        jrdd.unpersist(True)
+        n += 1
+    _CACHE.clear()
+    return n

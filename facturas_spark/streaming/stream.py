@@ -304,143 +304,160 @@ def stream_clean_increment(
             if name.startswith("epoch=") and name.endswith(".json")
         }
 
-    def read_or_empty(path: str, ddl: str) -> DataFrame:
+    def read_or_empty(path: str, ddl: str, committed: set[int]) -> DataFrame:
         """Read a corpus index layer restricted to LEDGER-COMMITTED
         epochs. The epoch=N directories are written BEFORE the ledger
         marker commits, so a crash-replayed epoch must not see its own
         partial writes: without the filter, epoch N's retry would find
         its own fps/embs rows, self-match every batch doc, and commit
-        the epoch EMPTY — silent data loss (round-6 review)."""
-        committed = [int(e) for e in committed_epochs()]
+        the epoch EMPTY — silent data loss (round-6 review). The caller
+        passes the committed set from ONE listing per sink invocation —
+        up to 6 layers read per micro-batch, and each listing is a
+        directory/object-store RPC (round-6 review)."""
         try:
             df = spark.read.parquet(path)
         except Exception:
             return spark.createDataFrame([], ddl)
-        return df.filter(F.col("epoch").isin(committed)).drop("epoch")
+        return df.filter(F.col("epoch").isin(list(committed))).drop("epoch")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in committed_epochs():
+        committed = committed_epochs()
+        if epoch_id in committed:
             return
-        if bench_hashes is not None:
-            from facturas_spark.analytics.corpus_clean import (
-                contaminated_ids_against,
-            )
+        # every persisted/checkpointed frame serves only THIS micro-
+        # batch; register them so the outer finally releases blocks
+        # even when a phase FAILS mid-build (round-6 review: the
+        # semantic phase ran real jobs before the old try/finally, so
+        # a failing batch leaked its frames for the session lifetime)
+        _persisted: list[DataFrame] = []
 
-            batch_df = batch_df.join(
-                contaminated_ids_against(batch_df, bench_hashes),
-                "doc_id",
-                "left_anti",
-            )
-        f1 = quality_frame(batch_df)
-        surv = f1.filter(F.col("s3")).select(
-            "doc_id", "source", F.col("scrubbed").alias("text")
-        )
+        def _p(df: DataFrame) -> DataFrame:
+            _persisted.append(df.persist())
+            return df
 
-        prior_fp = read_or_empty(
-            os.path.join(corpus_dir, "fps"), "doc_id long, fp string"
-        ).select(F.col("doc_id").alias("pid"), "fp")
-        prior_bands = read_or_empty(
-            os.path.join(corpus_dir, "bands"),
-            "doc_id long, band int, key string",
-        ).select(F.col("doc_id").alias("cid"), "band", "key")
-        prior_docs = read_or_empty(
-            os.path.join(corpus_dir, "docs"), DOCS_DDL.replace(" lang string,", "")
-        ).select(F.col("doc_id").alias("cid"), F.col("text").alias("ctext"))
-
-        # exact phase: batch fp vs corpus index + batch-internal min-arrival
-        bfp = surv.withColumn("fp", F.md5("text"))
-        from pyspark.sql.window import Window
-
-        bfp = bfp.withColumn(
-            "_min", F.min("doc_id").over(Window.partitionBy("fp"))
-        ).withColumn("_batch_first", F.col("doc_id") == F.col("_min"))
-        ex_hit = bfp.join(prior_fp, "fp", "left_semi").select("doc_id")
-        exact_kept = (
-            bfp.filter(F.col("_batch_first"))
-            .join(ex_hit, "doc_id", "left_anti")
-            .select("doc_id", "source", "text", "fp")
-            .persist()
-        )
-
-        # near phase: batch bands vs PERSISTED corpus band index; verify
-        # re-shingles only the collided corpus docs
-        sh_b = _shingle_table(exact_kept.select("doc_id", "text")).persist()
-        bands_b = _band_table(sh_b)
-        cand = (
-            bands_b.withColumnRenamed("doc_id", "bid")
-            .join(prior_bands, ["band", "key"])
-            .select("bid", "cid")
-            .distinct()
-            # referenced twice (corpus re-shingle ids + verify probe);
-            # see dedup._verified_pairs — AQE re-executes an
-            # unmaterialized candidate DAG once per reference
-            .localCheckpoint(eager=True)
-        )
-        cand_corpus_sh = _shingle_table(
-            cand.select("cid").distinct()
-            .join(prior_docs, "cid")
-            .select(F.col("cid").alias("doc_id"), F.col("ctext").alias("text"))
-        ).toDF("cid", "s2")
-        near_hit = (
-            cand.join(sh_b.toDF("bid", "s1"), "bid")
-            .join(cand_corpus_sh, "cid")
-            .filter(_jaccard(F.col("s1"), F.col("s2")) >= LSH_JACCARD_THRESHOLD)
-            .select(F.col("bid").alias("doc_id"))
-            .distinct()
-        )
-        kept = exact_kept.join(near_hit, "doc_id", "left_anti").persist()
-
-        # semantic phase (SemDeDup, streaming twin of --semantic-dedup):
-        # batch-internal drops via the batch job's own kernel, then
-        # batch-vs-corpus via the persisted embedding-band index
-        emb_kept = None
-        if semantic_tau is not None:
-            from facturas_spark.analytics.corpus_clean import semantic_dedup_ids
-            from facturas_spark.analytics.dedup import (
-                _emb_band_table,
-                _pair_cosine,
-            )
-            from facturas_spark.extraction.embed import embed_udf
-
-            internal = semantic_dedup_ids(
-                kept.select("doc_id", "text"), tau=semantic_tau
-            )
-            sem_kept = kept.join(internal, "doc_id", "left_anti")
-            emb_b = (
-                sem_kept.select(
-                    "doc_id", embed_udf(F.col("text")).alias("embedding")
+        try:
+            if bench_hashes is not None:
+                from facturas_spark.analytics.corpus_clean import (
+                    contaminated_ids_against,
                 )
-                .filter(F.col("embedding").isNotNull())
-                .persist()
+
+                batch_df = batch_df.join(
+                    contaminated_ids_against(batch_df, bench_hashes),
+                    "doc_id",
+                    "left_anti",
+                )
+            f1 = quality_frame(batch_df)
+            surv = f1.filter(F.col("s3")).select(
+                "doc_id", "source", F.col("scrubbed").alias("text")
             )
-            prior_embbands = read_or_empty(
-                os.path.join(corpus_dir, "embbands"),
-                "doc_id long, band int, key int",
+
+            prior_fp = read_or_empty(
+                os.path.join(corpus_dir, "fps"), "doc_id long, fp string",
+                committed,
+            ).select(F.col("doc_id").alias("pid"), "fp")
+            prior_bands = read_or_empty(
+                os.path.join(corpus_dir, "bands"),
+                "doc_id long, band int, key string",
+                committed,
             ).select(F.col("doc_id").alias("cid"), "band", "key")
-            prior_embs = read_or_empty(
-                os.path.join(corpus_dir, "embs"),
-                "doc_id long, embedding array<float>",
+            prior_docs = read_or_empty(
+                os.path.join(corpus_dir, "docs"),
+                DOCS_DDL.replace(" lang string,", ""),
+                committed,
+            ).select(F.col("doc_id").alias("cid"), F.col("text").alias("ctext"))
+
+            # exact phase: batch fp vs corpus index + batch-internal min-arrival
+            bfp = surv.withColumn("fp", F.md5("text"))
+            from pyspark.sql.window import Window
+
+            bfp = bfp.withColumn(
+                "_min", F.min("doc_id").over(Window.partitionBy("fp"))
+            ).withColumn("_batch_first", F.col("doc_id") == F.col("_min"))
+            ex_hit = bfp.join(prior_fp, "fp", "left_semi").select("doc_id")
+            exact_kept = _p(
+                bfp.filter(F.col("_batch_first"))
+                .join(ex_hit, "doc_id", "left_anti")
+                .select("doc_id", "source", "text", "fp")
             )
-            cand_sem = (
-                _emb_band_table(emb_b, "doc_id")
-                .withColumnRenamed("doc_id", "bid")
-                .join(prior_embbands, ["band", "key"])
+
+            # near phase: batch bands vs PERSISTED corpus band index; verify
+            # re-shingles only the collided corpus docs
+            sh_b = _p(_shingle_table(exact_kept.select("doc_id", "text")))
+            bands_b = _band_table(sh_b)
+            cand = (
+                bands_b.withColumnRenamed("doc_id", "bid")
+                .join(prior_bands, ["band", "key"])
                 .select("bid", "cid")
                 .distinct()
+                # referenced twice (corpus re-shingle ids + verify probe);
+                # see dedup._verified_pairs — AQE re-executes an
+                # unmaterialized candidate DAG once per reference
+                .localCheckpoint(eager=True)
             )
-            sem_hit = (
-                _pair_cosine(
-                    cand_sem, emb_b, prior_embs, "doc_id", lid="bid", rid="cid"
-                )
-                .filter(F.col("_cos") >= semantic_tau)
+            cand_corpus_sh = _shingle_table(
+                cand.select("cid").distinct()
+                .join(prior_docs, "cid")
+                .select(F.col("cid").alias("doc_id"), F.col("ctext").alias("text"))
+            ).toDF("cid", "s2")
+            near_hit = (
+                cand.join(sh_b.toDF("bid", "s1"), "bid")
+                .join(cand_corpus_sh, "cid")
+                .filter(_jaccard(F.col("s1"), F.col("s2")) >= LSH_JACCARD_THRESHOLD)
                 .select(F.col("bid").alias("doc_id"))
                 .distinct()
             )
-            pre_sem_kept = kept
-            kept = sem_kept.join(sem_hit, "doc_id", "left_anti").persist()
-            emb_kept = emb_b.join(kept.select("doc_id"), "doc_id", "left_semi")
+            kept = _p(exact_kept.join(near_hit, "doc_id", "left_anti"))
 
-        try:
+            # semantic phase (SemDeDup, streaming twin of --semantic-dedup):
+            # batch-internal drops via the batch job's own kernel, then
+            # batch-vs-corpus via the persisted embedding-band index
+            emb_kept = None
+            if semantic_tau is not None:
+                from facturas_spark.analytics.corpus_clean import semantic_dedup_ids
+                from facturas_spark.analytics.dedup import (
+                    _emb_band_table,
+                    _pair_cosine,
+                )
+                from facturas_spark.extraction.embed import embed_udf
+
+                internal = semantic_dedup_ids(
+                    kept.select("doc_id", "text"), tau=semantic_tau
+                )
+                sem_kept = kept.join(internal, "doc_id", "left_anti")
+                emb_b = _p(
+                    sem_kept.select(
+                        "doc_id", embed_udf(F.col("text")).alias("embedding")
+                    )
+                    .filter(F.col("embedding").isNotNull())
+                )
+                prior_embbands = read_or_empty(
+                    os.path.join(corpus_dir, "embbands"),
+                    "doc_id long, band int, key int",
+                    committed,
+                ).select(F.col("doc_id").alias("cid"), "band", "key")
+                prior_embs = read_or_empty(
+                    os.path.join(corpus_dir, "embs"),
+                    "doc_id long, embedding array<float>",
+                    committed,
+                )
+                cand_sem = (
+                    _emb_band_table(emb_b, "doc_id")
+                    .withColumnRenamed("doc_id", "bid")
+                    .join(prior_embbands, ["band", "key"])
+                    .select("bid", "cid")
+                    .distinct()
+                )
+                sem_hit = (
+                    _pair_cosine(
+                        cand_sem, emb_b, prior_embs, "doc_id", lid="bid", rid="cid"
+                    )
+                    .filter(F.col("_cos") >= semantic_tau)
+                    .select(F.col("bid").alias("doc_id"))
+                    .distinct()
+                )
+                kept = _p(sem_kept.join(sem_hit, "doc_id", "left_anti"))
+                emb_kept = emb_b.join(kept.select("doc_id"), "doc_id", "left_semi")
+
             # exactly-once appends: each epoch owns its directories wholesale
             ep = f"epoch={epoch_id}"
             kept.select("doc_id", "source", "text").write.mode("overwrite").parquet(
@@ -463,20 +480,12 @@ def stream_clean_increment(
                 ).parquet(os.path.join(corpus_dir, "embbands", ep))
             ledger.write_json(f"epoch={epoch_id}.json", {"epoch": int(epoch_id)})
         finally:
-            # the caches only serve THIS micro-batch; without the release
-            # every epoch leaks three cached frames for the life of the
-            # stream (round-4 advice) — and quality_frame registered two
-            # more in the corpus_clean stage registry (round-5 review)
             from facturas_spark.analytics.corpus_clean import (
                 release_stage_caches,
             )
 
-            kept.unpersist()
-            sh_b.unpersist()
-            exact_kept.unpersist()
-            if semantic_tau is not None:
-                pre_sem_kept.unpersist()
-                emb_b.unpersist()
+            for _df in _persisted:
+                _df.unpersist()
             release_stage_caches()
 
     q = (

@@ -11,6 +11,16 @@ stage's incremental work only. Prints one JSON line.
 
 Diagnostic tool for the round-6 scaling work; not part of the driver
 contract.
+
+DRIFT CAVEAT (round-6 review): the clean.* stage expressions below are
+an inline SNAPSHOT of corpus_clean.per_doc_flags's stage logic as of
+round 6 — per_doc_flags cannot expose per-stage boundaries without
+materializing them, which is exactly what this profiler adds. If a
+production stage changes (per_doc_flags gained quota_salts and an
+env-resolved LSH family since this snapshot), re-sync these expressions
+before trusting per-stage numbers; the SWEEP (bench.py
+--scaling-shuffle) always runs the real production functions and is the
+number of record.
 """
 from __future__ import annotations
 

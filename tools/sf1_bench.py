@@ -113,7 +113,7 @@ def _doc_words(i: int) -> list:
     return [rng.choice(_VOCAB) for _ in range(n)]
 
 
-def _gen_embeddings(spark):
+def _gen_embeddings(spark, n_vecs: int = N_VECS):
     import pandas as pd
 
     def gen(batches):
@@ -132,7 +132,7 @@ def _gen_embeddings(spark):
                 out.append((v, e.tolist(), v % 10))
             yield pd.DataFrame(out, columns=["vec_id", "embedding", "label"])
 
-    return spark.range(0, N_VECS, 1, CPUS).mapInPandas(
+    return spark.range(0, n_vecs, 1, CPUS).mapInPandas(
         gen, schema="vec_id long, embedding array<float>, label int"
     )
 

@@ -164,12 +164,15 @@ def main(argv=None) -> int:
     if not os.path.isdir(docs_path):
         t0 = time.perf_counter()
         _gen_documents(spark).write.mode("overwrite").parquet(docs_path)
-        # embeddings: reuse the sf1 generator shape at 3x vectors
-        from tools.sf1_bench import _gen_embeddings
+        # embeddings: sf1 generator shape at 3x vectors (round-6 review:
+        # the first cut reused sf1's hardcoded 20k count, so the sf3
+        # embedding-dedup timings were recorded against an input that
+        # had not grown at all)
+        from tools.sf1_bench import N_VECS, _gen_embeddings
 
-        _gen_embeddings(spark).write.mode("overwrite").parquet(
-            f"{SF3_DIR}/embeddings.parquet"
-        )
+        _gen_embeddings(spark, n_vecs=3 * N_VECS).write.mode(
+            "overwrite"
+        ).parquet(f"{SF3_DIR}/embeddings.parquet")
         print(
             f"# generated sf3 ({N_DOCS} Zipf-source docs) in "
             f"{time.perf_counter() - t0:.1f}s",
