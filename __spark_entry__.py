@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_clusters": D.dedup_lsh_clusters,
         "dedup_incremental": D.dedup_incremental,
         "corpus_quota_two_phase": CC.corpus_quota_two_phase,
+        "txt_bigram_lm_ppl": D.txt_bigram_lm_ppl,
         # -- r03 bank: the oldest driver rows in the registry
         "q14_facturas_recientes": N.q14_facturas_recientes,
         "q14_productos_mas_comprados": N.q14_productos_mas_comprados,
@@ -120,12 +121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
         "m5_product_match_pairs": D.m5_product_match_pairs,
-        "q01_daily_sales": Q.q01_daily_sales,
         # ---------------- driver window boundary (50) ----------------
-        # parked: r04 remainder (heads the round-7 rotation; q02-q04
+        # parked: r04 remainder (heads the round-7 rotation; q01-q04
         # displaced late round 6 by the checkpointed dedup chains +
-        # corpus_quota_two_phase), then the r05 bank (newest rows), then
-        # the pinned rows-only pipelines
+        # corpus_quota_two_phase + txt_bigram_lm_ppl), then the r05 bank
+        # (newest rows), then the pinned rows-only pipelines
+        "q01_daily_sales": Q.q01_daily_sales,
         "q02_top_products": Q.q02_top_products,
         "q03_dashboard_resumen": Q.q03_dashboard_resumen,
         "q04_payment_pivot": Q.q04_payment_pivot,
@@ -996,6 +997,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
                    MIN(CASE WHEN rn <= 8 THEN doc_id END) AS min_kept_doc
             FROM r GROUP BY 1 ORDER BY source
+        """,
+        "txt_bigram_lm_ppl": r"""
+            WITH wt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(COALESCE(text,''))), '\s+'), x -> x <> '') AS w
+              FROM documents
+            ), big AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM wt WHERE len(w) >= 2
+            ), tw AS (
+              SELECT w FROM wt WHERE doc_id % 7 = 0
+            ), uni AS (
+              SELECT t, COUNT(*) AS cu
+              FROM (SELECT unnest(w) AS t FROM tw) GROUP BY t
+            ), totals AS (
+              SELECT SUM(cu) AS n_total, COUNT(*) AS v_size FROM uni
+            ), bi AS (
+              SELECT bg, COUNT(*) AS c2
+              FROM (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+                    FROM tw WHERE len(w) >= 2) GROUP BY bg
+            ), scored AS (
+              SELECT b.doc_id,
+                     -ln(0.7 * (CAST(COALESCE(bi.c2, 0) AS DOUBLE) / COALESCE(u1.cu, 1))
+                         + 0.3 * (CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE) / (t.n_total + t.v_size))) AS nl
+              FROM big b
+              LEFT JOIN bi USING (bg)
+              LEFT JOIN uni u1 ON u1.t = split_part(b.bg, ' ', 1)
+              LEFT JOIN uni u2 ON u2.t = split_part(b.bg, ' ', 2)
+              CROSS JOIN totals t
+            ), per_doc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     ROUND(AVG(nl), 4) AS nll
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_bigrams, nll, ROUND(exp(nll), 2) AS ppl,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS bucket
+            FROM (SELECT *, ntile(3) OVER (ORDER BY nll, doc_id) AS nt
+                  FROM per_doc)
+            ORDER BY doc_id
         """,
         "txt_gopher_quality": """
             WITH d AS (

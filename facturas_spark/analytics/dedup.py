@@ -1825,6 +1825,115 @@ def txt_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity filter with head/middle/tail buckets
+    (Wenzek et al. 2020, public paper — CCNet scores docs under a
+    Wikipedia KenLM and keeps perplexity terciles; here the LM is an
+    interpolated bigram model trained on the corpus's own reference
+    slice, doc_id % 7 == 0, the in-sandbox stand-in for the external
+    clean corpus). Per doc over its bigrams (w1,w2):
+
+        p = LAMBDA * c2(w1 w2)/c1(w1)  +  (1-LAMBDA) * (cu(w2)+1)/(N+V)
+
+    with c2/c1 from the reference slice (0 when unseen — the add-one
+    unigram back-off floor keeps p > 0), nll = mean(-ln p) rounded to 4
+    (the float-determinism guard the unigram twin established), ppl =
+    round(exp(nll_r), 2), bucket = ntile(3) over the deterministic
+    (nll_r, doc_id) order — head = lowest perplexity, CCNet's keep-set.
+
+    Scale shape: bigram extraction is a map (zip_with over two slices —
+    NOT an index transform, which would re-evaluate the words array per
+    element); the model tables build with one token-keyed partial-agg
+    shuffle each; scoring is two key joins (bigram string, context
+    word) + per-doc agg. At 100 TB the model tables are the Zipf-headed
+    TOP slices broadcast with the back-off floor as OOV default, making
+    scoring map-side; the tercile split becomes approx-quantile cuts
+    instead of a global ntile window. Docs with < 2 tokens have no
+    bigrams and are absent from the output (both engines)."""
+    LAMBDA = 0.7
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", _words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    big = words.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    ).withColumn("w1", F.substring_index("bg", " ", 1)).withColumn(
+        "w2", F.substring_index("bg", " ", -1)
+    )
+
+    train = docs.filter(F.col("doc_id") % 7 == 0)
+    tr_words = train.select("doc_id", _words(F.col("text")).alias("w"))
+    uni = (
+        tr_words.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cu"))
+    )
+    totals = uni.agg(F.sum("cu").alias("n_total"), F.count("*").alias("v_size"))
+    bi = (
+        tr_words.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+    )
+
+    p_bi = F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.coalesce(
+        F.col("c1"), F.lit(1)
+    )
+    p_uni = (F.coalesce(F.col("cu"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_total") + F.col("v_size")
+    )
+    scored = (
+        big.join(bi, "bg", "left")
+        .join(uni.select(F.col("t").alias("w1"), F.col("cu").alias("c1")), "w1", "left")
+        .join(uni.select(F.col("t").alias("w2"), "cu"), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            # 0.3 literal, NOT 1 - LAMBDA: python computes
+            # 0.30000000000000004 while the DuckDB twin parses 0.3 —
+            # different doubles, and the nll round-guard shouldn't have
+            # to absorb an avoidable drift
+            (-F.log(F.lit(LAMBDA) * p_bi + F.lit(0.3) * p_uni)).alias("nl"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("nl"), 4).alias("nll"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    tercile = F.ntile(3).over(_W.orderBy("nll", "doc_id"))
+    return (
+        per_doc.withColumn("tercile", tercile)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll",
+            F.round(F.exp("nll"), 2).alias("ppl"),
+            F.when(F.col("tercile") == 1, F.lit("head"))
+            .when(F.col("tercile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM quality score (the CCNet/Wikipedia-LM filter
     family, Wenzek et al. 2020, public paper — here the LM is the

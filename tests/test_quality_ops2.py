@@ -265,3 +265,38 @@ def test_corpus_split_deterministic_and_proportioned(spark, tmp_path_factory):
     assert 0.87 < c["train"] / 2000 < 0.93
     assert 0.03 < c["val"] / 2000 < 0.07
     assert 0.03 < c["test"] / 2000 < 0.07
+
+
+@pytest.fixture(scope="module")
+def bigram_dir(spark, tmp_path_factory):
+    """Train slice (doc_id % 7 == 0): doc 0 = 'a b a b a b', doc 7 =
+    'c c' -> uni a:3 b:3 c:2 (N=8, V=3), bi 'a b':3 'b a':2 'c c':1.
+    Scored-only docs: doc 1 repeats the trained phrase (head), doc 2 is
+    OOV soup (tail)."""
+    docs = [
+        (0, "a b a b a b", "en"),
+        (7, "c c", "en"),
+        (1, "a b", "en"),
+        (2, "z q", "en"),
+    ]
+    out = tmp_path_factory.mktemp("bigram")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def test_bigram_lm_exact_values_and_buckets(spark, bigram_dir):
+    from facturas_spark.analytics.dedup import txt_bigram_lm_ppl
+
+    rows = {r["doc_id"]: r for r in txt_bigram_lm_ppl(spark, bigram_dir).collect()}
+    # doc 7 ('c c') and all >=2-token docs present; doc with 1 token none here
+    assert set(rows) == {0, 1, 2, 7}
+    # doc 1 'a b': p = 0.7*(3/3) + 0.3*((3+1)/(8+3))
+    assert rows[1]["nll"] == round(-math.log(0.7 + 0.3 * 4 / 11), 4)
+    assert rows[1]["n_bigrams"] == 1
+    # doc 2 'z q': both OOV -> p = 0.3*((0+1)/(8+3))
+    assert rows[2]["nll"] == round(-math.log(0.3 * 1 / 11), 4)
+    # trained-phrase doc is head, OOV soup is tail; ppl monotone with nll
+    assert rows[1]["bucket"] == "head" and rows[2]["bucket"] == "tail"
+    assert rows[1]["ppl"] < rows[2]["ppl"]

@@ -29,6 +29,7 @@ from tools.verify_local import normalize  # noqa: E402  (same comparator as the 
 QUERIES = [
     "txt_decontamination",
     "txt_unigram_lm_score",
+    "txt_bigram_lm_ppl",
     "txt_tfidf_keywords",
     "txt_charset_normalize",
     "corpus_chunking",
