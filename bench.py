@@ -340,13 +340,22 @@ def _bench_shuffle_jobs(spark, sf_dir: str) -> dict:
     from facturas_spark.analytics import corpus_clean as _cc
     from facturas_spark.analytics import dedup as _d
 
+    # hash family resolved HERE (the bench entry point) and passed
+    # explicitly — the production paths no longer read the env var, so
+    # oracle-gated runs can't silently pick up a non-default family
+    # (round-7 advice)
+    family = os.environ.get("SPARK_GRAFT_LSH_FAMILY", "md5")
+
+    def _clean_stats_cold():
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        flags = _cc.per_doc_flags(_cc.with_synth_pii(docs), lsh_family=family)
+        return _cc.clean_funnel(flags).collect()
+
     jobs = {
         "dedup_lsh_clusters": lambda: _d.dedup_lsh_clusters(
-            spark, sf_dir
+            spark, sf_dir, family=family
         ).count(),
-        "corpus_clean_stats": lambda: _cc.corpus_clean_stats(
-            spark, sf_dir
-        ).collect(),
+        "corpus_clean_stats": _clean_stats_cold,
     }
     out = {}
     for name, fn in jobs.items():
@@ -354,14 +363,16 @@ def _bench_shuffle_jobs(spark, sf_dir: str) -> dict:
         for _ in range(SCALING_REPS):
             # free the BLOCKS, not just the dict: clearing references
             # leaves prior reps' checkpointed frames resident until GC,
-            # polluting the timed cold reps with their memory footprint
-            _cache.release_session_cache(spark)
+            # polluting the timed cold reps with their memory footprint.
+            # The blanket sweep is safe here (and only here): each rep
+            # owns the whole session, nothing else holds frames.
+            _cache.teardown_all_rdd_blocks(spark)
             _cc.release_stage_caches()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        _cache.release_session_cache(spark)
+        _cache.teardown_all_rdd_blocks(spark)
         _cc.release_stage_caches()
         out[name] = round(best, 3)
     return out

@@ -19,6 +19,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
+# RDD ids materialized by each entry's eager localCheckpoint, captured at
+# creation so release_session_cache can free EXACTLY the blocks this
+# module owns (round-7 advice: the old blanket getPersistentRDDs sweep
+# would also kill concurrently held checkpointed frames — which have no
+# lineage to recompute from, so any surviving reference became unusable)
+_CACHE_RDD_IDS: dict[tuple, list[int]] = {}
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
 
 
 def session_cached(
@@ -26,25 +37,55 @@ def session_cached(
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _CACHE:
+        before = _persistent_ids(spark)
         _CACHE[key] = make().localCheckpoint(eager=True)
+        # the delta is the checkpoint's block RDD (plus, rarely, inner
+        # persists that first registered during the eager job — those are
+        # per-build scratch this module may also safely free)
+        _CACHE_RDD_IDS[key] = sorted(_persistent_ids(spark) - before)
     return _CACHE[key]
 
 
 def release_session_cache(spark: SparkSession) -> int:
-    """Free the BLOCKS, not just the references: ``_CACHE.clear()`` alone
-    drops the Python handles while every eagerly localCheckpointed
-    frame's materialized RDD stays resident in the block manager until
-    py4j finalizers + the ContextCleaner nondeterministically collect it
-    — measured by the round-6 review as prior-rep cluster-label and flag
-    frames sitting in memory during the shuffle sweep's timed cold reps.
-    Unpersists every persistent RDD in the context (localCheckpoint
-    blocks included) and clears the registry. ONLY for bench/test
-    teardown between cold reps: a checkpointed frame has no lineage to
-    recompute from, so any still-held reference becomes unusable."""
+    """Free the blocks recorded for THIS module's cache entries: an
+    eagerly localCheckpointed frame's materialized RDD stays resident in
+    the block manager until py4j finalizers + the ContextCleaner
+    nondeterministically collect it (measured by the round-6 review as
+    prior-rep cluster-label and flag frames sitting in memory during the
+    shuffle sweep's timed cold reps). Unpersists ONLY the RDD ids
+    captured when each entry was created — never frames owned by other
+    callers — and clears the registry. Returns the number of RDDs
+    released."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    app = spark.sparkContext.applicationId
+    n = 0
+    for key, ids in list(_CACHE_RDD_IDS.items()):
+        if key[0] != app:  # stale entries from a stopped session
+            _CACHE.pop(key, None)
+            _CACHE_RDD_IDS.pop(key, None)
+            continue
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(True)
+                n += 1
+        _CACHE.pop(key, None)
+        _CACHE_RDD_IDS.pop(key, None)
+    return n
+
+
+def teardown_all_rdd_blocks(spark: SparkSession) -> int:
+    """Blanket sweep: unpersist EVERY persistent RDD in the context —
+    localCheckpoint blocks included — and clear the registry. ONLY for
+    bench/test teardown between cold reps where the whole session's
+    block population must go: a checkpointed frame has no lineage to
+    recompute from, so any reference still held by ANY caller becomes
+    permanently unusable after this."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for jrdd in jmap.values():
         jrdd.unpersist(True)
         n += 1
     _CACHE.clear()
+    _CACHE_RDD_IDS.clear()
     return n

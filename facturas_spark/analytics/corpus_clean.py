@@ -407,6 +407,7 @@ def per_doc_flags(
     pack_shards: int | None = None,
     semantic_tau: float | None = None,
     quota_salts: int | None = None,
+    lsh_family: str = "md5",
 ) -> DataFrame:
     """One row per input doc with cumulative stage-survival flags
     (s0..s7), the scrubbed text, PII span counts, and pack assignment.
@@ -434,12 +435,16 @@ def per_doc_flags(
     ))
 
     # stage 6: near-dup LSH chain over the scrubbed text of s5 survivors.
-    # ``family`` mirrors _band_table's knob: md5 (default) is the
+    # ``lsh_family`` mirrors _band_table's knob: md5 (default) is the
     # DuckDB-portable oracle family; the shuffle sweep benches the
-    # integer xxhash64 production family (SPARK_GRAFT_LSH_FAMILY=xxhash64
-    # — same chain shape, ~2x cheaper minhash, pytest-pinned equivalence
-    # on the final keep decisions at oracle scale).
-    family = os.environ.get("SPARK_GRAFT_LSH_FAMILY", "md5")
+    # integer xxhash64 production family (same chain shape, ~2x cheaper
+    # minhash, pytest-pinned equivalence on the final keep decisions at
+    # oracle scale). EXPLICIT parameter, never the ambient env var: the
+    # families produce different candidate sets in general, so a stray
+    # env var must not silently change oracle-gated dedup results —
+    # bench/sweep entry points pass their family through this argument
+    # (round-7 advice).
+    family = lsh_family
     sh = _stage_persist(_shingle_table(
         f2.filter(F.col("s5")).select("doc_id", F.col("scrubbed").alias("text"))
     ))

@@ -92,10 +92,11 @@ def main(argv: list[str] | None = None) -> int:
         "--hash-family",
         choices=["md5", "xxhash64"],
         default="md5",
-        help="fingerprint family for --benchmark decontamination: md5 "
-        "(oracle-portable default) or xxhash64 (production — integer "
-        "keys, no hex-string materialization; identical membership "
-        "decisions, pytest-pinned)",
+        help="fingerprint family for --benchmark decontamination AND "
+        "the stage-6 near-dup LSH chain: md5 (oracle-portable default) "
+        "or xxhash64 (production — integer keys, no hex-string "
+        "materialization; identical keep decisions, pytest-pinned). "
+        "Explicit-only: the env var is never consulted in this job",
     )
     parser.add_argument(
         "--benchmark",
@@ -158,6 +159,7 @@ def main(argv: list[str] | None = None) -> int:
             pack_shards=args.pack_shards,
             semantic_tau=args.semantic_dedup,
             quota_salts=args.quota_salts,
+            lsh_family=args.hash_family,
         )
         flags.write.mode("overwrite").parquet(flags_path)
         # the flags parquet is now the source of truth — free the

@@ -330,10 +330,26 @@ def stream_clean_increment(
         # semantic phase ran real jobs before the old try/finally, so
         # a failing batch leaked its frames for the session lifetime)
         _persisted: list[DataFrame] = []
+        # block-RDD ids materialized by per-batch eager localCheckpoints:
+        # unlike persist(), a checkpointed frame's blocks are NOT released
+        # by unpersisting the DataFrame handle — without explicit cleanup
+        # they linger until nondeterministic py4j/ContextCleaner GC, one
+        # leaked frame per epoch on a long-running stream (round-7 advice)
+        _ckpt_rdd_ids: list[int] = []
 
         def _p(df: DataFrame) -> DataFrame:
             _persisted.append(df.persist())
             return df
+
+        def _persistent_ids() -> set[int]:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(i) for i in jmap.keySet().toArray()}
+
+        def _ck(df: DataFrame) -> DataFrame:
+            before = _persistent_ids()
+            out = df.localCheckpoint(eager=True)
+            _ckpt_rdd_ids.extend(sorted(_persistent_ids() - before))
+            return out
 
         try:
             if bench_hashes is not None:
@@ -384,7 +400,7 @@ def stream_clean_increment(
             # re-shingles only the collided corpus docs
             sh_b = _p(_shingle_table(exact_kept.select("doc_id", "text")))
             bands_b = _band_table(sh_b)
-            cand = (
+            cand = _ck(
                 bands_b.withColumnRenamed("doc_id", "bid")
                 .join(prior_bands, ["band", "key"])
                 .select("bid", "cid")
@@ -392,7 +408,6 @@ def stream_clean_increment(
                 # referenced twice (corpus re-shingle ids + verify probe);
                 # see dedup._verified_pairs — AQE re-executes an
                 # unmaterialized candidate DAG once per reference
-                .localCheckpoint(eager=True)
             )
             cand_corpus_sh = _shingle_table(
                 cand.select("cid").distinct()
@@ -486,6 +501,13 @@ def stream_clean_increment(
 
             for _df in _persisted:
                 _df.unpersist()
+            # drop the checkpointed frames' blocks by recorded RDD id —
+            # safe, they're per-batch-only and the epoch writes are done
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for _rid in _ckpt_rdd_ids:
+                _jrdd = jmap.get(_rid)
+                if _jrdd is not None:
+                    _jrdd.unpersist(True)
             release_stage_caches()
 
     q = (
