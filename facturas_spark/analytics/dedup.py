@@ -359,7 +359,18 @@ def _component_layout(
         return pairs, partitions
     env = os.environ.get("SPARK_GRAFT_COMPONENT_PARTITIONS")
     if env:
-        return pairs, int(env)
+        # validate loudly: '0' or garbage would otherwise surface as an
+        # uncontextualized repartition failure deep in the component loop
+        try:
+            env_n = int(env)
+        except ValueError:
+            env_n = -1
+        if env_n <= 0:
+            raise ValueError(
+                "SPARK_GRAFT_COMPONENT_PARTITIONS must be a positive "
+                f"integer, got {env!r} (unset it for the adaptive layout)"
+            )
+        return pairs, env_n
     thresh = int(
         os.environ.get("SPARK_GRAFT_COMPONENT_AUTO_THRESHOLD", "200000")
     )
@@ -723,7 +734,7 @@ def _lsh_candidate_pairs(sh: DataFrame, family: str = "md5") -> DataFrame:
 
 
 def dedup_lsh_clusters(
-    spark: SparkSession, sf_dir: str, family: str | None = None
+    spark: SparkSession, sf_dir: str, family: str = "md5"
 ) -> DataFrame:
     """The END-TO-END scale dedup chain over the FULL documents table:
     shingle MinHash -> LSH band collisions -> candidate pairs -> Jaccard
@@ -741,11 +752,12 @@ def dedup_lsh_clusters(
     x 2 rows: collision prob j^2 per band — ~0.97 recall at j=0.7 and
     band count tunes recall/cost at scale.
 
-    ``family=None`` resolves via $SPARK_GRAFT_LSH_FAMILY (default md5 —
-    the DuckDB-portable oracle family). The shuffle-scaling bench sets
-    xxhash64, the integer production family (_band_table docstring)."""
-    if family is None:
-        family = os.environ.get("SPARK_GRAFT_LSH_FAMILY", "md5")
+    ``family`` is an EXPLICIT parameter (default md5 — the DuckDB-
+    portable oracle family), never the ambient env var: the families
+    produce different candidate sets in general, so a stray env var must
+    not silently change oracle-gated results. The shuffle-scaling bench
+    passes xxhash64, the integer production family (_band_table
+    docstring), through this argument (round-7 advice)."""
 
     def make() -> DataFrame:
         docs = _t(spark, sf_dir, "documents").filter(
@@ -1019,6 +1031,70 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_cached(spark, sf_dir, "bpe_vocab", make)
+
+
+def _bpe_token_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached TOKENIZED CORPUS: (doc_id, w = the doc's full BPE
+    token sequence in position order). Built once per (session, sf_dir)
+    — posexplode into pre-tokens, join the ``_bpe_vocab`` merge table,
+    re-assemble in position order (array_sort on the pos struct) — and
+    shared by corpus_chunking (needs the sequence), corpus_packing and
+    txt_bpe_token_stats (need only ``size(w)``, which equals the
+    vocabulary join's sum(wn) by construction: flatten preserves every
+    token). Round-7 directive: round 6 cached only the vocab, so
+    chunking still paid the posexplode + join + collect_list rebuild per
+    call. Docs with zero pre-tokens are ABSENT (consumers left-join and
+    coalesce to 0 / filter as needed).
+
+    At cluster scale this frame is the persisted tokenized-corpus
+    staging table (the ``input_ids`` parquet) every trainer pipeline
+    writes once and reads many times — materializing it is the point,
+    not a cache trick."""
+    from facturas_spark.analytics.cache import session_cached
+    from facturas_spark.extraction import bpe
+
+    def make() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        pre = docs.select(
+            "doc_id",
+            F.posexplode(bpe.pretokens_expr(F.col("text"))).alias("pos", "w"),
+        )
+        vocab = _bpe_vocab(spark, sf_dir)
+        return (
+            pre.join(vocab.select("w", "toks"), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                        lambda s: s["toks"],
+                    )
+                ).alias("w")
+            )
+        )
+
+    return session_cached(spark, sf_dir, "bpe_token_seq", make)
+
+
+def _bpe_counts_from_seq(
+    docs: DataFrame, seq: DataFrame, extra_cols: list | None = None
+) -> DataFrame:
+    """Per-doc BPE token counts read off the cached token sequence:
+    ``size(w)`` over one doc_id left join — identical to
+    ``_bpe_doc_token_counts``'s sum(wn) (flatten preserves every token;
+    equality pinned in tests/test_bpe.py). Covers every input doc
+    (sequence-less docs count 0)."""
+    return (
+        docs.select("doc_id", *(extra_cols or []))
+        .join(seq, "doc_id", "left")
+        .select(
+            "doc_id",
+            *(extra_cols or []),
+            F.coalesce(F.size("w").cast("long"), F.lit(0).cast("long")).alias(
+                "tokens"
+            ),
+        )
+    )
 
 
 def _bpe_doc_token_counts(
@@ -1328,9 +1404,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_c = _shingle_table(corpus).persist()
     # referenced twice below (prune ids + verify probe); see
     # _verified_pairs for why AQE re-executes unmaterialized candidate
-    # DAGs per reference. Plan shape of the un-checkpointed frame is
-    # asserted by tests/test_plans.py (band-key equi-join, no theta).
-    cand = _incr_candidate_pairs(sh_b, sh_c).localCheckpoint(eager=True)
+    # DAGs per reference. The guard is ADAPTIVE on the candidate count
+    # (round-7 directive — the round-6 always-eager localCheckpoint cost
+    # ~0.9 s at sf0.1 for a guard only needed at sweep scale): persist +
+    # count materializes the DAG exactly once into the block-manager
+    # cache — both later references read cached blocks, so the 4.8M-doc
+    # re-execution blowup cannot recur — and ONLY a large candidate set
+    # (> SPARK_GRAFT_INCR_CKPT_THRESHOLD, default 200k pairs — the
+    # _component_layout count-then-choose pattern) pays the checkpoint,
+    # which truncates the lineage so an eviction under memory pressure
+    # can never silently re-execute the band-join DAG mid-verify. Plan
+    # shape of the un-materialized frame is asserted by
+    # tests/test_plans.py (band-key equi-join, no theta).
+    cand = _incr_candidate_pairs(sh_b, sh_c).persist()
+    ckpt_thresh = int(
+        os.environ.get("SPARK_GRAFT_INCR_CKPT_THRESHOLD", "200000")
+    )
+    if cand.count() > ckpt_thresh:
+        cand = cand.localCheckpoint(eager=True)
     # corpus side gets the _verified_pairs semi-join prune: band hits
     # touch few corpus docs, so fetch only those docs' (fat) shingle
     # sets instead of shuffling the whole corpus's arrays into the join
@@ -1825,7 +1916,12 @@ def txt_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def txt_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def txt_bigram_lm_ppl(
+    spark: SparkSession,
+    sf_dir: str,
+    tercile_mode: str | None = None,
+    head_min_count: int = 1,
+) -> DataFrame:
     """CCNet-style LM-perplexity filter with head/middle/tail buckets
     (Wenzek et al. 2020, public paper — CCNet scores docs under a
     Wikipedia KenLM and keeps perplexity terciles; here the LM is an
@@ -1841,15 +1937,145 @@ def txt_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(exp(nll_r), 2), bucket = ntile(3) over the deterministic
     (nll_r, doc_id) order — head = lowest perplexity, CCNet's keep-set.
 
+    ``tercile_mode`` picks how the terciles are realized — both forms
+    produce IDENTICAL buckets (property-pinned, tests/test_quality_ops2),
+    so the env valve SPARK_GRAFT_BIGRAM_TERCILE may switch them safely
+    (the _star_components pattern; unlike the LSH family knob this
+    never changes results):
+
+    * ``"offset"`` (default, the 100-TB shape): the LM tables become
+      BROADCAST joins and the tercile split needs NO global window.
+      ntile's bucket of a row is a pure function of its global rank in
+      (nll, doc_id) order; rank = (rows with smaller nll) + (rank by
+      doc_id within the tie group). The first term comes from a driver
+      histogram of the rounded nll values — bounded by the 1e-4
+      rounding grid (nll < ~30 → ≤ ~300k distinct values, independent
+      of corpus size), the one deliberate driver read here. Only the
+      ≤ 2 value-groups STRADDLING a cut need the within-group rank (a
+      row_number partitioned BY VALUE — never a single global
+      partition); every other group's bucket is decided wholesale.
+    * ``"window"`` — the literal ntile(3) reference form the oracle
+      twin mirrors; kept as the equality baseline.
+
+    ``head_min_count`` (offset mode): keep only LM entries with count
+    >= this in the broadcast slices — the Zipf-head cut for 100-TB
+    vocabularies. Because cu(w1) >= c2(w1 w2), cutting both tables at
+    the same threshold is self-consistent: a dropped entry scores
+    exactly as an unseen one (c2=0 / the add-one unigram floor). At 1
+    (default) the slices are the full tables and the output is
+    bit-identical to the exact-join form.
+
     Scale shape: bigram extraction is a map (zip_with over two slices —
     NOT an index transform, which would re-evaluate the words array per
     element); the model tables build with one token-keyed partial-agg
     shuffle each; scoring is two key joins (bigram string, context
     word) + per-doc agg. At 100 TB the model tables are the Zipf-headed
     TOP slices broadcast with the back-off floor as OOV default, making
-    scoring map-side; the tercile split becomes approx-quantile cuts
-    instead of a global ntile window. Docs with < 2 tokens have no
-    bigrams and are absent from the output (both engines)."""
+    scoring map-side. Docs with < 2 tokens have no bigrams and are
+    absent from the output (both engines)."""
+    if tercile_mode is None:
+        tercile_mode = os.environ.get("SPARK_GRAFT_BIGRAM_TERCILE", "offset")
+    if tercile_mode not in ("offset", "window"):
+        raise ValueError(
+            "SPARK_GRAFT_BIGRAM_TERCILE / tercile_mode must be 'offset' "
+            f"or 'window', got {tercile_mode!r}"
+        )
+    per_doc = _bigram_per_doc(
+        spark,
+        sf_dir,
+        broadcast_lm=(tercile_mode == "offset"),
+        head_min_count=head_min_count,
+    )
+    from pyspark.sql.window import Window as _W
+
+    final_cols = [
+        "doc_id",
+        "n_bigrams",
+        "nll",
+        F.round(F.exp("nll"), 2).alias("ppl"),
+        F.col("bucket"),
+    ]
+
+    if tercile_mode == "window":
+        # the literal reference form: one global ntile window (a single
+        # fat task at corpus scale — kept only as the equality baseline)
+        tercile = F.ntile(3).over(_W.orderBy("nll", "doc_id"))
+        return (
+            per_doc.withColumn("tercile", tercile)
+            .withColumn(
+                "bucket",
+                F.when(F.col("tercile") == 1, F.lit("head"))
+                .when(F.col("tercile") == 2, F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+            .select(*final_cols)
+            .orderBy("doc_id")
+        )
+
+    # offset mode: reproduce ntile(3) over (nll, doc_id) EXACTLY with no
+    # global window. Checkpoint per_doc — it feeds both the histogram
+    # action and the final frame (AQE would re-execute the scoring DAG
+    # once per reference otherwise, the round-6 lesson).
+    per_doc = per_doc.localCheckpoint(eager=True)
+    hist = sorted(
+        (r["nll"], r["cnt"])
+        for r in per_doc.groupBy("nll").agg(F.count("*").alias("cnt")).collect()
+    )
+    n = sum(c for _, c in hist)
+    base, rem = divmod(n, 3)
+    t1 = base + (1 if rem >= 1 else 0)
+    t2 = t1 + base + (1 if rem >= 2 else 0)
+
+    def _bucket_of(rank: int) -> str:
+        return "head" if rank <= t1 else ("middle" if rank <= t2 else "tail")
+
+    whole: list[tuple[float, str]] = []  # value-groups wholly in one bucket
+    straddle: dict[float, int] = {}  # value -> rank offset; <= 2 entries
+    cum = 0
+    for v, cnt in hist:
+        if _bucket_of(cum + 1) == _bucket_of(cum + cnt):
+            whole.append((float(v), _bucket_of(cum + 1)))
+        else:
+            straddle[float(v)] = cum
+        cum += cnt
+
+    whole_df = spark.createDataFrame(whole, "nll double, bucket string")
+    out = per_doc.join(F.broadcast(whole_df), "nll").select(
+        "doc_id", "n_bigrams", "nll", "bucket"
+    )
+    if straddle:
+        # within-tie rank: row_number partitioned BY VALUE — at most two
+        # small tie groups ever reach this window, never a global one
+        rn = F.row_number().over(_W.partitionBy("nll").orderBy("doc_id"))
+        off = F.lit(None).cast("long")
+        for v, o in straddle.items():
+            off = F.when(F.col("nll") == v, F.lit(o)).otherwise(off)
+        g = off + rn
+        bucket = (
+            F.when(g <= t1, F.lit("head"))
+            .when(g <= t2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        bnd = (
+            per_doc.filter(F.col("nll").isin(list(straddle)))
+            .withColumn("bucket", bucket)
+            .select("doc_id", "n_bigrams", "nll", "bucket")
+        )
+        out = out.unionByName(bnd)
+    return out.select(*final_cols).orderBy("doc_id")
+
+
+def _bigram_per_doc(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_lm: bool,
+    head_min_count: int = 1,
+) -> DataFrame:
+    """The scoring stage of txt_bigram_lm_ppl, pre-tercile: one row per
+    doc with >= 2 tokens, (doc_id, n_bigrams, nll). Exposed separately
+    so plan tests can assert the broadcast_lm form's three
+    BroadcastHashJoins without the tercile stage's eager checkpoint
+    erasing the upstream plan."""
     LAMBDA = 0.7
     docs = _t(spark, sf_dir, "documents")
     words = docs.select("doc_id", _words(F.col("text")).alias("w")).filter(
@@ -1891,6 +2117,22 @@ def txt_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c2"))
     )
 
+    # totals ALWAYS come from the full tables — the Zipf-head cut below
+    # thins the broadcast join slices, never the smoothing denominator
+    if broadcast_lm:
+        # 100-TB shape: broadcast the Zipf-head LM slices so scoring is
+        # a map-side pass (three BroadcastHashJoins, zero corpus-side
+        # shuffle before the per-doc agg). Cutting uni and bi at the
+        # SAME count threshold is self-consistent (see docstring); at
+        # head_min_count=1 the slices are the full tables.
+        if head_min_count > 1:
+            uni_j = F.broadcast(uni.filter(F.col("cu") >= head_min_count))
+            bi_j = F.broadcast(bi.filter(F.col("c2") >= head_min_count))
+        else:
+            uni_j, bi_j = F.broadcast(uni), F.broadcast(bi)
+    else:
+        uni_j, bi_j = uni, bi
+
     p_bi = F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.coalesce(
         F.col("c1"), F.lit(1)
     )
@@ -1898,9 +2140,13 @@ def txt_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_total") + F.col("v_size")
     )
     scored = (
-        big.join(bi, "bg", "left")
-        .join(uni.select(F.col("t").alias("w1"), F.col("cu").alias("c1")), "w1", "left")
-        .join(uni.select(F.col("t").alias("w2"), "cu"), "w2", "left")
+        big.join(bi_j, "bg", "left")
+        .join(
+            uni_j.select(F.col("t").alias("w1"), F.col("cu").alias("c1")),
+            "w1",
+            "left",
+        )
+        .join(uni_j.select(F.col("t").alias("w2"), "cu"), "w2", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
@@ -1911,26 +2157,9 @@ def txt_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.log(F.lit(LAMBDA) * p_bi + F.lit(0.3) * p_uni)).alias("nl"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.avg("nl"), 4).alias("nll"),
-    )
-    from pyspark.sql.window import Window as _W
-
-    tercile = F.ntile(3).over(_W.orderBy("nll", "doc_id"))
-    return (
-        per_doc.withColumn("tercile", tercile)
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "nll",
-            F.round(F.exp("nll"), 2).alias("ppl"),
-            F.when(F.col("tercile") == 1, F.lit("head"))
-            .when(F.col("tercile") == 2, F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
-        .orderBy("doc_id")
     )
 
 

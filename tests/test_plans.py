@@ -299,3 +299,22 @@ def test_unigram_lm_partial_agg_and_broadcast_totals(spark):
     plan = _plan(em.queries()["txt_unigram_lm_score"](spark, SF))
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_incremental_ckpt_guard_adaptive(spark, monkeypatch):
+    """Round-7 directive: the candidate checkpoint is adaptive on the
+    materialized candidate count — small graphs stay on persist() (one
+    execution, cached blocks serve both references), large graphs
+    upgrade to the lineage-truncating eager localCheckpoint. Both paths
+    must produce identical decisions."""
+    from facturas_spark.analytics import dedup as D
+
+    base = sorted(
+        tuple(r) for r in D.dedup_incremental(spark, SF).collect()
+    )
+    # threshold 0 forces every candidate set onto the checkpoint path
+    monkeypatch.setenv("SPARK_GRAFT_INCR_CKPT_THRESHOLD", "0")
+    forced = sorted(
+        tuple(r) for r in D.dedup_incremental(spark, SF).collect()
+    )
+    assert base == forced

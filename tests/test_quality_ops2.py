@@ -300,3 +300,88 @@ def test_bigram_lm_exact_values_and_buckets(spark, bigram_dir):
     # trained-phrase doc is head, OOV soup is tail; ppl monotone with nll
     assert rows[1]["bucket"] == "head" and rows[2]["bucket"] == "tail"
     assert rows[1]["ppl"] < rows[2]["ppl"]
+
+
+def test_bigram_tercile_modes_identical(spark, bigram_dir):
+    """offset mode (broadcast LM slices + histogram-offset terciles) is
+    bit-identical to the literal ntile(3) window form, including the
+    straddling tie groups the offset path splits by within-value rank."""
+    from facturas_spark.analytics.dedup import txt_bigram_lm_ppl
+
+    win = [tuple(r) for r in
+           txt_bigram_lm_ppl(spark, bigram_dir, tercile_mode="window").collect()]
+    off = [tuple(r) for r in
+           txt_bigram_lm_ppl(spark, bigram_dir, tercile_mode="offset").collect()]
+    assert win == off
+
+
+def test_bigram_tercile_modes_identical_with_ties(spark, tmp_path_factory):
+    """Tie-heavy corpus: many docs share ONE nll value straddling both
+    cuts — exactly the case value-threshold quantile cuts get wrong and
+    the within-group rank handles; ntile equality must survive it."""
+    from facturas_spark.analytics.dedup import txt_bigram_lm_ppl
+
+    docs = [(0, "a b a b", "en")] + [
+        (i, "a b", "en") for i in range(1, 14) if i % 7 != 0
+    ]
+    out = tmp_path_factory.mktemp("bigram_ties")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).write.parquet(str(out / "documents.parquet"))
+    sf = str(out)
+    win = {r["doc_id"]: r["bucket"] for r in
+           txt_bigram_lm_ppl(spark, sf, tercile_mode="window").collect()}
+    off = {r["doc_id"]: r["bucket"] for r in
+           txt_bigram_lm_ppl(spark, sf, tercile_mode="offset").collect()}
+    assert win == off
+    # the tie group really does straddle: all three buckets are present
+    assert set(win.values()) == {"head", "middle", "tail"}
+
+
+def test_bigram_offset_plan_has_no_global_window(spark):
+    """Done-bar for the round-7 scale path: the default (offset) plan
+    contains no ntile and no single-partition exchange; the scoring
+    stage's three LM joins are all broadcast."""
+    from facturas_spark.analytics.dedup import _bigram_per_doc, txt_bigram_lm_ppl
+
+    sf = "/root/testdata/sf0.001"
+    plan = txt_bigram_lm_ppl(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    assert "SinglePartition" not in plan
+    scoring = (
+        _bigram_per_doc(spark, sf, broadcast_lm=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert scoring.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in scoring
+
+
+def test_bigram_zipf_head_cut_self_consistent(spark, bigram_dir):
+    """head_min_count=2 drops the count-1 LM entries ('c c'); a dropped
+    bigram must score exactly as an unseen one (c2=0 + add-one floor)."""
+    import math
+
+    from facturas_spark.analytics.dedup import txt_bigram_lm_ppl
+
+    rows = {
+        r["doc_id"]: r
+        for r in txt_bigram_lm_ppl(spark, bigram_dir, head_min_count=2).collect()
+    }
+    # doc 7 'c c': bigram 'c c' (c2=1) is cut, unigram c (cu=2) survives
+    # -> p = 0.7*0 + 0.3*(2+1)/(8+3) — the dropped bigram scores exactly
+    # as an unseen one while the back-off floor keeps its true count
+    assert rows[7]["nll"] == round(-math.log(0.3 * 3 / 11), 4)
+    # doc 1 'a b' keeps its full-table score (a, b, 'a b' all count>=2)
+    assert rows[1]["nll"] == round(-math.log(0.7 + 0.3 * 4 / 11), 4)
+
+
+def test_bigram_tercile_mode_env_and_validation(spark, bigram_dir, monkeypatch):
+    from facturas_spark.analytics.dedup import txt_bigram_lm_ppl
+
+    monkeypatch.setenv("SPARK_GRAFT_BIGRAM_TERCILE", "window")
+    df = txt_bigram_lm_ppl(spark, bigram_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" in plan  # env valve reaches the default resolution
+    monkeypatch.setenv("SPARK_GRAFT_BIGRAM_TERCILE", "bogus")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_BIGRAM_TERCILE"):
+        txt_bigram_lm_ppl(spark, bigram_dir)
