@@ -1148,8 +1148,8 @@ def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned-merge tokenizer via the vocabulary join — the per-lang
     totals a trainer's tokenizer would actually bill."""
     docs = _t(spark, sf_dir, "documents")
-    counts = _bpe_doc_token_counts(
-        docs, extra_cols=["lang"], vocab=_bpe_vocab(spark, sf_dir)
+    counts = _bpe_counts_from_seq(
+        docs, _bpe_token_seq(spark, sf_dir), extra_cols=["lang"]
     )
     return (
         counts.groupBy("lang")
@@ -1578,10 +1578,11 @@ def corpus_packing(
     # budget denominated in REAL BPE tokens (extraction/bpe.py's frozen
     # learned merges) since round 5 — the pack boundary now falls where
     # a trainer's tokenizer would put it, not at a whitespace estimate;
-    # counts come through the vocabulary join (_bpe_doc_token_counts)
+    # counts read off the shared tokenized-corpus cache (size(w) ==
+    # the vocabulary join's sum(wn); _bpe_counts_from_seq docstring)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     budget = 512
-    base = _bpe_doc_token_counts(docs, vocab=_bpe_vocab(spark, sf_dir))
+    base = _bpe_counts_from_seq(docs, _bpe_token_seq(spark, sf_dir))
     if shards is None:
         w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
         group_cols = ["pack_id"]
@@ -2493,31 +2494,12 @@ def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk windows denominated in REAL BPE tokens (extraction/bpe.py)
     # since round 5 — offsets/fingerprints index the token stream a
     # trainer would see, not a whitespace approximation. The token
-    # SEQUENCE is rebuilt through the vocabulary join: posexplode into
-    # pre-tokens, merge-chain over distinct words only, join back and
-    # re-assemble in position order (array_sort on the pos struct).
-    from facturas_spark.extraction import bpe
-
+    # SEQUENCE comes from the shared session-cached tokenized-corpus
+    # frame (round-7 directive: round 6 cached only the vocab, leaving
+    # chunking to pay the posexplode + join + collect_list rebuild on
+    # every call — _bpe_token_seq docstring for the staging-table shape).
     stride = CHUNK_TOKENS - CHUNK_OVERLAP
-    docs = _t(spark, sf_dir, "documents")
-    pre = docs.select(
-        "doc_id",
-        F.posexplode(bpe.pretokens_expr(F.col("text"))).alias("pos", "w"),
-    )
-    vocab = _bpe_vocab(spark, sf_dir)  # shared session-cached frame
-    seq = (
-        pre.join(vocab.select("w", "toks"), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
-                    lambda s: s["toks"],
-                )
-            ).alias("w")
-        )
-    )
-    base = seq.filter(F.size("w") > 0)
+    base = _bpe_token_seq(spark, sf_dir).filter(F.size("w") > 0)
     n = F.size("w")
     # windows stop at the FIRST one whose end reaches the doc end (the
     # HF-tokenizers overflow/stride rule) — only the last chunk is ragged

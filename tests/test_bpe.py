@@ -170,3 +170,30 @@ def test_token_counts_compress_vs_chars():
     toks = bpe.encode_py(s)
     n_chars = len(s.replace(" ", ""))
     assert len(toks) < n_chars * 0.65, (len(toks), n_chars)
+
+
+def test_seq_counts_equal_vocab_join_counts(spark):
+    """_bpe_counts_from_seq (size of the cached token sequence) must be
+    row-identical to _bpe_doc_token_counts (the vocabulary-join sum) —
+    the equality the round-7 shared tokenized-corpus cache rests on,
+    including 0 for docs with no pre-tokens."""
+    from pyspark.sql import functions as F
+
+    from facturas_spark.analytics import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    via_join = {
+        r["doc_id"]: r["tokens"]
+        for r in D._bpe_doc_token_counts(
+            docs, vocab=D._bpe_vocab(spark, sf)
+        ).collect()
+    }
+    via_seq = {
+        r["doc_id"]: r["tokens"]
+        for r in D._bpe_counts_from_seq(
+            docs, D._bpe_token_seq(spark, sf)
+        ).collect()
+    }
+    assert via_join == via_seq
+    assert len(via_seq) == docs.count()
