@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_stats": CC.corpus_clean_stats,
         "embed_fingerprint_stats": D.embed_fingerprint_stats,
         "extract_embed_ann": D.extract_embed_ann,
+        "embed_neighbor_graph": D.embed_neighbor_graph,
         "iva_tipos_breakdown": E.iva_tipos_breakdown,
         "txt_substring_dup": D.txt_substring_dup,
         "esc_resumen_global": E.esc_resumen_global,
@@ -883,6 +884,46 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(CAST(COALESCE(sumsq, 0) AS DOUBLE)), 4) AS l2
             FROM d LEFT JOIN stats ON d.doc_id = stats.doc_id
             ORDER BY d.doc_id
+        """,
+        "embed_neighbor_graph": """
+            WITH d AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS s
+              FROM documents WHERE doc_id < 150
+            ), grams AS (
+              SELECT doc_id, md5(substr(s, CAST(i AS INTEGER), 3)) AS h
+              FROM d, LATERAL unnest(range(1, len(s) - 1)) AS t(i)
+              WHERE len(s) >= 3
+            ), buckets AS (
+              SELECT doc_id,
+                     ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 64 AS bucket,
+                     CASE WHEN strpos('0123456789abcdef', substr(h, 5, 1)) - 1 < 8
+                          THEN 1 ELSE -1 END AS sgn
+              FROM grams
+            ), vec AS (
+              SELECT doc_id, bucket, SUM(sgn) AS v
+              FROM buckets GROUP BY doc_id, bucket
+            ), ss AS (
+              SELECT doc_id, SUM(v * v) AS s FROM vec GROUP BY doc_id
+              HAVING SUM(v * v) > 0
+            ), pairs AS (
+              -- dot over shared buckets only: disjoint-support pairs have
+              -- dot = 0 and are excluded by the predicate anyway
+              SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.v * b.v) AS dot
+              FROM vec a JOIN vec b
+                ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id1 AS doc_id, id2 AS neighbor_id,
+                   CAST(dot AS BIGINT) AS dot,
+                   ROUND(dot / sqrt(CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)), 4)
+                     AS cos_sim
+            FROM pairs
+            JOIN ss s1 ON id1 = s1.doc_id
+            JOIN ss s2 ON id2 = s2.doc_id
+            WHERE dot > 0 AND 16 * dot * dot >= 9 * s1.s * s2.s
+            ORDER BY doc_id, neighbor_id
         """,
         "events_json_props": """
             SELECT event_type,

@@ -1788,6 +1788,91 @@ def extract_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_neighbor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable facet of the semantic-search loop (round-7
+    directive: ``extract_embed_ann`` is rows-only because its extraction
+    UDF is not SQL-expressible — this query pins the OTHER half of that
+    pipeline, the deterministic embedder + pairwise cosine arithmetic,
+    with a DuckDB twin): over doc_id < 150 raw texts, the signed
+    char-3-gram count vectors (extraction/embed.py's exact bucket/sign
+    rule, pre-normalization so every component is an INTEGER), and the
+    neighbor SET under an integer-exact predicate:
+
+        dot > 0  AND  16 * dot^2 >= 9 * sumsq_i * sumsq_j   (cos >= 0.75)
+
+    All comparisons are integer, so the keep set cannot drift on float
+    rounding across engines; cos_sim is emitted for inspection and IS
+    cross-engine bit-stable anyway (same integers through IEEE sqrt /
+    divide in both). Deterministic order (doc_id, neighbor_id).
+
+    Scale: the pair join is brute-force on the bounded window (the demo
+    oracle); the production path buckets by sign-LSH first
+    (dedup_embedding_lsh / ann_lsh_buckets) and applies the same integer
+    predicate inside buckets."""
+    from pyspark.sql.functions import pandas_udf
+
+    from facturas_spark.extraction.embed import EMBED_DIM, _normalize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    @pandas_udf("array<long>")
+    def counts(text):
+        import hashlib
+
+        import pandas as pd
+
+        out = []
+        for t in text:
+            s = _normalize(t)
+            vec = [0] * EMBED_DIM
+            for i in range(len(s) - 2):
+                h = hashlib.md5(s[i : i + 3].encode("utf-8")).hexdigest()
+                b = int(h[:4], 16) % EMBED_DIM
+                vec[b] += 1 if int(h[4], 16) < 8 else -1
+            out.append(vec)
+        return pd.Series(out)
+
+    sumsq = F.aggregate(
+        "e", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    vecs = docs.select(
+        "doc_id", counts("text").alias("e")
+    ).withColumn("s", sumsq).filter(F.col("s") > 0)
+    a = vecs.select(
+        F.col("doc_id").alias("id1"), F.col("e").alias("e1"), F.col("s").alias("s1")
+    )
+    b = vecs.select(
+        F.col("doc_id").alias("id2"), F.col("e").alias("e2"), F.col("s").alias("s2")
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, a.id1 < b.id2)
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                16 * F.col("dot") * F.col("dot")
+                >= 9 * F.col("s1") * F.col("s2")
+            )
+        )
+        .select(
+            F.col("id1").alias("doc_id"),
+            F.col("id2").alias("neighbor_id"),
+            "dot",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("s1").cast("double") * F.col("s2").cast("double")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("doc_id", "neighbor_id")
+    )
+
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head (tokenizer/vocab building): explode words ->
     count -> top 50 by (count desc, token asc). One partial-agg shuffle on
