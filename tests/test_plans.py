@@ -10,12 +10,9 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as em
+from facturas_spark.plans import executed_plan as _plan
 
 SF = "/root/testdata/sf0.001"
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -58,7 +55,9 @@ def test_sql_queries_have_no_python(spark):
     # the embedder facet IS an Arrow kernel surface (the hashed-3-gram
     # projection, vectorized pandas_udf) — oracle-twinned for exactness
     # but per-doc Python by design, like the rows-only pipelines
+    # (embed_neighbor_graph is its pairwise-cosine facet, same kernel)
     oracle_backed.discard("embed_fingerprint_stats")
+    oracle_backed.discard("embed_neighbor_graph")
     # the layout facet runs the REAL walk_layout kernel on purpose — the
     # DuckDB twin re-derives its numbers from raw spans with pure SQL, so
     # the pair is a cross-engine check OF the Python kernel itself
