@@ -423,16 +423,26 @@ def per_doc_flags(
     the FineWeb-style heuristics -> MinHash -> semantic chain."""
     f1 = quality_frame(docs)
 
-    # stage 5: exact dedup on the scrubbed fingerprint among s3 survivors
-    ex = (
-        f1.filter(F.col("s3"))
-        .select("doc_id", F.md5("scrubbed").alias("fp"))
-        .withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
-        .select("doc_id", (F.col("doc_id") == F.col("min_id")).alias("exact_keep"))
+    # stage 5: exact dedup on the scrubbed fingerprint among s3 survivors.
+    # ONE window directly over the fat frame — min(s3 ? doc_id : null)
+    # per fingerprint partition — instead of the round-6 thin-window +
+    # join-back-by-doc_id form: the join shuffled every scrubbed text a
+    # second time, and the stage is allocation-bandwidth-bound, not
+    # CPU-bound (profiled FLAT 10.9 s @ 4 cores -> 11.6 s @ 16 on the
+    # 2.4M-doc sweep corpus; one fat movement instead of two fixed it —
+    # round-7 directive 4). Keep decisions are identical: non-s3 rows
+    # contribute null to the min and fail the s3 conjunct regardless.
+    exw = Window.partitionBy(F.md5("scrubbed"))
+    f2 = _stage_persist(
+        f1.withColumn(
+            "_min_id",
+            F.min(F.when(F.col("s3"), F.col("doc_id"))).over(exw),
+        )
+        .withColumn(
+            "s5", F.col("s3") & (F.col("doc_id") == F.col("_min_id"))
+        )
+        .drop("_min_id")
     )
-    f2 = _stage_persist(f1.join(ex, "doc_id", "left").withColumn(
-        "s5", F.col("s3") & F.coalesce("exact_keep", F.lit(False))
-    ))
 
     # stage 6: near-dup LSH chain over the scrubbed text of s5 survivors.
     # ``lsh_family`` mirrors _band_table's knob: md5 (default) is the
