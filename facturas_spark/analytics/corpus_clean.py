@@ -139,6 +139,32 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PACK_BUDGET = 512
 QUOTA_K = 15  # stats-query default; the job parameterizes
 
+# Largest per-source row count the single-phase quota window may
+# serialize through one task before the auto mode switches to the exact
+# two-phase salted form. 200k rows of (doc_id, source) through one
+# window task is ~sub-second; a Zipf-hot crawl source at corpus scale
+# is orders of magnitude past it.
+QUOTA_SALT_TARGET = 200_000
+
+
+def resolve_quota_salts(survivors: DataFrame, quota_k: int) -> int | None:
+    """The ``quota_salts="auto"`` decision, shared by per_doc_flags and
+    tools/profile_shuffle.py so the profiler cannot drift: measure the
+    hottest source with one thin agg (the frame feeding the quota window
+    is persisted upstream, so this materializes work the next action
+    needs anyway — _component_layout's pattern) and return a salt count
+    that bounds every phase-1 window task near QUOTA_SALT_TARGET rows,
+    or None (single-phase) when no source is hot enough to matter."""
+    hot = (
+        survivors.groupBy("source")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    ) or 0
+    if hot <= QUOTA_SALT_TARGET:
+        return None
+    return int(min(1024, max(16, -(-hot // QUOTA_SALT_TARGET))))
+
 
 def quota_keep_ids(
     survivors: DataFrame, quota_k: int, salts: int | None = None
@@ -406,7 +432,7 @@ def per_doc_flags(
     pack_budget: int = PACK_BUDGET,
     pack_shards: int | None = None,
     semantic_tau: float | None = None,
-    quota_salts: int | None = None,
+    quota_salts: int | None | str = "auto",
     lsh_family: str = "md5",
 ) -> DataFrame:
     """One row per input doc with cumulative stage-survival flags
@@ -483,19 +509,24 @@ def per_doc_flags(
         f3 = f3.withColumn("sem_drop", F.lit(False))
 
     # stage 7: per-source quota among s6 survivors.
-    # Skew note (the 100-TB shape): the default single-phase window puts
-    # every row of a source in ONE partition — a Zipf-hot crawl source
+    # Skew note (the 100-TB shape): the single-phase window puts every
+    # row of a source in ONE partition — a Zipf-hot crawl source
     # (tools/sf3_bench.py plants 30% of the corpus on one source)
     # serializes in a single fat task, and AQE cannot split a window.
-    # Exact and fine up to ~10^7 rows/source; past that, pass
-    # quota_salts=S (job flag --quota-salts) for the exact two-phase
-    # salted top-k — same keep set, hot partitions bounded at S*quota_k
-    # rows in the merge phase. See quota_keep_ids.
-    quota = quota_keep_ids(
-        f3.filter(F.col("s6")).select("doc_id", "source"),
-        quota_k,
-        salts=quota_salts,
+    # The "auto" default (round-7 directive 4) measures the hottest
+    # source and switches to the exact two-phase salted top-k past
+    # QUOTA_SALT_TARGET rows — same keep set (property-tested), hot
+    # phase-1 tasks bounded near the target, and a bonus at scale: the
+    # two-phase output is <= #sources * quota_k rows, so the join-back
+    # below broadcasts instead of reshuffling the fat frame by doc_id.
+    # Explicit ints / None still force a form. See quota_keep_ids.
+    surv_ids = f3.filter(F.col("s6")).select("doc_id", "source")
+    salts = (
+        resolve_quota_salts(surv_ids, quota_k)
+        if quota_salts == "auto"
+        else quota_salts
     )
+    quota = quota_keep_ids(surv_ids, quota_k, salts=salts)
     f4 = _stage_persist(f3.join(quota, "doc_id", "left").withColumn(
         "s7", F.col("s6") & F.coalesce("quota_keep", F.lit(False))
     ))

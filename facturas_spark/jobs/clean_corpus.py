@@ -63,13 +63,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--quota-salts",
-        type=int,
-        default=None,
+        type=lambda s: s if s == "auto" else int(s),
+        default="auto",
         metavar="S",
         help="exact two-phase salted per-source quota (cluster scale: a "
         "Zipf-hot source spreads over S salt partitions instead of one "
         "unsplittable window task; merge phase bounded at S*quota_k "
-        "rows/source; identical keep set — see quota_keep_ids)",
+        "rows/source; identical keep set — see quota_keep_ids). Default "
+        "'auto' measures the hottest source and salts only past "
+        "QUOTA_SALT_TARGET rows; 0 forces single-phase",
     )
     parser.add_argument("--cores", type=int, default=None, help="local-mode cores")
     parser.add_argument(

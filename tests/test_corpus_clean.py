@@ -350,3 +350,37 @@ def test_per_doc_flags_quota_salts_same_decisions(spark):
         .collect()
     }
     assert base == salted
+
+
+def test_resolve_quota_salts_auto(spark, monkeypatch):
+    """The "auto" quota decision: single-phase below QUOTA_SALT_TARGET,
+    salted above it with the salt count scaling to bound phase-1 tasks
+    near the target, floored at 16 and capped at 1024."""
+    import facturas_spark.analytics.corpus_clean as cc
+
+    surv = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    # 100 rows/source at the real 200k threshold: single-phase
+    assert cc.resolve_quota_salts(surv, 15) is None
+    # shrink the threshold so the same frame counts as hot
+    monkeypatch.setattr(cc, "QUOTA_SALT_TARGET", 50)
+    assert cc.resolve_quota_salts(surv, 15) == 16  # ceil(100/50)=2 -> floor 16
+    monkeypatch.setattr(cc, "QUOTA_SALT_TARGET", 2)
+    assert cc.resolve_quota_salts(surv, 15) == 50  # ceil(100/2)=50 in [16,1024]
+    # the per_doc_flags "auto" default resolves single-phase at test
+    # scale, so the decisions equal the explicit-None chain
+    docs = with_synth_pii(spark.read.parquet(f"{SF}/documents.parquet"))
+    monkeypatch.setattr(cc, "QUOTA_SALT_TARGET", 200_000)
+    auto = {
+        r.doc_id: r.s7
+        for r in per_doc_flags(docs).select("doc_id", "s7").collect()
+    }
+    single = {
+        r.doc_id: r.s7
+        for r in per_doc_flags(docs, quota_salts=None)
+        .select("doc_id", "s7")
+        .collect()
+    }
+    assert auto == single

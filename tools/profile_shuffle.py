@@ -105,20 +105,14 @@ def main() -> None:
         "clean.quality_frame",
         lambda: quality_frame(base).localCheckpoint(eager=True),
     )
-    ex = (
-        f1.filter(F.col("s3"))
-        .select("doc_id", F.md5("scrubbed").alias("fp"))
-        .withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
-        .select(
-            "doc_id", (F.col("doc_id") == F.col("min_id")).alias("exact_keep")
-        )
-    )
+    exw = Window.partitionBy(F.md5("scrubbed"))
     f2 = tick(
         "clean.exact",
-        lambda: f1.join(ex, "doc_id", "left")
-        .withColumn(
-            "s5", F.col("s3") & F.coalesce("exact_keep", F.lit(False))
+        lambda: f1.withColumn(
+            "_min_id", F.min(F.when(F.col("s3"), F.col("doc_id"))).over(exw)
         )
+        .withColumn("s5", F.col("s3") & (F.col("doc_id") == F.col("_min_id")))
+        .drop("_min_id")
         .localCheckpoint(eager=True),
     )
     sh2 = tick(
@@ -150,15 +144,19 @@ def main() -> None:
         )
         .withColumn("sem_drop", F.lit(False))
     )
-    qw = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    from facturas_spark.analytics.corpus_clean import (
+        quota_keep_ids,
+        resolve_quota_salts,
     )
-    quota = (
-        f3.filter(F.col("s6"))
-        .select("doc_id", "source")
-        .withColumn("rn", F.row_number().over(qw))
-        .select("doc_id", (F.col("rn") <= 15).alias("quota_keep"))
-    )
+
+    # isolate quota timing from the s6 flag-join build (round 6 folded
+    # both into clean.quota; keep them separate so the quota fix's
+    # effect is visible on its own line)
+    f3 = tick("clean.s6_join", lambda: f3.localCheckpoint(eager=True))
+    surv_ids = f3.filter(F.col("s6")).select("doc_id", "source")
+    salts = tick("clean.quota_resolve", lambda: resolve_quota_salts(surv_ids, 15))
+    out["quota_salts"] = salts
+    quota = quota_keep_ids(surv_ids, 15, salts=salts)
     tick(
         "clean.quota",
         lambda: f3.join(quota, "doc_id", "left")
