@@ -56,77 +56,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # priority order, (1) queries whose code changed this round,
         # (2) queries never driver-checked, (3) unchanged queries with
         # the OLDEST banked green row, oldest first. After each round,
-        # re-rank; with 115 queries and a 50-slot window every banked
-        # row is refreshed at most ~2.3 rounds after it lands. The four
-        # rows-only pipelines pinned by golden pytest (products/cotejo/
-        # multimodal) stay parked last: a rows-only driver row adds no
-        # evidence over their fixtures, so they never displace a
-        # hash-checkable refresh. (115 queries after late round 6, so a
-        # banked row waits at most ~2.4 rounds for its refresh.)
-        # -- changed in round 6 (urlfilter IPv6-port + _uc collision;
-        #    shared session-cached BPE vocab) or new (ocr_layout_facets)
-        "url_quality_filter": D.url_quality_filter,
-        "dedup_url_normalize": D.dedup_url_normalize,
+        # re-rank; with 117 queries and a 50-slot window every banked
+        # row is refreshed at most ~2.4 rounds after it lands. The six
+        # rows-only entries pinned by golden pytest (products/cotejo/
+        # multimodal/extract_embed_ann/ocr_layout_extraction) stay
+        # parked last: a rows-only
+        # driver row adds no evidence over their fixtures, so they
+        # never displace a hash-checkable refresh.
+        # -- changed in round 7: embed_neighbor_graph is NEW (the
+        #    pairwise-cosine oracle facet of the ANN pipeline);
+        #    per_doc_flags got the fat-window exact stage + adaptive
+        #    salted quota (corpus_clean_stats, corpus_quota_two_phase);
+        #    explicit LSH-family plumbing touched both dedup chains;
+        #    txt_bigram_lm_ppl grew the offset-tercile scale path;
+        #    dedup_incremental's checkpoint guard went adaptive; the
+        #    tokenized-corpus session cache is shared by token-stats/
+        #    packing/chunking
+        "embed_neighbor_graph": D.embed_neighbor_graph,
+        "corpus_clean_stats": CC.corpus_clean_stats,
+        "corpus_quota_two_phase": CC.corpus_quota_two_phase,
+        "dedup_lsh_clusters": D.dedup_lsh_clusters,
+        "dedup_incremental": D.dedup_incremental,
+        "txt_bigram_lm_ppl": D.txt_bigram_lm_ppl,
         "txt_bpe_token_stats": D.txt_bpe_token_stats,
         "corpus_packing": D.corpus_packing,
         "corpus_chunking": D.corpus_chunking,
-        "ocr_layout_facets": Q.ocr_layout_facets,
-        # -- late round 6: LSH candidate frames are eagerly checkpointed
-        #    (AQE re-execution fix) — both chains re-enter the window;
-        #    corpus_quota_two_phase is NEW (exact salted two-phase quota,
-        #    single-window oracle proves keep-set equality cross-engine)
-        "dedup_lsh_clusters": D.dedup_lsh_clusters,
-        "dedup_incremental": D.dedup_incremental,
-        "corpus_quota_two_phase": CC.corpus_quota_two_phase,
-        "txt_bigram_lm_ppl": D.txt_bigram_lm_ppl,
-        # -- r03 bank: the oldest driver rows in the registry
-        "q14_facturas_recientes": N.q14_facturas_recientes,
-        "q14_productos_mas_comprados": N.q14_productos_mas_comprados,
-        "q15_hybrid_textual": N.q15_hybrid_textual,
-        "q15_semantic_ranked": N.q15_semantic_ranked,
-        "q15_datos_basicos": N.q15_datos_basicos,
-        "stream_window_equivalence": Q.stream_window_equivalence,
-        "events_sessionization": Q.events_sessionization,
-        "txt_gopher_quality": D.txt_gopher_quality,
-        "txt_repetition_filter": D.txt_repetition_filter,
-        "corpus_source_quota": D.corpus_source_quota,
-        "txt_pii_scan": D.txt_pii_scan,
-        "corpus_vocab_topk": D.corpus_vocab_topk,
-        "events_json_props": Q.events_json_props,
-        # -- r04 bank, oldest-first
-        "host_reputation_filter": D.host_reputation_filter,
-        "txt_charset_normalize": D.txt_charset_normalize,
-        "corpus_mixture_sample": D.corpus_mixture_sample,
-        "corpus_dsir_weights": D.corpus_dsir_weights,
-        "corpus_split": D.corpus_split,
-        "txt_decontamination": D.txt_decontamination,
-        "txt_unigram_lm_score": D.txt_unigram_lm_score,
-        "dedup_semantic": D.dedup_semantic,
-        "txt_tfidf_keywords": D.txt_tfidf_keywords,
-        "corpus_clean_stats": CC.corpus_clean_stats,
-        "embed_fingerprint_stats": D.embed_fingerprint_stats,
-        "extract_embed_ann": D.extract_embed_ann,
-        "embed_neighbor_graph": D.embed_neighbor_graph,
-        "iva_tipos_breakdown": E.iva_tipos_breakdown,
-        "txt_substring_dup": D.txt_substring_dup,
-        "esc_resumen_global": E.esc_resumen_global,
-        "esc_food_cost_platos": E.esc_food_cost_platos,
-        "esc_ingredientes_stats": E.esc_ingredientes_stats,
-        "dedup_clusters": D.dedup_clusters,
-        "dedup_canonical_corpus": D.dedup_canonical_corpus,
-        "c1_classify_documents": Q.c1_classify_documents,
-        "ann_ivf_topk": D.ann_ivf_topk,
-        "ann_lsh_buckets": D.ann_lsh_buckets,
-        "txt_field_extraction": Q.txt_field_extraction,
-        "dedup_exact": Q.dedup_exact,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
-        "m5_product_match_pairs": D.m5_product_match_pairs,
-        # ---------------- driver window boundary (50) ----------------
-        # parked: r04 remainder (heads the round-7 rotation; q01-q04
-        # displaced late round 6 by the checkpointed dedup chains +
-        # corpus_quota_two_phase + txt_bigram_lm_ppl), then the r05 bank
-        # (newest rows), then the pinned rows-only pipelines
+        # -- r04 bank: the oldest banked driver rows, all refreshed
         "q01_daily_sales": Q.q01_daily_sales,
         "q02_top_products": Q.q02_top_products,
         "q03_dashboard_resumen": Q.q03_dashboard_resumen,
@@ -146,9 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_price_closure": Q.p9_price_closure,
         "f12_confidence": Q.f12_confidence,
         "p13_price_per_unit": Q.p13_price_per_unit,
-        # -- r05 bank (dedup_lsh_clusters / dedup_incremental moved into
-        #    the window late round 6: candidate-checkpoint change)
-        "ocr_layout_extraction": Q.ocr_layout_extraction,
+        # -- r05 bank, oldest-first: first 22 fill the window
         "dedup_embedding_lsh": D.dedup_embedding_lsh,
         "ann_ivf_multiprobe": D.ann_ivf_multiprobe,
         "p14_multi_price": Q.p14_multi_price,
@@ -171,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint_rolling": D.txt_fingerprint_rolling,
         "whatsapp_routing": E.whatsapp_routing,
         "mailgun_routing": E.mailgun_routing,
+        # ---------------- driver window boundary (50) ----------------
+        # parked: r05 bank remainder (heads the round-8 rotation),
+        # then the r06 bank, then the pinned rows-only pipelines
         "numier_upsert_ventas": E.numier_upsert_ventas,
         "numier_dashboard_resumen": E.numier_dashboard_resumen,
         "numier_upsert_catalogo": E.numier_upsert_catalogo,
@@ -191,7 +147,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_top_proveedores": N.q14_top_proveedores,
         "q14_productos_categoria": N.q14_productos_categoria,
         "q14_ultima_factura_sistema": N.q14_ultima_factura_sistema,
+        # -- r06 bank (freshest banked rows)
+        "url_quality_filter": D.url_quality_filter,
+        "dedup_url_normalize": D.dedup_url_normalize,
+        "ocr_layout_facets": Q.ocr_layout_facets,
+        "q14_facturas_recientes": N.q14_facturas_recientes,
+        "q14_productos_mas_comprados": N.q14_productos_mas_comprados,
+        "q15_hybrid_textual": N.q15_hybrid_textual,
+        "q15_semantic_ranked": N.q15_semantic_ranked,
+        "q15_datos_basicos": N.q15_datos_basicos,
+        "stream_window_equivalence": Q.stream_window_equivalence,
+        "events_sessionization": Q.events_sessionization,
+        "txt_gopher_quality": D.txt_gopher_quality,
+        "txt_repetition_filter": D.txt_repetition_filter,
+        "corpus_source_quota": D.corpus_source_quota,
+        "txt_pii_scan": D.txt_pii_scan,
+        "corpus_vocab_topk": D.corpus_vocab_topk,
+        "events_json_props": Q.events_json_props,
+        "host_reputation_filter": D.host_reputation_filter,
+        "txt_charset_normalize": D.txt_charset_normalize,
+        "corpus_mixture_sample": D.corpus_mixture_sample,
+        "corpus_dsir_weights": D.corpus_dsir_weights,
+        "corpus_split": D.corpus_split,
+        "txt_decontamination": D.txt_decontamination,
+        "txt_unigram_lm_score": D.txt_unigram_lm_score,
+        "dedup_semantic": D.dedup_semantic,
+        "txt_tfidf_keywords": D.txt_tfidf_keywords,
+        "embed_fingerprint_stats": D.embed_fingerprint_stats,
+        "iva_tipos_breakdown": E.iva_tipos_breakdown,
+        "txt_substring_dup": D.txt_substring_dup,
+        "esc_resumen_global": E.esc_resumen_global,
+        "esc_food_cost_platos": E.esc_food_cost_platos,
+        "esc_ingredientes_stats": E.esc_ingredientes_stats,
+        "dedup_clusters": D.dedup_clusters,
+        "dedup_canonical_corpus": D.dedup_canonical_corpus,
+        "c1_classify_documents": Q.c1_classify_documents,
+        "ann_ivf_topk": D.ann_ivf_topk,
+        "ann_lsh_buckets": D.ann_lsh_buckets,
+        "txt_field_extraction": Q.txt_field_extraction,
+        "dedup_exact": Q.dedup_exact,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "f11_fiscal_reconciliation": Q.f11_fiscal_reconciliation,
+        "m5_product_match_pairs": D.m5_product_match_pairs,
         # -- rows-only, golden-fixture-pinned (no SQL oracle by design)
+        "ocr_layout_extraction": Q.ocr_layout_extraction,
+        "extract_embed_ann": D.extract_embed_ann,
         "products_extraction": Q.products_extraction,
         "cotejo_pipeline": Q.cotejo_pipeline,
         "cotejo_inverso_pipeline": Q.cotejo_inverso_pipeline,
