@@ -141,27 +141,42 @@ QUOTA_K = 15  # stats-query default; the job parameterizes
 
 # Largest per-source row count the single-phase quota window may
 # serialize through one task before the auto mode switches to the exact
-# two-phase salted form. 200k rows of (doc_id, source) through one
-# window task is ~sub-second; a Zipf-hot crawl source at corpus scale
-# is orders of magnitude past it.
+# two-phase salted form — and the largest TOTAL survivor count whose
+# all-rows single-phase output may join back onto the fat frame (past
+# it the bounded two-phase output broadcasts instead, sparing the fat
+# frame a doc_id reshuffle; profiled FLAT ~12 s at 4 AND 16 cores on
+# the 2.4M-doc sweep corpus with single-phase).
 QUOTA_SALT_TARGET = 200_000
+
+# Winner-id broadcast ceiling for the exact-dedup join-back: 8M long
+# keys is ~130 MB as a dense LongHashedRelation — comfortable on the
+# sandbox driver and a mid-size executor; past it the fallback is a
+# plain doc_id equi-join (one fat shuffle, which multiplies with
+# per-node memory bandwidth on a real cluster).
+EXACT_KEEP_BROADCAST_MAX = 8_000_000
 
 
 def resolve_quota_salts(survivors: DataFrame, quota_k: int) -> int | None:
     """The ``quota_salts="auto"`` decision, shared by per_doc_flags and
-    tools/profile_shuffle.py so the profiler cannot drift: measure the
-    hottest source with one thin agg (the frame feeding the quota window
-    is persisted upstream, so this materializes work the next action
-    needs anyway — _component_layout's pattern) and return a salt count
-    that bounds every phase-1 window task near QUOTA_SALT_TARGET rows,
-    or None (single-phase) when no source is hot enough to matter."""
-    hot = (
+    tools/profile_shuffle.py so the profiler cannot drift: ONE thin agg
+    (the frame feeding the quota window is persisted upstream, so this
+    materializes work the next action needs anyway — _component_layout's
+    pattern) measures the hottest source AND the total survivor count.
+    Two-phase triggers when either clears QUOTA_SALT_TARGET: a hot
+    source because the single-phase window serializes it through one
+    task, a large total because the single-phase ALL-rows output forces
+    the fat frame through a doc_id reshuffle at join-back, where the
+    two-phase output (<= #sources * quota_k rows) broadcasts. The salt
+    count bounds every phase-1 window task near the target (floor 16,
+    cap 1024); None means single-phase."""
+    hot, total = (
         survivors.groupBy("source")
         .count()
-        .agg(F.max("count").alias("m"))
-        .collect()[0]["m"]
-    ) or 0
-    if hot <= QUOTA_SALT_TARGET:
+        .agg(F.max("count").alias("m"), F.sum("count").alias("t"))
+        .collect()[0]
+    )
+    hot, total = hot or 0, total or 0
+    if hot <= QUOTA_SALT_TARGET and total <= QUOTA_SALT_TARGET:
         return None
     return int(min(1024, max(16, -(-hot // QUOTA_SALT_TARGET))))
 
@@ -450,24 +465,33 @@ def per_doc_flags(
     f1 = quality_frame(docs)
 
     # stage 5: exact dedup on the scrubbed fingerprint among s3 survivors.
-    # ONE window directly over the fat frame — min(s3 ? doc_id : null)
-    # per fingerprint partition — instead of the round-6 thin-window +
-    # join-back-by-doc_id form: the join shuffled every scrubbed text a
-    # second time, and the stage is allocation-bandwidth-bound, not
-    # CPU-bound (profiled FLAT 10.9 s @ 4 cores -> 11.6 s @ 16 on the
-    # 2.4M-doc sweep corpus; one fat movement instead of two fixed it —
-    # round-7 directive 4). Keep decisions are identical: non-s3 rows
-    # contribute null to the min and fail the s3 conjunct regardless.
-    exw = Window.partitionBy(F.md5("scrubbed"))
+    # The fat frame NEVER moves (round-7 directive 4; both prior forms —
+    # thin-window + join-back-by-doc_id, then one fat window — profiled
+    # FLAT ~11-13 s at 4 AND 16 cores on the 2.4M-doc sweep corpus,
+    # because each shuffles every scrubbed text once and the stage is
+    # allocation-bandwidth-bound, not CPU-bound). Instead: a THIN
+    # min(doc_id)-per-fingerprint aggregate (partial map-side combine
+    # shrinks the shuffle to one row per distinct fingerprint), whose
+    # winner ids join back onto the fat frame. doc_ids are unique, so
+    # membership in the winner set IS "minimum of my own group" — the
+    # identical keep set. Join-back strategy is adaptive like
+    # _component_layout: broadcast the winner ids below
+    # EXACT_KEEP_BROADCAST_MAX (zero fat movement, the sandbox/sf case);
+    # past it fall back to a plain doc_id equi-join — one fat shuffle,
+    # which on a real cluster scales with per-node memory bandwidth.
+    kept = _stage_persist(
+        f1.filter(F.col("s3"))
+        .select(F.md5("scrubbed").alias("_fp"), "doc_id")
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("_exact_keep"))
+    )
+    if kept.count() <= EXACT_KEEP_BROADCAST_MAX:
+        kept = F.broadcast(kept)
     f2 = _stage_persist(
-        f1.withColumn(
-            "_min_id",
-            F.min(F.when(F.col("s3"), F.col("doc_id"))).over(exw),
-        )
-        .withColumn(
-            "s5", F.col("s3") & (F.col("doc_id") == F.col("_min_id"))
-        )
-        .drop("_min_id")
+        f1.join(kept, "doc_id", "left")
+        .withColumn("s5", F.col("s3") & F.coalesce("_exact_keep", F.lit(False)))
+        .drop("_exact_keep")
     )
 
     # stage 6: near-dup LSH chain over the scrubbed text of s5 survivors.
@@ -527,6 +551,10 @@ def per_doc_flags(
         else quota_salts
     )
     quota = quota_keep_ids(surv_ids, quota_k, salts=salts)
+    if salts and salts > 1:
+        # two-phase output is provably <= #sources * quota_k rows —
+        # broadcast it so the fat frame never reshuffles by doc_id
+        quota = F.broadcast(quota)
     f4 = _stage_persist(f3.join(quota, "doc_id", "left").withColumn(
         "s7", F.col("s6") & F.coalesce("quota_keep", F.lit(False))
     ))

@@ -105,16 +105,31 @@ def main() -> None:
         "clean.quality_frame",
         lambda: quality_frame(base).localCheckpoint(eager=True),
     )
-    exw = Window.partitionBy(F.md5("scrubbed"))
-    f2 = tick(
-        "clean.exact",
-        lambda: f1.withColumn(
-            "_min_id", F.min(F.when(F.col("s3"), F.col("doc_id"))).over(exw)
-        )
-        .withColumn("s5", F.col("s3") & (F.col("doc_id") == F.col("_min_id")))
-        .drop("_min_id")
-        .localCheckpoint(eager=True),
+    from facturas_spark.analytics.corpus_clean import (
+        EXACT_KEEP_BROADCAST_MAX,
     )
+
+    def _exact():
+        kept = (
+            f1.filter(F.col("s3"))
+            .select(F.md5("scrubbed").alias("_fp"), "doc_id")
+            .groupBy("_fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", F.lit(True).alias("_exact_keep"))
+            .persist()
+        )
+        if kept.count() <= EXACT_KEEP_BROADCAST_MAX:
+            kept = F.broadcast(kept)
+        return (
+            f1.join(kept, "doc_id", "left")
+            .withColumn(
+                "s5", F.col("s3") & F.coalesce("_exact_keep", F.lit(False))
+            )
+            .drop("_exact_keep")
+            .localCheckpoint(eager=True)
+        )
+
+    f2 = tick("clean.exact", _exact)
     sh2 = tick(
         "clean.shingle",
         lambda: _shingle_table(
