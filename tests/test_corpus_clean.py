@@ -384,3 +384,26 @@ def test_resolve_quota_salts_auto(spark, monkeypatch):
         .collect()
     }
     assert auto == single
+
+
+def test_per_doc_flags_auto_salted_same_decisions(spark, monkeypatch):
+    """Force the auto mode down the salted branch (tiny threshold) and
+    pin that the whole chain's s7 decisions equal the single-phase
+    chain's — the end-to-end form of the keep-set-equality property,
+    through resolve_quota_salts and the broadcast join-back."""
+    import facturas_spark.analytics.corpus_clean as cc
+
+    docs = with_synth_pii(spark.read.parquet(f"{SF}/documents.parquet"))
+    single = {
+        r.doc_id: r.s7
+        for r in per_doc_flags(docs, quota_salts=None)
+        .select("doc_id", "s7")
+        .collect()
+    }
+    monkeypatch.setattr(cc, "QUOTA_SALT_TARGET", 5)
+    auto_salted = per_doc_flags(docs)  # resolves salted past 5 survivors
+    got = {
+        r.doc_id: r.s7
+        for r in auto_salted.select("doc_id", "s7").collect()
+    }
+    assert got == single
