@@ -1077,7 +1077,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                            ELSE 'tail' END AS bucket
             FROM (SELECT *, ntile(3) OVER (ORDER BY nll, doc_id) AS nt
-                  FROM per_doc)
+                  FROM per_doc
+                  -- all-or-nothing: nll is NULL for every doc at once
+                  -- when the %7 training slice has no tokens (empty-LM
+                  -- corpus); must filter BEFORE ntile so buckets match
+                  -- the Spark side's pre-tercile filter
+                  WHERE nll IS NOT NULL)
             ORDER BY doc_id
         """,
         "txt_gopher_quality": """

@@ -16,9 +16,19 @@ one "executor"); the call sites note where that swap happens.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
+
+# Serializes every before/after block-id delta window (here and
+# stream.py's per-batch _ck): two concurrent delta windows would
+# attribute each other's checkpoint RDDs, and releasing a checkpointed
+# frame another thread still holds is unrecoverable (no lineage).
+# Plain .persist() frames that slip into someone's window are merely
+# recomputable, so the lock only needs to cover localCheckpoint sites.
+_ATTRIBUTION_LOCK = threading.Lock()
 # RDD ids materialized by each entry's eager localCheckpoint, captured at
 # creation so release_session_cache can free EXACTLY the blocks this
 # module owns (round-7 advice: the old blanket getPersistentRDDs sweep
@@ -32,17 +42,33 @@ def _persistent_ids(spark: SparkSession) -> set[int]:
     return {int(i) for i in jmap.keySet().toArray()}
 
 
+def checkpoint_with_ids(
+    spark: SparkSession, df: DataFrame
+) -> tuple[DataFrame, list[int]]:
+    """Eagerly localCheckpoint ``df`` and return (frame, block RDD ids
+    the checkpoint materialized), with the delta window held under
+    _ATTRIBUTION_LOCK so concurrent checkpoint sites (session_cached
+    builds, stream.py's per-batch frames) can never claim each other's
+    unrecomputable blocks."""
+    with _ATTRIBUTION_LOCK:
+        before = _persistent_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        ids = sorted(_persistent_ids(spark) - before)
+    return out, ids
+
+
 def session_cached(
     spark: SparkSession, sf_dir: str, kind: str, make
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _CACHE:
-        before = _persistent_ids(spark)
-        _CACHE[key] = make().localCheckpoint(eager=True)
         # the delta is the checkpoint's block RDD (plus, rarely, inner
         # persists that first registered during the eager job — those are
-        # per-build scratch this module may also safely free)
-        _CACHE_RDD_IDS[key] = sorted(_persistent_ids(spark) - before)
+        # per-build scratch this module may also safely free). make() runs
+        # OUTSIDE the lock (it only declares the plan; the eager job is
+        # the checkpoint).
+        df = make()
+        _CACHE[key], _CACHE_RDD_IDS[key] = checkpoint_with_ids(spark, df)
     return _CACHE[key]
 
 

@@ -26,7 +26,21 @@ def pushed_filters(df: DataFrame) -> list[str]:
     for line in executed_plan(df).splitlines():
         if "PushedFilters:" in line:
             payload = line.split("PushedFilters:", 1)[1].strip()
-            out.append(payload.rstrip(","))
+            # FileScan renders all metadata on ONE line — without cutting
+            # at the list's MATCHING bracket (In(...) filters nest
+            # brackets), the next ', Key:' entry (e.g. ', ReadSchema:
+            # struct<...>') contaminates the payload
+            if payload.startswith("["):
+                depth = 0
+                for i, ch in enumerate(payload):
+                    depth += ch == "["
+                    depth -= ch == "]"
+                    if depth == 0:
+                        payload = payload[: i + 1]
+                        break
+            else:
+                payload = payload.split(", ", 1)[0].rstrip(",")
+            out.append(payload)
     return out
 
 

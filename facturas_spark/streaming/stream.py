@@ -341,14 +341,15 @@ def stream_clean_increment(
             _persisted.append(df.persist())
             return df
 
-        def _persistent_ids() -> set[int]:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            return {int(i) for i in jmap.keySet().toArray()}
-
         def _ck(df: DataFrame) -> DataFrame:
-            before = _persistent_ids()
-            out = df.localCheckpoint(eager=True)
-            _ckpt_rdd_ids.extend(sorted(_persistent_ids() - before))
+            # shared locked delta window (analytics/cache.py): a
+            # concurrent session_cached build on another thread must not
+            # claim this batch's unrecomputable checkpoint blocks, nor
+            # vice versa (review fix)
+            from facturas_spark.analytics.cache import checkpoint_with_ids
+
+            out, ids = checkpoint_with_ids(spark, df)
+            _ckpt_rdd_ids.extend(ids)
             return out
 
         try:

@@ -98,7 +98,6 @@ def main() -> None:
         quality_frame,
         with_synth_pii,
     )
-    from pyspark.sql import Window
 
     base = with_synth_pii(_t(spark, sf_dir, "documents"))
     f1 = tick(
@@ -118,16 +117,23 @@ def main() -> None:
             .select("doc_id", F.lit(True).alias("_exact_keep"))
             .persist()
         )
-        if kept.count() <= EXACT_KEEP_BROADCAST_MAX:
-            kept = F.broadcast(kept)
-        return (
-            f1.join(kept, "doc_id", "left")
+        join_side = (
+            F.broadcast(kept)
+            if kept.count() <= EXACT_KEEP_BROADCAST_MAX
+            else kept
+        )
+        out = (
+            f1.join(join_side, "doc_id", "left")
             .withColumn(
                 "s5", F.col("s3") & F.coalesce("_exact_keep", F.lit(False))
             )
             .drop("_exact_keep")
             .localCheckpoint(eager=True)
         )
+        # the checkpoint holds the result; drop the winner-id blocks so
+        # they don't sit resident through the later ticks' measurements
+        kept.unpersist()
+        return out
 
     f2 = tick("clean.exact", _exact)
     sh2 = tick(
@@ -172,6 +178,8 @@ def main() -> None:
     salts = tick("clean.quota_resolve", lambda: resolve_quota_salts(surv_ids, 15))
     out["quota_salts"] = salts
     quota = quota_keep_ids(surv_ids, 15, salts=salts)
+    if salts and salts > 1:
+        quota = F.broadcast(quota)  # bounded two-phase output (prod form)
     tick(
         "clean.quota",
         lambda: f3.join(quota, "doc_id", "left")
