@@ -68,6 +68,51 @@ def test_teardown_all_kills_everything(spark, clean_registry):
     assert not C._CACHE
 
 
+def test_concurrent_checkpoint_attribution_disjoint(spark, clean_registry):
+    """Many threads checkpointing through checkpoint_with_ids at once
+    (release barrier maximizes window overlap): every thread's id list
+    must cover its own frame and be disjoint from every other's — the
+    unlocked before/after delta would let overlapping windows claim each
+    other's unrecomputable blocks. Releasing one thread's ids must leave
+    all other frames readable."""
+    import threading
+
+    from facturas_spark.analytics.cache import checkpoint_with_ids
+
+    n_threads = 6
+    barrier = threading.Barrier(n_threads)
+    results: dict[int, tuple] = {}
+    errors: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            df = spark.range(i * 1000, i * 1000 + 500).toDF("n")
+            barrier.wait(timeout=60)
+            results[i] = checkpoint_with_ids(spark, df)
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errors and len(results) == n_threads
+    all_ids = [set(ids) for _, ids in results.values()]
+    for i in range(n_threads):
+        assert all_ids[i], "every checkpoint must register blocks"
+        for j in range(i + 1, n_threads):
+            assert not (all_ids[i] & all_ids[j]), (i, j)
+    # freeing thread 0's blocks leaves every other frame readable
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in results[0][1]:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(True)
+    for i in range(1, n_threads):
+        assert results[i][0].count() == 500
+
+
 def test_component_partitions_env_validated(spark, monkeypatch):
     from facturas_spark.analytics.dedup import _component_layout
 

@@ -375,6 +375,26 @@ def test_bigram_zipf_head_cut_self_consistent(spark, bigram_dir):
     assert rows[1]["nll"] == round(-math.log(0.7 + 0.3 * 4 / 11), 4)
 
 
+def test_bigram_empty_training_slice_yields_no_rows(spark, tmp_path_factory):
+    """Corpus whose %7 training slice has NO tokens (doc 0 is empty,
+    doc 7 absent): n_total aggregates to NULL and every doc's nll is
+    NULL at once — there is no LM to score against. Both tercile modes
+    must return zero rows instead of crashing (the offset mode's driver
+    histogram used to hit float(None)) or handing ntile NULLs whose
+    ordering differs between Spark and DuckDB. Found by the random
+    oracle fuzz; pinned here deterministically."""
+    from facturas_spark.analytics.dedup import txt_bigram_lm_ppl
+
+    docs = [(0, "", "en"), (1, "a b", "en"), (2, "z q", "en")]
+    out = tmp_path_factory.mktemp("bigram_nolm")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).write.parquet(str(out / "documents.parquet"))
+    sf = str(out)
+    for mode in ("offset", "window"):
+        assert txt_bigram_lm_ppl(spark, sf, tercile_mode=mode).count() == 0
+
+
 def test_bigram_tercile_mode_env_and_validation(spark, bigram_dir, monkeypatch):
     from facturas_spark.analytics.dedup import txt_bigram_lm_ppl
 
