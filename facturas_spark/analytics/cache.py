@@ -17,6 +17,7 @@ one "executor"); the call sites note where that swap happens.
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,10 +37,78 @@ _ATTRIBUTION_LOCK = threading.Lock()
 # lineage to recompute from, so any surviving reference became unusable)
 _CACHE_RDD_IDS: dict[tuple, list[int]] = {}
 
+# Scratch attribution for checkpoints made INSIDE a session_cached build
+# (component-loop rounds, candidate frames): the entry's own checkpoint
+# holds the result, so every make()-internal block is dead weight the
+# moment the entry materializes. session_cached opens a thread-local
+# scope around make(); tracked_checkpoint appends to the active scope —
+# or, outside any build (top-level query paths), to the module loose
+# ledger that release_session_cache drains. Without this, make-internal
+# checkpoints linger until session teardown (the round-7-advice leak
+# class: scoped release can only free what it can attribute).
+_SCRATCH = threading.local()
+_LOOSE_IDS: list[int] = []
+
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(i) for i in jmap.keySet().toArray()}
+
+
+def free_block_ids(spark: SparkSession, ids) -> int:
+    """Unpersist exactly these block-RDD ids; ids already gone (freed
+    early by an iterative caller, or from a stopped session) just miss
+    the persistent-RDD map, so double-freeing is a no-op."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(True)
+            n += 1
+    return n
+
+
+def tracked_checkpoint_ids(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """Eager localCheckpoint for SCRATCH frames, with the block ids both
+    registered for scoped release (active build scope, else the loose
+    ledger) and returned so iterative callers (the component loops) can
+    free superseded rounds as soon as the next round materializes."""
+    spark = df.sparkSession
+    out, ids = checkpoint_with_ids(spark, df)
+    scope = getattr(_SCRATCH, "ids", None)
+    if scope is not None:
+        scope.extend(ids)
+    else:
+        with _ATTRIBUTION_LOCK:
+            _LOOSE_IDS.extend(ids)
+    return out, ids
+
+
+def tracked_checkpoint(df: DataFrame) -> DataFrame:
+    """tracked_checkpoint_ids without the ids — the drop-in replacement
+    for bare ``df.localCheckpoint(eager=True)`` on scratch frames."""
+    return tracked_checkpoint_ids(df)[0]
+
+
+@contextmanager
+def scratch_scope(spark: SparkSession):
+    """Attribute every tracked_checkpoint made on this thread inside the
+    ``with`` body to one scope, and free those blocks on exit (success or
+    failure). Used by session_cached around make() and by the streaming
+    sink around each micro-batch — any frame checkpointed inside serves
+    only that build/epoch. Nests: an inner scope frees only its own."""
+    outer = getattr(_SCRATCH, "ids", None)
+    scope: list[int] = []
+    _SCRATCH.ids = scope
+    try:
+        yield scope
+    finally:
+        _SCRATCH.ids = outer
+        try:
+            free_block_ids(spark, scope)
+        except Exception:
+            pass  # a dying session must not mask the body's error
 
 
 def checkpoint_with_ids(
@@ -62,13 +131,18 @@ def session_cached(
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _CACHE:
-        # the delta is the checkpoint's block RDD (plus, rarely, inner
-        # persists that first registered during the eager job — those are
-        # per-build scratch this module may also safely free). make() runs
-        # OUTSIDE the lock (it only declares the plan; the eager job is
-        # the checkpoint).
-        df = make()
-        _CACHE[key], _CACHE_RDD_IDS[key] = checkpoint_with_ids(spark, df)
+        # make() runs OUTSIDE the lock (nested session_cached builds —
+        # bpe_token_seq -> bpe_vocab — must be able to take it), inside a
+        # fresh scratch scope: its internal tracked checkpoints
+        # (component-loop rounds, candidate frames) are dead weight once
+        # the entry's own checkpoint holds the result, so the scope frees
+        # them on exit, success or failure, rather than leaving them to
+        # linger until release.
+        with scratch_scope(spark):
+            df = make()
+            frame, ids = checkpoint_with_ids(spark, df)
+        _CACHE[key] = frame
+        _CACHE_RDD_IDS[key] = ids
     return _CACHE[key]
 
 
@@ -97,6 +171,12 @@ def release_session_cache(spark: SparkSession) -> int:
                 n += 1
         _CACHE.pop(key, None)
         _CACHE_RDD_IDS.pop(key, None)
+    # scratch checkpoints from top-level (non-cached) query paths —
+    # candidate frames, component rounds — registered on the loose ledger
+    with _ATTRIBUTION_LOCK:
+        loose = list(_LOOSE_IDS)
+        _LOOSE_IDS.clear()
+    n += free_block_ids(spark, loose)
     return n
 
 
@@ -114,4 +194,6 @@ def teardown_all_rdd_blocks(spark: SparkSession) -> int:
         n += 1
     _CACHE.clear()
     _CACHE_RDD_IDS.clear()
+    with _ATTRIBUTION_LOCK:
+        _LOOSE_IDS.clear()
     return n

@@ -354,7 +354,9 @@ def _component_layout(
        so a 100-TB crawl's billion-edge graph never funnels its loop
        rounds through one task and nothing needs a manual knob. Both
        layouts produce identical labels (property-pinned)."""
-    pairs = pairs.localCheckpoint(eager=True)
+    from facturas_spark.analytics.cache import tracked_checkpoint
+
+    pairs = tracked_checkpoint(pairs)
     if partitions is not None:
         return pairs, partitions
     env = os.environ.get("SPARK_GRAFT_COMPONENT_PARTITIONS")
@@ -421,23 +423,32 @@ def _min_label_components(
     (pinned by tests/test_dedup_chain.py)."""
     if os.environ.get("SPARK_GRAFT_COMPONENT_ALGO") == "star":
         return _star_components(pairs, partitions)
-    pairs, partitions = _component_layout(pairs, partitions)
+    from facturas_spark.analytics.cache import (
+        free_block_ids,
+        tracked_checkpoint_ids,
+    )
 
-    def _layout(df: DataFrame, key: str) -> DataFrame:
-        if partitions is None:
-            return df.coalesce(1).localCheckpoint(eager=True)
-        return df.repartition(partitions, key).localCheckpoint(eager=True)
+    pairs, partitions = _component_layout(pairs, partitions)
+    spark = pairs.sparkSession
+
+    def _layout(df: DataFrame, key: str) -> tuple[DataFrame, list[int]]:
+        laid = (
+            df.coalesce(1)
+            if partitions is None
+            else df.repartition(partitions, key)
+        )
+        return tracked_checkpoint_ids(laid)
 
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if partitions is None else df
 
-    und = _layout(
+    und, und_ids = _layout(
         pairs.unionByName(
             pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
         ).toDF("src", "dst"),
         "dst",  # partition edges by dst: co-located with labels(doc_id)
     )
-    labels = _layout(
+    labels, prev_ids = _layout(
         und.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id")),
@@ -449,7 +460,7 @@ def _min_label_components(
             .groupBy("src")
             .agg(F.min("label").alias("_nl"))
         )
-        merged = _layout(
+        merged, m_ids = _layout(
             labels.join(_maybe_broadcast(neigh), labels.doc_id == neigh.src, "left")
             .select(
                 "doc_id",
@@ -462,8 +473,16 @@ def _min_label_components(
         )
         changed = merged.filter(F.col("label") != F.col("_old")).count()
         labels = merged.drop("_old")
+        # the superseded round's label blocks are unreferenced the moment
+        # this round's checkpoint materializes — free them NOW so the
+        # loop's block footprint is two rounds, not O(rounds) (they stay
+        # on the scope/ledger too; the late double-free is a no-op)
+        free_block_ids(spark, prev_ids)
+        prev_ids = m_ids
         if changed == 0:
             break
+    # the returned plan reads only the FINAL label checkpoint
+    free_block_ids(spark, und_ids)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -491,24 +510,33 @@ def _star_components(
     like the min-label loop; ``partitions`` selects the same broadcast
     (small-graph) vs N-way co-partitioned (large-graph) layouts, with
     None resolved adaptively by ``_component_layout``."""
-    pairs, partitions = _component_layout(pairs, partitions)
+    from facturas_spark.analytics.cache import (
+        free_block_ids,
+        tracked_checkpoint_ids,
+    )
 
-    def _layout(df: DataFrame, key: str) -> DataFrame:
-        if partitions is None:
-            return df.coalesce(1).localCheckpoint(eager=True)
-        return df.repartition(partitions, key).localCheckpoint(eager=True)
+    pairs, partitions = _component_layout(pairs, partitions)
+    spark = pairs.sparkSession
+
+    def _layout(df: DataFrame, key: str) -> tuple[DataFrame, list[int]]:
+        laid = (
+            df.coalesce(1)
+            if partitions is None
+            else df.repartition(partitions, key)
+        )
+        return tracked_checkpoint_ids(laid)
 
     def _maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if partitions is None else df
 
-    nodes = _layout(
+    nodes, _ = _layout(
         pairs.select(F.col("id1").alias("doc_id"))
         .unionByName(pairs.select(F.col("id2").alias("doc_id")))
         .distinct(),
         "doc_id",
     )
     # canonical undirected edge set as (hi, lo), hi > lo
-    edges = _layout(
+    edges, prev_ids = _layout(
         pairs.select(
             F.greatest("id1", "id2").alias("hi"), F.least("id1", "id2").alias("lo")
         )
@@ -549,13 +577,17 @@ def _star_components(
             .select(F.greatest("a", "m").alias("hi"), F.least("a", "m").alias("lo"))
             .distinct()
         )
-        new_edges = _layout(ss, "hi")
+        new_edges, new_ids = _layout(ss, "hi")
         # converged when the canonical edge set is a fixpoint
         n_new = new_edges.count()
         same = (
             n_new == edges.count()
             and new_edges.exceptAll(edges).limit(1).count() == 0
         )
+        # fixpoint test done — the superseded round's blocks are free
+        # (bounds the loop footprint at two edge sets, not O(rounds))
+        free_block_ids(spark, prev_ids)
+        prev_ids = new_ids
         edges = new_edges
         if same:
             break
@@ -698,7 +730,9 @@ def _verified_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
     materialize-the-small-frame trade _min_label_components makes with
     its pair graph; candidates are dup-rate-bounded, so this is a few
     MB per million docs."""
-    cand = cand.localCheckpoint(eager=True)
+    from facturas_spark.analytics.cache import tracked_checkpoint
+
+    cand = tracked_checkpoint(cand)
     ids = (
         cand.select(F.col("id1").alias("doc_id"))
         .unionByName(cand.select(F.col("id2").alias("doc_id")))
@@ -1421,7 +1455,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.environ.get("SPARK_GRAFT_INCR_CKPT_THRESHOLD", "200000")
     )
     if cand.count() > ckpt_thresh:
-        ckpt = cand.localCheckpoint(eager=True)
+        from facturas_spark.analytics.cache import tracked_checkpoint
+
+        ckpt = tracked_checkpoint(cand)
         # the checkpoint copied the blocks — free the pre-checkpoint
         # persist cache, else the candidate set is resident TWICE for
         # the session lifetime (review fix)

@@ -352,6 +352,16 @@ def stream_clean_increment(
             _ckpt_rdd_ids.extend(ids)
             return out
 
+        # scratch scope for the tracked checkpoints made INSIDE library
+        # calls this epoch (semantic_dedup_ids -> _min_label_components'
+        # loop rounds): attributed here and freed in the finally below,
+        # instead of lingering on the loose ledger one frame per epoch
+        # (the round-7-advice leak class). Entered/exited manually to
+        # avoid re-indenting the whole epoch body.
+        from facturas_spark.analytics.cache import scratch_scope
+
+        _scope = scratch_scope(spark)
+        _scope.__enter__()
         try:
             if bench_hashes is not None:
                 from facturas_spark.analytics.corpus_clean import (
@@ -510,6 +520,7 @@ def stream_clean_increment(
                 if _jrdd is not None:
                     _jrdd.unpersist(True)
             release_stage_caches()
+            _scope.__exit__(None, None, None)
 
     q = (
         spark.readStream.schema(DOCS_DDL)

@@ -113,6 +113,107 @@ def test_concurrent_checkpoint_attribution_disjoint(spark, clean_registry):
         assert results[i][0].count() == 500
 
 
+def test_build_scratch_freed_entry_survives(spark, clean_registry):
+    """make()-internal tracked checkpoints (component rounds, candidate
+    frames) are scratch: they must be GONE the moment the entry
+    materializes, while the entry itself stays readable and the scratch
+    ids never contaminate the entry's release list."""
+    scratch_ids: list[int] = []
+
+    def make():
+        inner, ids = C.tracked_checkpoint_ids(spark.range(500).toDF("n"))
+        scratch_ids.extend(ids)
+        return inner.selectExpr("sum(n) as s")
+
+    df = C.session_cached(spark, "/tmp/x", "scratch1", make)
+    assert df.collect()[0]["s"] == 499 * 500 // 2
+    alive = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert scratch_ids and not (set(scratch_ids) & alive), (
+        "build scratch must be freed at entry materialization"
+    )
+    key = (spark.sparkContext.applicationId, "/tmp/x", "scratch1")
+    assert not (set(scratch_ids) & set(C._CACHE_RDD_IDS[key]))
+    assert df.collect()[0]["s"] == 499 * 500 // 2  # entry still readable
+    assert not C._LOOSE_IDS, "scoped scratch must not hit the loose ledger"
+
+
+def test_loose_ledger_drained_by_release(spark, clean_registry):
+    """A tracked checkpoint OUTSIDE any build scope (top-level query
+    path) registers on the loose ledger; release_session_cache frees it.
+    In-loop early freeing of the same ids must be a harmless no-op."""
+    df, ids = C.tracked_checkpoint_ids(spark.range(100).toDF("n"))
+    assert df.count() == 100 and ids
+    assert set(ids) <= set(C._LOOSE_IDS)
+    # early free (what the component loops do per round), then release
+    C.free_block_ids(spark, ids)
+    n = C.release_session_cache(spark)  # double-free: must not raise
+    assert n >= 0 and not C._LOOSE_IDS
+    alive = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert not (set(ids) & alive)
+
+
+def test_component_loop_footprint_bounded(spark, clean_registry):
+    """A long path graph forces the min-label loop through O(diameter)
+    rounds; superseded rounds must be freed as the loop runs, so the
+    block population at return is O(1) frames, not O(rounds)."""
+    from facturas_spark.analytics.dedup import _min_label_components
+
+    before = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id1 long, id2 long"
+    )
+    labels = _min_label_components(pairs)
+    assert labels.filter("cluster_id = 0").count() == 13  # one component
+    after = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    # alive: the pairs checkpoint + the FINAL labels round only (und and
+    # every superseded round freed in-loop; diameter 12 ⇒ ≥3 rounds)
+    assert len(after - before) <= 3, sorted(after - before)
+    C.release_session_cache(spark)  # loose ledger: everything attributable
+    end = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert not (end - before), "release must drain all loop blocks"
+
+
+def test_star_component_loop_footprint_bounded(spark, clean_registry):
+    from facturas_spark.analytics.dedup import _star_components
+
+    before = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id1 long, id2 long"
+    )
+    labels = _star_components(pairs)
+    assert labels.filter("cluster_id = 0").count() == 13
+    after = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    # alive: pairs ckpt + nodes + FINAL edge set (superseded rounds freed)
+    assert len(after - before) <= 4, sorted(after - before)
+    C.release_session_cache(spark)
+    end = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert not (end - before)
+
+
 def test_component_partitions_env_validated(spark, monkeypatch):
     from facturas_spark.analytics.dedup import _component_layout
 
