@@ -1,7 +1,12 @@
 """A/B probe: dedup_lsh_clusters wall at N pinned cores, HEAD checkpoint
 attribution vs r6-style bare localCheckpoint (no tracking, no per-round
-frees). Diagnoses the round-7 sweep's chain regression (104 s vs 74 s at
-16c). Usage: python tools/exp_dedup_ab.py [cores] [sf_dir]."""
+frees). Diagnosed the round-7 sweep's chain wall spread (104 s vs 74 s
+at 16c) as host weather, not code. Caveat: the r6 arm reverts only the
+tracked_checkpoint/free_block_ids sites — session_cached's own entry
+checkpoint still pays the round-7 delta-window attribution (two
+getPersistentRDDs scans per entry, ~ms against 90 s walls), so the arm
+is r6-STYLE, not bit-exact r6. Usage:
+python tools/exp_dedup_ab.py [cores] [sf_dir]."""
 import os
 import sys
 import time
@@ -12,7 +17,6 @@ CORES = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sfsweep2"
 
 os.sched_setaffinity(0, range(CORES))
-os.environ.setdefault("SPARK_GRAFT_LSH_FAMILY", "xxhash64")
 
 from facturas_spark.session import get_spark  # noqa: E402
 from facturas_spark.analytics import cache as _cache  # noqa: E402
