@@ -28,6 +28,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_FAN_MEMO: dict[tuple, bool] = {}
+
+
+def _t_fan(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Scan with unsplittable-input fan-out (guide §2.5 "input skew: one
+    huge unsplittable file ... repartition immediately after the read"):
+    the sf parquet tables are SINGLE-ROW-GROUP files, so a parquet scan
+    — and every per-row tokenize/hash/explode expression fused into it —
+    otherwise runs as one or two tasks regardless of core count (row
+    groups are the parquet split granularity). Hash-repartition on the
+    table key to the session's parallelism, but ONLY when the scan
+    itself yields fewer splits than the session has slots (memoized per
+    session/table). At production scale inputs arrive in many splits,
+    the guard is false, and no extra exchange appears in the plan — the
+    fan-out is scale-adaptive, not a local[32] constant."""
+    df = _t(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    k = (spark.sparkContext.applicationId, sf_dir, name)
+    need = _FAN_MEMO.get(k)
+    if need is None:
+        need = df.rdd.getNumPartitions() < cores
+        _FAN_MEMO[k] = need
+    return df.repartition(cores, key) if need else df
+
+
 def _words(col):
     return F.filter(
         F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+"),
@@ -217,32 +242,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on band key (explode -> groupBy), candidate
     verification would be a self-join within groups — counts reported here.
     """
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id").filter(
         F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
     )
     words = _words(F.col("text"))
 
-    def _sig(ws, i: int):
-        # NB: a 2-arg lambda to F.transform receives (element, index) — a
-        # default-arg capture of i would be shadowed by the array index
-        suffix = f":{i}"
-        return F.array_min(
-            F.transform(ws, lambda w: F.md5(F.concat(w, F.lit(suffix))))
-        )
-
-    # let-bind the tokenization once per row (see _shingle_table): feeding
-    # `words` to all 8 transforms directly would re-split the text 8x
-    sig_struct = F.element_at(
-        F.transform(
-            F.array(words),
-            lambda ws: F.struct(
-                *[_sig(ws, i).alias(f"h{i}") for i in range(N_HASHES)]
-            ),
-        ),
-        1,
+    # Round-8 shape (guide §1.2/§2.3): signature_i = min over the doc's
+    # token SET of md5(token:i), so (a) duplicate words never need
+    # hashing (min over set == min over bag) and (b) each DISTINCT
+    # corpus token needs its 8 digests computed exactly ONCE — the old
+    # per-row transform() re-hashed every token of every doc through 8
+    # interpreted higher-order passes (Zipf means the same head tokens
+    # were digested millions of times). Now: explode per-doc distinct
+    # tokens, hash the corpus vocabulary once, join back (thin rows:
+    # doc_id + token), and take per-doc mins with map-side partial
+    # aggregation. Identical signatures — same md5 family over the same
+    # token sets (A/B-checked equal at sf1.0).
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(words)).alias("t"),
     )
-    sig_df = docs.select("doc_id", sig_struct.alias("_s")).select(
-        "doc_id", *[F.col(f"_s.h{i}").alias(f"h{i}") for i in range(N_HASHES)]
+    vh = toks.select("t").distinct().select(
+        "t",
+        *[
+            F.md5(F.concat("t", F.lit(f":{i}"))).alias(f"x{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    sig_df = (
+        toks.join(vh, "t", "left")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"x{i}").alias(f"h{i}") for i in range(N_HASHES)])
     )
     bands = sig_df.select(
         "doc_id",
@@ -794,7 +824,7 @@ def dedup_lsh_clusters(
     docstring), through this argument (round-7 advice)."""
 
     def make() -> DataFrame:
-        docs = _t(spark, sf_dir, "documents").filter(
+        docs = _t_fan(spark, sf_dir, "documents", "doc_id").filter(
             F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
         )
         sh = _shingle_table(docs).persist()
@@ -860,15 +890,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     pairs = a.join(b, a.id1 < b.id2)
-    dot = F.aggregate(
-        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    cos = dot / (norm(F.col("e1")) * norm(F.col("e2")))
+    cos = _cosine_small("e1", "e2")
     return (
         pairs.select("id1", "id2", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
@@ -886,7 +908,81 @@ def _sign_bucket(col: str, bits: int = 8):
     return bucket
 
 
+EMB_FAST_DIM = 64  # the corpus embedding width (every synth sf emits 64-dim)
+
+
+_EXPR_MEMO: dict = {}
+
+
+def _memo_expr(key: tuple, sql: str):
+    """Build a Column from SQL once per (shape, operands): the unrolled
+    kernels below are ~64-term trees, and constructing them node-by-node
+    through the py4j Column API costs 2-4 s of driver round-trips PER
+    QUERY BUILD (the round-8 profile's hidden fixed cost). One F.expr
+    parse is milliseconds, and the parsed Column is reusable across
+    DataFrames (unresolved attributes bind by name at each use site)."""
+    col = _EXPR_MEMO.get(key)
+    if col is None:
+        col = F.expr(sql)
+        _EXPR_MEMO[key] = col
+    return col
+
+
+def _dot(a: str, b: str):
+    """Dot product, fast path: Spark's higher-order functions are NOT
+    whole-stage-codegen'd (per-element lambda interpretation dominated the
+    cosine-verify stages in the round-8 profile), so when both vectors
+    have the corpus width the sum is UNROLLED into a flat 64-term
+    expression — bit-identical to the fold (same left-to-right addition
+    order starting from 0.0, same per-element double casts) but compiled
+    by codegen. Other widths (short test vectors) take the fold."""
+    terms = " + ".join(
+        f"CAST(element_at(`{a}`, {i}) AS DOUBLE)"
+        f" * CAST(element_at(`{b}`, {i}) AS DOUBLE)"
+        for i in range(1, EMB_FAST_DIM + 1)
+    )
+    fold = (
+        f"aggregate(zip_with(`{a}`, `{b}`,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    return _memo_expr(
+        ("dot", a, b),
+        f"CASE WHEN size(`{a}`) = {EMB_FAST_DIM}"
+        f" AND size(`{b}`) = {EMB_FAST_DIM}"
+        f" THEN 0.0D + {terms} ELSE {fold} END",
+    )
+
+
+def _norm2(c: str):
+    """Sum of squares with the same unrolled fast path as :func:`_dot`."""
+    terms = " + ".join(
+        f"(CAST(element_at(`{c}`, {i}) AS DOUBLE)"
+        f" * CAST(element_at(`{c}`, {i}) AS DOUBLE))"
+        for i in range(1, EMB_FAST_DIM + 1)
+    )
+    fold = (
+        f"aggregate(`{c}`, 0.0D,"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    return _memo_expr(
+        ("norm2", c),
+        f"CASE WHEN size(`{c}`) = {EMB_FAST_DIM}"
+        f" THEN 0.0D + {terms} ELSE {fold} END",
+    )
+
+
 def _cosine(a: str, b: str):
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def _cosine_small(a: str, b: str):
+    """Fold-form cosine for the BOUNDED demo-oracle windows
+    (dedup_semantic's vec_id<200, dedup_embedding_cosine's vec_id<80):
+    their pair counts are fixed at every sf, so the unrolled fast path
+    buys no runtime there while its ~400-node tree taxes every
+    analyzer/optimizer pass. Value-identical to :func:`_cosine` (same
+    left-fold addition order, same casts)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -975,24 +1071,14 @@ def _pair_cosine(
     norms computed once per side. Cross-frame form serves the streaming
     batch-vs-corpus SemDeDup check; the in-frame kernel above passes the
     same frame twice. Returns (lid, rid, _cos)."""
-    norm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        )
-    )
+    norm = F.sqrt(_norm2("embedding"))
     e1 = emb_l.select(
         F.col(id_col).alias(lid), F.col("embedding").alias("e1"), norm.alias("n1")
     )
     e2 = emb_r.select(
         F.col(id_col).alias(rid), F.col("embedding").alias("e2"), norm.alias("n2")
     )
-    dot = F.aggregate(
-        F.zip_with("e1", "e2", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot("e1", "e2")
     return (
         cand.join(e1, lid)
         .join(e2, rid)
@@ -1014,7 +1100,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle spreads over 1024 keys here and tunes arbitrarily via
     (b, r) at scale. Bands past the vector's length are not emitted
     (short vectors participate only in the slices they populate)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings", "vec_id")
     return (
         _emb_candidates_with_cosine(emb.select("vec_id", "embedding"), "vec_id")
         .select("id1", "id2", F.round("_cos", 4).alias("cos_sim"))
@@ -1056,7 +1142,7 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facturas_spark.extraction import bpe
 
     def make() -> DataFrame:
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t_fan(spark, sf_dir, "documents", "doc_id")
         return (
             docs.select(F.explode(bpe.pretokens_expr(F.col("text"))).alias("w"))
             .distinct()
@@ -1088,7 +1174,7 @@ def _bpe_token_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facturas_spark.extraction import bpe
 
     def make() -> DataFrame:
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t_fan(spark, sf_dir, "documents", "doc_id")
         pre = docs.select(
             "doc_id",
             F.posexplode(bpe.pretokens_expr(F.col("text"))).alias("pos", "w"),
@@ -1207,7 +1293,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale, top-k search probes only the query's bucket (+neighbors),
     turning the brute-force O(N) scan into O(N/256). Output: bucket
     occupancy histogram (the candidate-reduction evidence)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings", "vec_id")
     bucket = None
     for i in range(8):
         bit = F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(
@@ -1230,26 +1316,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale the assignment is a write-time column so the probe is a
     partition-pruned read. Plan: centroids broadcast (8 rows), one
     window argmax on vec_id, TakeOrdered for the top-k."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings", "vec_id")
     cents = (
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
 
-    def cos(a: str, b: str):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        n = lambda c: F.sqrt(  # noqa: E731
-            F.aggregate(
-                F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        return dot / (n(a) * n(b))
+    # round 8: the shared fast-path cosine (unrolled 64-dim dot/norm,
+    # codegen-able; bit-identical fold order) replaces the local
+    # interpreted higher-order-function form
+    cos = _cosine
 
     assigned = (
         emb.crossJoin(F.broadcast(cents))
@@ -1292,26 +1368,16 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ask-my-invoices/index.ts:507-610) — multi-probe is the index-side
     version of that widening. Same plan shape as ann_ivf_topk: centroids
     broadcast, one window argmax, TakeOrdered top-k."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_fan(spark, sf_dir, "embeddings", "vec_id")
     cents = (
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
 
-    def cos(a: str, b: str):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        n = lambda c: F.sqrt(  # noqa: E731
-            F.aggregate(
-                F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        return dot / (n(a) * n(b))
+    # round 8: the shared fast-path cosine (unrolled 64-dim dot/norm,
+    # codegen-able; bit-identical fold order) replaces the local
+    # interpreted higher-order-function form
+    cos = _cosine
 
     scored = (
         emb.crossJoin(F.broadcast(cents))
@@ -1351,7 +1417,7 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (n-gram-heuristic family): counts of
     language-marker tokens -> argmax guess; confusion counts vs the lang
     column. All built-ins; one shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id")
     words = _words(F.col("text"))
 
     def hits(markers: list[str]):
@@ -1414,7 +1480,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per batch doc — decision in (kept, dropped_exact,
     dropped_neardup) and match_id = the smallest matching prior doc."""
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id").filter(
         F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
     )
     batch = docs.filter(F.col("doc_id") % 5 == 0)
@@ -1910,7 +1976,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count -> top 50 by (count desc, token asc). One partial-agg shuffle on
     the token; the top-k is a TakeOrdered, not a global sort of the
     vocabulary."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id")
     return (
         docs.select(F.explode(_words(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -1933,9 +1999,20 @@ def txt_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> one doc_id reduce; fingerprints replace the suffix array (the
     array finds arbitrary-length repeats; fixed-K windows are the
     standard relational approximation and what the paper's 50-token
-    threshold pass computes). No pairwise comparison anywhere."""
+    threshold pass computes). No pairwise comparison anywhere.
+
+    Round-8 shape (guide §2.3/§2.4): the original form exploded the span
+    list TWICE (once into the count aggregate, once into the probe side
+    of a spans⨝counts join) and shuffled 32-char md5 strings three times.
+    Fingerprints are internal — only hash EQUALITY matters — so spans now
+    carry xxhash64 of the window's word slice (8-byte long key, no
+    concat_ws string build), the corpus-wide occurrence count comes from
+    ONE count window over the single exploded span table (one exchange on
+    h instead of three), and the per-doc reduce shuffles only the two
+    count columns. Result identical to the md5 form modulo 64-bit hash
+    collisions (~1e-9 at the oracle scales)."""
     K = 20
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id").filter(
         F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
     )
     words = _words(F.col("text"))
@@ -1945,13 +2022,13 @@ def txt_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("w") - K),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, K))),
+                lambda i: F.xxhash64(F.slice("w", i + 1, K)),
             )
         ).alias("h"),
     )
-    counts = spans.groupBy("h").agg(F.count("*").alias("c"))
+    w_h = Window.partitionBy("h")
     return (
-        spans.join(counts, "h")
+        spans.withColumn("c", F.count("*").over(w_h))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -1976,18 +2053,21 @@ def _kgram_hashes(df: DataFrame, k: int, family: str = "md5") -> DataFrame:
     "xxhash64" (Spark's native 64-bit integer hash — the production
     family; membership decisions only depend on hash EQUALITY, so the
     two families make identical contamination calls, pinned by
-    tests/test_corpus_clean.py::test_decontamination_families_agree)."""
+    tests/test_corpus_clean.py::test_decontamination_families_agree).
+    The xxhash64 family hashes the word-slice ARRAY directly — no
+    concat_ws string materialization per window (guide §4.2's "re-slice,
+    don't copy" applied to the JVM side); words are whitespace-split so
+    the two families fingerprint identical window identities."""
     if family == "xxhash64":
-        h = lambda s: F.xxhash64(s)  # noqa: E731
+        win = lambda i: F.xxhash64(F.slice("w", i + 1, k))  # noqa: E731
     else:
-        h = lambda s: F.md5(s)  # noqa: E731
+        win = lambda i: F.md5(  # noqa: E731
+            F.concat_ws(" ", F.slice("w", i + 1, k))
+        )
     return df.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - k),
-                lambda i: h(F.concat_ws(" ", F.slice("w", i + 1, k))),
-            )
+            F.transform(F.sequence(F.lit(0), F.size("w") - k), win)
         ).alias("h"),
     )
 
@@ -2006,17 +2086,27 @@ def txt_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-hash-joins them — no shuffle of the corpus beyond the final
     per-doc count reduce, so the scan stays a map-side pass at 100 TB.
     Same fingerprint technique as txt_substring_dup (fixed-K windows
-    replacing the suffix array)."""
+    replacing the suffix array).
+
+    Round-8: fingerprints switched to the xxhash64 production family
+    (integer keys, no per-window concat_ws/md5 string build — guide §2.3
+    narrower types + §4.2). Both sides use the same family, so the
+    contamination decisions are unchanged (pinned by
+    test_decontamination_families_agree)."""
     K = DECON_K
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id")
     is_bench = F.col("doc_id") % 97 == 0
     words = _words(F.col("text"))
 
     base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= K)
-    bench = _kgram_hashes(base.filter(is_bench), K).select("h").distinct()
+    bench = (
+        _kgram_hashes(base.filter(is_bench), K, family="xxhash64")
+        .select("h")
+        .distinct()
+    )
     train = base.filter(~is_bench)
     hits = (
-        _kgram_hashes(train, K)
+        _kgram_hashes(train, K, family="xxhash64")
         .join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
@@ -2317,7 +2407,7 @@ def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded tokens to the vocab — at 100 TB the join side is the
     Zipf-headed vocab TOP slice broadcast with an OOV floor, making the
     score a map-side pass (the exact-join form here is the oracle)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id")
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
     totals = vocab.agg(
@@ -2329,8 +2419,13 @@ def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = vocab.crossJoin(F.broadcast(totals)).select(
         "token", logp.alias("lp")
     )
+    # round 8: broadcast the scored vocab — the docstring's 100 TB shape,
+    # now also the executed plan. The exploded token stream (the huge
+    # side) no longer shuffles+sorts for a sort-merge join on the token;
+    # scoring is a map-side broadcast-hash probe and the only token-
+    # stream shuffle left is the final per-doc reduce (guide §3.1).
     return (
-        toks.join(scored, "token")
+        toks.join(F.broadcast(scored), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -2365,7 +2460,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = (
         emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", _cosine("embedding", "ce").alias("_s"))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            _cosine_small("embedding", "ce").alias("_s"),
+        )
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -2382,7 +2480,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_pairs = (
         a.join(b, "cell")
         .filter(F.col("id1") < F.col("id2"))
-        .filter(F.round(_cosine("e1", "e2"), 4) >= SEMDEDUP_THRESHOLD)
+        .filter(F.round(_cosine_small("e1", "e2"), 4) >= SEMDEDUP_THRESHOLD)
         .select(F.col("id2").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))
@@ -2410,7 +2508,7 @@ def txt_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus df) + one doc-keyed window for the top-3; the corpus doc
     count is a 1-row broadcast. df is Zipf-headed, so at 100 TB the df
     side broadcasts its head exactly like the unigram-LM vocab."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id")
     toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = (
@@ -2424,8 +2522,13 @@ def txt_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
     )
+    # round 8: broadcast the df table (vocab-sized, the Zipf-headed side
+    # the docstring already promises to broadcast at 100 TB) — the tf
+    # table no longer reshuffles+sorts on the token for a sort-merge
+    # join; the only remaining tf shuffles are its own build and the
+    # doc-keyed top-3 window (guide §3.1)
     return (
-        tf.join(df_, "token")
+        tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
@@ -2457,7 +2560,7 @@ def url_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this fuses into the page scan."""
     from facturas_spark.sources.urlfilter import url_quality_flags
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id").select("doc_id")
     d = F.col("doc_id")
     host = (
         F.when(d % 10 == 0, F.lit("ads.tracker.net"))
@@ -2506,7 +2609,7 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization itself is a pure map."""
     from facturas_spark.sources.urlfilter import normalize_url
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id").select("doc_id")
     d = F.col("doc_id")
     g = (d % 100).cast("string")
     core = F.concat(F.lit("site"), g, F.lit(".example.com/page"), g)
@@ -2594,7 +2697,7 @@ def txt_charset_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: unicodedata.normalize("NFC", x) if isinstance(x, str) else x
         )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     d = F.col("doc_id")
     suffix = (
         F.when(d % 4 == 0, F.lit(" cafe\u0301"))   # NFD combining mark -> collapses
@@ -2720,18 +2823,18 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     count tables (one left-joins the other on the token), corpus totals
     are a 1-row broadcast, scoring is the same exploded-token join as
     txt_unigram_lm_score; at 100 TB the Zipf-headed vocab broadcasts."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id", "lang", F.explode(_words(F.col("text"))).alias("token")
     )
-    raw = toks.groupBy("token").agg(F.count("*").alias("c_raw"))
-    tgt = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("token")
-        .agg(F.count("*").alias("c_tgt"))
-    )
-    vocab = raw.join(tgt, "token", "left").withColumn(
-        "c_tgt", F.coalesce("c_tgt", F.lit(0))
+    # round 8: ONE conditional aggregate builds both count tables — the
+    # raw and target LMs share the token key, so the second tokenize+
+    # explode pass and the raw⨝tgt vocab join are pure waste (guide
+    # §2.3 "aggregate before you shuffle"; c_tgt via conditional count
+    # is value-identical to the old left-join + coalesce(0))
+    vocab = toks.groupBy("token").agg(
+        F.count("*").alias("c_raw"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("c_tgt"),
     )
     totals = vocab.agg(
         F.sum("c_raw").alias("t_raw"),
@@ -2744,8 +2847,11 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_raw") + 1).cast("double") / (F.col("t_raw") + F.col("v_size"))
     )
     scored = vocab.crossJoin(F.broadcast(totals)).select("token", lr.alias("lr"))
+    # broadcast the scored vocab (same round-8 change as
+    # txt_unigram_lm_score: map-side scoring, no token-keyed shuffle of
+    # the exploded stream)
     return (
-        toks.join(scored, "token")
+        toks.join(F.broadcast(scored), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),

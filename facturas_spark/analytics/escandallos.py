@@ -325,13 +325,14 @@ def numier_upsert_ventas(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = sale(o, 1, F.col("o_totalprice"))
     incoming = sale(o.filter(F.col("o_orderkey") % 3 == 0), 2, F.col("o_totalprice") * 1.1)
     merged = existing.unionByName(incoming)
-    w = Window.partitionBy("restaurante_id", "sistema_origen", "id_externo").orderBy(
-        F.col("_batch").desc()
-    )
+    # round 8: latest-per-key via max_by on the batch number — a hash
+    # aggregate with map-side partial aggregation instead of the
+    # row_number window's full shuffle+sort of every merged row (guide
+    # §2.3/§2.4; batch numbers are distinct per key, so "row_number()=1
+    # ordered by _batch desc" and "max_by(_batch)" pick the same row)
     return (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("restaurante_id", "sistema_origen", "id_externo", "total_bruto")
+        merged.groupBy("restaurante_id", "sistema_origen", "id_externo")
+        .agg(F.max_by("total_bruto", "_batch").alias("total_bruto"))
         .orderBy("id_externo")
     )
 
