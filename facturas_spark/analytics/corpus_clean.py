@@ -436,6 +436,7 @@ def semantic_dedup_ids(
         _emb_candidates_with_cosine(emb, "doc_id")
         .filter(F.col("_cos") >= tau)
         .select("id1", "id2")
+        .distinct()  # kernel emits one row per colliding band (round 8)
     )
     labels = _min_label_components(verified)
     return labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -766,12 +767,17 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once per (session, sf), the same trade the component
     labels and the plato base make; the funnel is then one aggregate."""
     from facturas_spark.analytics.cache import session_cached
+    from facturas_spark.analytics.dedup import _t_fan
 
+    # fan the single-row-group scan (guide §2.5) so the chain's tokenize/
+    # shingle stages run at session parallelism during the one-time build
     flags = session_cached(
         spark,
         sf_dir,
         "corpus_clean_flags",
-        lambda: per_doc_flags(with_synth_pii(_t(spark, sf_dir, "documents"))),
+        lambda: per_doc_flags(
+            with_synth_pii(_t_fan(spark, sf_dir, "documents", "doc_id"))
+        ),
     )
     # session_cached materializes via eager localCheckpoint — the chain's
     # intermediate persists are dead weight the moment it returns

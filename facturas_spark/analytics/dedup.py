@@ -1041,11 +1041,19 @@ def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
     """Shared kernel of embedding near-dup (dedup_embedding_lsh) and the
     clean job's SemDeDup stage: multi-band sign-bucket LSH candidates
     (disjoint dim slices, join key (band, key) — never all-pairs) with
-    the exact cosine of every distinct candidate pair. ``emb`` carries
+    the exact cosine of every candidate pair. ``emb`` carries
     (id_col, embedding); returns (id1, id2, _cos) with id1 < id2.
     Norms are precomputed ONCE PER VECTOR and carried through the join;
     callers apply their own threshold/rounding so the oracle-pinned
-    query and the job stage share one set of expressions."""
+    query and the job stage share one set of expressions.
+
+    A pair colliding in SEVERAL bands is emitted once per band, with the
+    identical _cos each time — callers dedup AFTER their threshold
+    filter. Round 8 (guide §2.3): the old pre-cosine ``distinct`` was a
+    full exchange of every candidate pair (3.1M rows at sf1.0) that
+    removed only the ~0.6% multi-band duplicates; deduping the filtered
+    survivors instead shuffles ~6x fewer rows for ~0.6% duplicated
+    cosine arithmetic."""
     bands = _emb_band_table(emb, id_col)
     a = bands.select("band", "key", F.col(id_col).alias("id1"))
     b = bands.select("band", "key", F.col(id_col).alias("id2"))
@@ -1053,7 +1061,6 @@ def _emb_candidates_with_cosine(emb: DataFrame, id_col: str) -> DataFrame:
         a.join(b, ["band", "key"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .distinct()
     )
     return _pair_cosine(cand, emb, emb, id_col)
 
@@ -1105,6 +1112,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb_candidates_with_cosine(emb.select("vec_id", "embedding"), "vec_id")
         .select("id1", "id2", F.round("_cos", 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
+        .distinct()  # multi-band collisions carry identical cos_sim
         .orderBy("id1", "id2")
     )
 
@@ -2296,7 +2304,7 @@ def _bigram_per_doc(
     BroadcastHashJoins without the tercile stage's eager checkpoint
     erasing the upstream plan."""
     LAMBDA = 0.7
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents", "doc_id")
     words = docs.select("doc_id", _words(F.col("text")).alias("w")).filter(
         F.size("w") >= 2
     )
