@@ -30,6 +30,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _FAN_MEMO: dict[tuple, bool] = {}
 
+# Fan-out only pays when the single-task scan carries real work: below a
+# few MB the repartition exchange costs more than it parallelizes
+# (measured at sf0.1: ~+0.2 s per query for no gain). Env-overridable so
+# a cluster profile can raise/lower it; the splits<cores guard already
+# disables fan-out entirely once inputs arrive in many splits.
+FAN_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FAN_MIN_BYTES", str(4 << 20)))
+
+
+def _fan_needed(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """True when the table's scan should be fanned out: the file is big
+    enough that its per-row map work matters (>= FAN_MIN_BYTES) AND the
+    scan yields fewer splits than the session has slots. Memoized per
+    (session, sf, table)."""
+    k = (spark.sparkContext.applicationId, sf_dir, name)
+    need = _FAN_MEMO.get(k)
+    if need is None:
+        path = f"{sf_dir}/{name}.parquet"
+        try:
+            size = os.path.getsize(path)
+            if os.path.isdir(path):
+                size = sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                )
+        except OSError:
+            size = 0
+        cores = spark.sparkContext.defaultParallelism
+        need = size >= FAN_MIN_BYTES and (
+            _t(spark, sf_dir, name).rdd.getNumPartitions() < cores
+        )
+        _FAN_MEMO[k] = need
+    return need
+
 
 def _t_fan(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """Scan with unsplittable-input fan-out (guide §2.5 "input skew: one
@@ -38,19 +71,14 @@ def _t_fan(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     — and every per-row tokenize/hash/explode expression fused into it —
     otherwise runs as one or two tasks regardless of core count (row
     groups are the parquet split granularity). Hash-repartition on the
-    table key to the session's parallelism, but ONLY when the scan
-    itself yields fewer splits than the session has slots (memoized per
-    session/table). At production scale inputs arrive in many splits,
-    the guard is false, and no extra exchange appears in the plan — the
-    fan-out is scale-adaptive, not a local[32] constant."""
+    table key to the session's parallelism, gated by :func:`_fan_needed`.
+    At production scale inputs arrive in many splits, the guard is
+    false, and no extra exchange appears in the plan — the fan-out is
+    scale-adaptive, not a local[32] constant."""
     df = _t(spark, sf_dir, name)
-    cores = spark.sparkContext.defaultParallelism
-    k = (spark.sparkContext.applicationId, sf_dir, name)
-    need = _FAN_MEMO.get(k)
-    if need is None:
-        need = df.rdd.getNumPartitions() < cores
-        _FAN_MEMO[k] = need
-    return df.repartition(cores, key) if need else df
+    if _fan_needed(spark, sf_dir, name):
+        return df.repartition(spark.sparkContext.defaultParallelism, key)
+    return df
 
 
 def _words(col):
@@ -224,7 +252,7 @@ def m4_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m14_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14 duplicate detection: same (custkey, orderdate) seen >1 time —
     the reference's CIF+numero_factura equality check shape."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t_fan(spark, sf_dir, "orders", "o_orderkey")
     return (
         orders.groupBy("o_custkey", F.to_date("o_orderdate").alias("fecha"))
         .agg(F.count("*").alias("copies"), F.min("o_orderkey").alias("first_key"))
@@ -1301,7 +1329,10 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale, top-k search probes only the query's bucket (+neighbors),
     turning the brute-force O(N) scan into O(N/256). Output: bucket
     occupancy histogram (the candidate-reduction evidence)."""
-    emb = _t_fan(spark, sf_dir, "embeddings", "vec_id")
+    # no fan-out here: the per-row work is 8 element_at sign tests — the
+    # repartition exchange of the embedding arrays costs more than it
+    # parallelizes (measured 0.29 -> 0.58 s at sf1.0 before reverting)
+    emb = _t(spark, sf_dir, "embeddings")
     bucket = None
     for i in range(8):
         bit = F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(
@@ -1332,8 +1363,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # round 8: the shared fast-path cosine (unrolled 64-dim dot/norm,
     # codegen-able; bit-identical fold order) replaces the local
-    # interpreted higher-order-function form
-    cos = _cosine
+    # interpreted higher-order-function form — but only when the
+    # embeddings table is big enough to pay for the large expression
+    # tree's analysis cost (same gate as the scan fan-out; at sf0.1 the
+    # unrolled form cost +1.2 s of fixed overhead for 2k vectors)
+    cos = (
+        _cosine
+        if _fan_needed(spark, sf_dir, "embeddings")
+        else _cosine_small
+    )
 
     assigned = (
         emb.crossJoin(F.broadcast(cents))
@@ -1384,8 +1422,15 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # round 8: the shared fast-path cosine (unrolled 64-dim dot/norm,
     # codegen-able; bit-identical fold order) replaces the local
-    # interpreted higher-order-function form
-    cos = _cosine
+    # interpreted higher-order-function form — but only when the
+    # embeddings table is big enough to pay for the large expression
+    # tree's analysis cost (same gate as the scan fan-out; at sf0.1 the
+    # unrolled form cost +1.2 s of fixed overhead for 2k vectors)
+    cos = (
+        _cosine
+        if _fan_needed(spark, sf_dir, "embeddings")
+        else _cosine_small
+    )
 
     scored = (
         emb.crossJoin(F.broadcast(cents))
@@ -2701,8 +2746,15 @@ def txt_charset_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nfc(s):
         import unicodedata
 
+        # ASCII fast path (round 8): NFC is the identity on pure-ASCII
+        # text and str.isascii() is a C-speed scan, so only the rows
+        # carrying non-ASCII suffixes pay the normalize call
         return s.map(
-            lambda x: unicodedata.normalize("NFC", x) if isinstance(x, str) else x
+            lambda x: (
+                x
+                if not isinstance(x, str) or x.isascii()
+                else unicodedata.normalize("NFC", x)
+            )
         )
 
     docs = _t_fan(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")

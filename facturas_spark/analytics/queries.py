@@ -17,6 +17,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _fan_post(
+    spark: SparkSession, sf_dir: str, table: str, df: DataFrame, key: str
+) -> DataFrame:
+    """Post-filter fan-out for the synthesized bank queries: their pushed
+    key filters leave a few thousand rows in the one task that owns the
+    pruned row group, and the per-row regex banks are the whole query
+    cost. Repartition those rows to session parallelism — but only when
+    the source table passes the same size/splits gate as dedup._t_fan
+    (a tiny table's scan is already cheap, and the exchange would cost
+    more than it parallelizes)."""
+    from facturas_spark.analytics.dedup import _fan_needed
+
+    if _fan_needed(spark, sf_dir, table):
+        return df.repartition(spark.sparkContext.defaultParallelism, key)
+    return df
+
+
 def _t_fan(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """Unsplittable-input fan-out — see dedup._t_fan (the sf parquet
     tables are single-row-group files; without this the scan stage and
@@ -309,8 +326,13 @@ def q08_price_history_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 100)
     part = _t(spark, sf_dir, "part")
     orders = _t(spark, sf_dir, "orders")
+    # round 8 (guide §3.1): broadcast the SMALL compound side — the
+    # planner was building the broadcast from the full 1.5M-row orders
+    # scan (BuildRight) while the li⨝part side is ~6k rows after the
+    # pushed l_partkey filter; the hint flips the build side so orders
+    # streams and nothing big is broadcast
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        F.broadcast(li.join(F.broadcast(part), li.l_partkey == part.p_partkey))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             "p_name",
@@ -938,8 +960,9 @@ def f11_fiscal_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover every branch: total-only, base-only, base+cuota, base+total,
     incoherent triple (overwrite fires), coherent triple (untouched).
     Per-row double algebra — identical in both engines."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000).repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = _fan_post(
+        spark, sf_dir, "orders",
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000), "o_orderkey",
     )
     s = F.col("o_orderkey") % 6
     v = F.col("o_totalprice")
@@ -1017,8 +1040,9 @@ def f8_date_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     always adds 2000 at :2893-2895; each extraction site binds its exact
     variant). Synthesized dd/mm/yy tokens from orders; the two parsed
     dates plus the agreement flag per row."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000).repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = _fan_post(
+        spark, sf_dir, "orders",
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000), "o_orderkey",
     )
     d = (F.col("o_orderkey") % 28 + 1).cast("int")
     m = (F.col("o_orderkey") % 12 + 1).cast("int")
@@ -1046,8 +1070,9 @@ def f7_amount_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     currency/space stripping. Columnar rules are defined over
     single-comma/single-dot tokens (replace-all == replace-first there);
     kernel parity per token is pinned in pytest."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000).repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = _fan_post(
+        spark, sf_dir, "orders",
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 6000), "o_orderkey",
     )
     s = F.col("o_orderkey") % 8
     d3 = (F.col("o_orderkey") % 900 + 100).cast("string")
@@ -1119,8 +1144,9 @@ def p8_p15_products_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     em-dash, double spaces, each trailing-strip rule)."""
     from facturas_spark.extraction.products import _CATEGORIES
 
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300).repartition(
-        spark.sparkContext.defaultParallelism, "p_partkey"
+    part = _fan_post(
+        spark, sf_dir, "part",
+        _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300), "p_partkey",
     )
     markers = [keys[0] for _, keys in _CATEGORIES] + ["zzz"]
     kw = F.element_at(
@@ -1173,8 +1199,9 @@ def p9_price_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each rule reads the previous rules' outputs). Scenarios synthesized
     from orders leave a different subset filled per row, with qty=0 rows
     exercising the qty>0 gates and tipo 0 exercising the falsy fallback."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000).repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = _fan_post(
+        spark, sf_dir, "orders",
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000), "o_orderkey",
     )
     s = F.col("o_orderkey") % 8
     v = F.col("o_totalprice")
@@ -1311,8 +1338,9 @@ def f12_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded. Extraction-state flags synthesized bitwise from o_orderkey
     (all 64 flag combinations appear); amounts from o_totalprice with an
     incoherence offset on half the rows."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000).repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = _fan_post(
+        spark, sf_dir, "orders",
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000), "o_orderkey",
     )
     bit = lambda n: F.expr(f"(o_orderkey div {2 ** n}) % 2 = 1")  # noqa: E731
     total = F.when(bit(3), F.col("o_totalprice")).otherwise(F.lit(0.0))
@@ -1352,8 +1380,9 @@ def p13_price_per_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-format row; every 7th row has price 0 (JS-falsy gate -> null)."""
     from facturas_spark.extraction.products import _KB
 
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400).repartition(
-        spark.sparkContext.defaultParallelism, "p_partkey"
+    part = _fan_post(
+        spark, sf_dir, "part",
+        _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400), "p_partkey",
     )
     n_kb = len(_KB)
     s = F.col("p_partkey") % (n_kb + 3)
@@ -1447,8 +1476,9 @@ def p14_multi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(tipo, formato) price fan-out. Synthesized rows cross every type
     marker with every format fragment; every 5th row carries a formato
     override ('1 kg')."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400).repartition(
-        spark.sparkContext.defaultParallelism, "p_partkey"
+    part = _fan_post(
+        spark, sf_dir, "part",
+        _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400), "p_partkey",
     )
     k = F.col("p_partkey")
     marker = F.element_at(
@@ -1625,8 +1655,9 @@ def p4_p7_line_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     number rules). Lines synthesized as code x quantity x price fragment
     crosses (125 combos cycling over part keys); defaults qty=1.0,
     price/code/unit null."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500).repartition(
-        spark.sparkContext.defaultParallelism, "p_partkey"
+    part = _fan_post(
+        spark, sf_dir, "part",
+        _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500), "p_partkey",
     )
     k = F.col("p_partkey")
     pick = lambda arr, idx: F.element_at(  # noqa: E731
@@ -1706,8 +1737,9 @@ def s2_mime_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     and extensionless names."""
     from facturas_spark.sources.io import mime_from_url
 
-    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 600).repartition(
-        spark.sparkContext.defaultParallelism, "p_partkey"
+    part = _fan_post(
+        spark, sf_dir, "part",
+        _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 600), "p_partkey",
     )
     k = F.col("p_partkey")
     name = F.element_at(
@@ -1756,8 +1788,9 @@ def f2_invoice_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate (factura/invoice/nº/num/fn) guards the whole bank. Texts
     synthesized per order key cover multi-candidate ties, the greedy
     uppercase-class capture of pattern 5, and gate misses."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000).repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = _fan_post(
+        spark, sf_dir, "orders",
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000), "o_orderkey",
     )
     k = F.col("o_orderkey")
     d2 = F.lpad((k % 100).cast("string"), 2, "0")
@@ -1835,8 +1868,9 @@ def f1_cif_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase prefixes match. Texts synthesized per key cover plain,
     dashed, labeled, NIF-dropped, lowercase, short-fallback and no-CIF
     shapes."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000).repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = _fan_post(
+        spark, sf_dir, "orders",
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000), "o_orderkey",
     )
     k = F.col("o_orderkey")
     d8 = F.lpad(((k * 37) % 100000000).cast("string"), 8, "0")
@@ -1918,8 +1952,9 @@ def f4_f6_amount_banks(spark: SparkSession, sf_dir: str) -> DataFrame:
     each bank. Texts synthesized per key cover multi-candidate pick-max,
     value-before-label captures, the IVA-rate-token-as-cuota quirk, the
     out-of-range tipo filter, and all-defaults."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000).repartition(
-        spark.sparkContext.defaultParallelism, "o_orderkey"
+    o = _fan_post(
+        spark, sf_dir, "orders",
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000), "o_orderkey",
     )
     k = F.col("o_orderkey")
     a = lambda mult: F.concat(  # noqa: E731
