@@ -1,0 +1,120 @@
+"""Round-8 optimization internals: the claims the rewrites rest on.
+
+1. The UNROLLED 64-dim dot/norm fast path is BIT-IDENTICAL to the
+   higher-order-function fold it replaced (same left-to-right addition
+   order from 0.0, same per-element double casts) — exact equality, no
+   tolerance, including the short-vector fallback branch.
+2. The scan fan-out gate (`_fan_needed` / `_t_fan`) is adaptive in both
+   directions: tiny tables are never repartitioned (the sf0.1 regression
+   class), fan-worthy tables repartition to session parallelism, and the
+   decision is memoized per (session, sf, table).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from facturas_spark.analytics import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fold_cosine_reference(a: str, b: str):
+    """The pre-round-8 HOF form, kept verbatim as the equality baseline."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (norm(F.col(a)) * norm(F.col(b)))
+
+
+def test_unrolled_cosine_bitwise_equals_fold(spark):
+    rng = random.Random(8)
+    rows = []
+    for i in range(200):
+        dim = D.EMB_FAST_DIM if i % 3 else rng.choice([3, 17, 63, 65])
+        rows.append(
+            (
+                [rng.uniform(-2, 2) for _ in range(dim)],
+                [rng.uniform(-2, 2) for _ in range(dim)],
+            )
+        )
+    df = spark.createDataFrame(rows, "e1 array<float>, e2 array<float>")
+    got = df.select(
+        D._cosine("e1", "e2").alias("fast"),
+        _fold_cosine_reference("e1", "e2").alias("fold"),
+    ).collect()
+    assert len(got) == 200
+    for r in got:
+        # exact — the unrolled expression must reproduce the fold's
+        # doubles bit-for-bit, not approximately
+        assert r["fast"] == r["fold"], (r["fast"], r["fold"])
+
+
+def test_unrolled_dot_norm_match_fold_on_exact_width(spark):
+    rng = random.Random(42)
+    rows = [
+        ([rng.uniform(-1, 1) for _ in range(D.EMB_FAST_DIM)],)
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    got = df.select(
+        D._norm2("embedding").alias("fast"),
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        ).alias("fold"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["fold"]
+
+
+def test_fan_gate_never_fans_tiny_tables(spark):
+    D._FAN_MEMO.clear()
+    # sf0.001 documents is a few hundred KB — far under FAN_MIN_BYTES
+    assert not D._fan_needed(spark, SF, "documents")
+    df = D._t_fan(spark, SF, "documents", "doc_id")
+    plain = D._t(spark, SF, "documents")
+    # no repartition node: same partitioning as the raw scan
+    assert df.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
+
+
+def test_fan_gate_fans_when_size_floor_cleared(spark, monkeypatch):
+    monkeypatch.setattr(D, "FAN_MIN_BYTES", 0)
+    D._FAN_MEMO.clear()
+    try:
+        assert D._fan_needed(spark, SF, "documents")
+        df = D._t_fan(spark, SF, "documents", "doc_id")
+        assert (
+            df.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        # memoized: second call answers from the cache (poke the memo)
+        key = (spark.sparkContext.applicationId, SF, "documents")
+        assert D._FAN_MEMO[key] is True
+    finally:
+        D._FAN_MEMO.clear()
+
+
+def test_fan_is_result_invariant(spark, monkeypatch):
+    """Forcing the fan on must not change any query's rows — only the
+    physical partitioning. Checked on the round-8 rewritten
+    txt_substring_dup (window-over-fingerprint form)."""
+    base = [tuple(r) for r in D.txt_substring_dup(spark, SF).collect()]
+    monkeypatch.setattr(D, "FAN_MIN_BYTES", 0)
+    D._FAN_MEMO.clear()
+    try:
+        fanned = [tuple(r) for r in D.txt_substring_dup(spark, SF).collect()]
+    finally:
+        D._FAN_MEMO.clear()
+    assert base == fanned
