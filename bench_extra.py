@@ -48,14 +48,18 @@ def main() -> int:
     names: list[str] = []
     it = iter(args)
     for a in it:
-        if a == "--sf":
-            sf_dir = next(it)
-        elif a == "--plans":
-            plans_dir = next(it)
-        elif a == "--reps":
-            reps = int(next(it))
-        elif a == "--suffix":
-            suffix = next(it)
+        if a in ("--sf", "--plans", "--reps", "--suffix"):
+            v = next(it, None)
+            if v is None:
+                sys.exit(f"{a} requires a value")
+            if a == "--sf":
+                sf_dir = v
+            elif a == "--plans":
+                plans_dir = v
+            elif a == "--reps":
+                reps = int(v)
+            else:
+                suffix = v
         elif a == "--top":
             names.extend(HEAVY)
         else:
@@ -66,8 +70,11 @@ def main() -> int:
     import __spark_entry__ as em
     from facturas_spark.session import get_spark
 
-    spark = get_spark("bench-extra", cores=CPUS)
     qs = em.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries (fail fast, before the session): {unknown}")
+    spark = get_spark("bench-extra", cores=CPUS)
     if plans_dir:
         os.makedirs(plans_dir, exist_ok=True)
     for name in names:

@@ -38,27 +38,97 @@ _FAN_MEMO: dict[tuple, bool] = {}
 FAN_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_FAN_MIN_BYTES", str(4 << 20)))
 
 
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a table path — file, or recursive directory walk
+    (hive-partitioned datasets nest files under partition dirs, which a
+    flat listdir would count as ~4 KB inodes)."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if not os.path.isdir(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    except OSError:
+        return 0
+
+
+def _table_big(sf_dir: str, name: str) -> bool:
+    """Size-only half of the fan gate — also the right predicate for
+    choosing per-row KERNELS (e.g. the unrolled cosine), where split
+    count is irrelevant: a big table deserves the fast kernel whether or
+    not its scan also needs a repartition."""
+    return _table_bytes(sf_dir, name) >= FAN_MIN_BYTES
+
+
+def _scan_effective_parallelism(
+    spark: SparkSession, sf_dir: str, name: str
+) -> int:
+    """How many tasks can actually produce rows from this table's scan.
+    Spark's planned split count is size/maxPartitionBytes, but parquet
+    delivers rows at ROW-GROUP granularity — a 600 MB single-row-group
+    file plans ~5 splits yet only ONE task gets rows. When the dataset
+    has fewer files than cores, cap the planned count by the total
+    row-group count (footers of a handful of files are cheap to read);
+    with >= cores files every file carries >= 1 row group, so the scan
+    is already at least cores-wide and the planned count stands."""
+    planned = _t(spark, sf_dir, name).rdd.getNumPartitions()
+    cores = spark.sparkContext.defaultParallelism
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(root, f)
+                for root, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        if len(files) >= cores:
+            return planned
+        import pyarrow.parquet as pq
+
+        row_groups = sum(
+            pq.ParquetFile(f).metadata.num_row_groups for f in files
+        )
+        return min(planned, row_groups)
+    except Exception:
+        return planned
+
+
+# Broadcasting the scored vocabulary is the 100-TB shape ONLY while the
+# vocabulary actually fits an executor: Heaps' law keeps it far smaller
+# than the corpus, but it is unbounded, and an explicit F.broadcast hint
+# bypasses autoBroadcastJoinThreshold (an oversized build would fail the
+# job instead of falling back). Gate on corpus bytes — at the default
+# 1 GiB of documents the vocab is at most a few million tokens (tens of
+# MB built); past the cap the scoring join reverts to the shuffle plan.
+VOCAB_BROADCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_VOCAB_BROADCAST_MAX", str(1 << 30))
+)
+
+
+def _maybe_broadcast_vocab(sf_dir: str, df: DataFrame) -> DataFrame:
+    if _table_bytes(sf_dir, "documents") <= VOCAB_BROADCAST_MAX_BYTES:
+        return F.broadcast(df)
+    return df
+
+
 def _fan_needed(spark: SparkSession, sf_dir: str, name: str) -> bool:
-    """True when the table's scan should be fanned out: the file is big
+    """True when the table's scan should be fanned out: the table is big
     enough that its per-row map work matters (>= FAN_MIN_BYTES) AND the
-    scan yields fewer splits than the session has slots. Memoized per
+    scan can effectively use fewer tasks than the session has slots
+    (row-group-aware — see _scan_effective_parallelism). Memoized per
     (session, sf, table)."""
     k = (spark.sparkContext.applicationId, sf_dir, name)
     need = _FAN_MEMO.get(k)
     if need is None:
-        path = f"{sf_dir}/{name}.parquet"
-        try:
-            size = os.path.getsize(path)
-            if os.path.isdir(path):
-                size = sum(
-                    os.path.getsize(os.path.join(path, f))
-                    for f in os.listdir(path)
-                )
-        except OSError:
-            size = 0
         cores = spark.sparkContext.defaultParallelism
-        need = size >= FAN_MIN_BYTES and (
-            _t(spark, sf_dir, name).rdd.getNumPartitions() < cores
+        need = _table_big(sf_dir, name) and (
+            _scan_effective_parallelism(spark, sf_dir, name) < cores
         )
         _FAN_MEMO[k] = need
     return need
@@ -1365,13 +1435,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen-able; bit-identical fold order) replaces the local
     # interpreted higher-order-function form — but only when the
     # embeddings table is big enough to pay for the large expression
-    # tree's analysis cost (same gate as the scan fan-out; at sf0.1 the
-    # unrolled form cost +1.2 s of fixed overhead for 2k vectors)
-    cos = (
-        _cosine
-        if _fan_needed(spark, sf_dir, "embeddings")
-        else _cosine_small
-    )
+    # tree's analysis cost (SIZE-only gate: a big table deserves the
+    # fast kernel whether or not its scan also needs a repartition; at
+    # sf0.1 the unrolled form cost +1.2 s of fixed overhead for 2k
+    # vectors)
+    cos = _cosine if _table_big(sf_dir, "embeddings") else _cosine_small
 
     assigned = (
         emb.crossJoin(F.broadcast(cents))
@@ -1424,13 +1492,11 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen-able; bit-identical fold order) replaces the local
     # interpreted higher-order-function form — but only when the
     # embeddings table is big enough to pay for the large expression
-    # tree's analysis cost (same gate as the scan fan-out; at sf0.1 the
-    # unrolled form cost +1.2 s of fixed overhead for 2k vectors)
-    cos = (
-        _cosine
-        if _fan_needed(spark, sf_dir, "embeddings")
-        else _cosine_small
-    )
+    # tree's analysis cost (SIZE-only gate: a big table deserves the
+    # fast kernel whether or not its scan also needs a repartition; at
+    # sf0.1 the unrolled form cost +1.2 s of fixed overhead for 2k
+    # vectors)
+    cos = _cosine if _table_big(sf_dir, "embeddings") else _cosine_small
 
     scored = (
         emb.crossJoin(F.broadcast(cents))
@@ -2477,8 +2543,10 @@ def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side) no longer shuffles+sorts for a sort-merge join on the token;
     # scoring is a map-side broadcast-hash probe and the only token-
     # stream shuffle left is the final per-doc reduce (guide §3.1).
+    # Size-gated: past VOCAB_BROADCAST_MAX_BYTES of corpus the hint
+    # drops and the join reverts to the shuffle plan.
     return (
-        toks.join(F.broadcast(scored), "token")
+        toks.join(_maybe_broadcast_vocab(sf_dir, scored), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -2581,7 +2649,7 @@ def txt_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join; the only remaining tf shuffles are its own build and the
     # doc-keyed top-3 window (guide §3.1)
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(_maybe_broadcast_vocab(sf_dir, df_), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
@@ -2909,9 +2977,9 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = vocab.crossJoin(F.broadcast(totals)).select("token", lr.alias("lr"))
     # broadcast the scored vocab (same round-8 change as
     # txt_unigram_lm_score: map-side scoring, no token-keyed shuffle of
-    # the exploded stream)
+    # the exploded stream; size-gated by the same valve)
     return (
-        toks.join(F.broadcast(scored), "token")
+        toks.join(_maybe_broadcast_vocab(sf_dir, scored), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),

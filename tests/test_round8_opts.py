@@ -106,6 +106,23 @@ def test_fan_gate_fans_when_size_floor_cleared(spark, monkeypatch):
         D._FAN_MEMO.clear()
 
 
+def test_table_bytes_recurses_partition_dirs(tmp_path):
+    """Hive-partitioned datasets nest files under partition dirs — the
+    size gate must count them, not the ~4KB dir inodes."""
+    root = tmp_path / "t.parquet" / "lang=es"
+    root.mkdir(parents=True)
+    (root / "part-0.parquet").write_bytes(b"x" * 10_000)
+    (tmp_path / "t.parquet" / "part-1.parquet").write_bytes(b"y" * 5_000)
+    assert D._table_bytes(str(tmp_path), "t") == 15_000
+
+
+def test_effective_parallelism_caps_by_row_groups(spark):
+    """A single-row-group file can plan multiple splits but only one
+    task gets rows — the gate must see effective parallelism 1."""
+    eff = D._scan_effective_parallelism(spark, SF, "documents")
+    assert eff == 1  # sf0.001 documents: one file, one row group
+
+
 def test_fan_is_result_invariant(spark, monkeypatch):
     """Forcing the fan on must not change any query's rows — only the
     physical partitioning. Checked on the round-8 rewritten
