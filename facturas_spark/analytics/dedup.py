@@ -1074,6 +1074,29 @@ def _cosine(a: str, b: str):
     return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
 
 
+def _dot_long(a: str, b: str):
+    """Integer dot product with the same unrolled fast path as
+    :func:`_dot`, in LONG arithmetic (the integer-exact neighbor
+    predicate of embed_neighbor_graph). Long addition is associative, so
+    the flat 64-term sum is bit-identical to the zip_with/aggregate fold
+    it replaces — but whole-stage-codegen'd instead of interpreted
+    per-element."""
+    terms = " + ".join(
+        f"element_at(`{a}`, {i}) * element_at(`{b}`, {i})"
+        for i in range(1, EMB_FAST_DIM + 1)
+    )
+    fold = (
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return _memo_expr(
+        ("dotl", a, b),
+        f"CASE WHEN size(`{a}`) = {EMB_FAST_DIM}"
+        f" AND size(`{b}`) = {EMB_FAST_DIM}"
+        f" THEN CAST(0 AS BIGINT) + {terms} ELSE {fold} END",
+    )
+
+
 def _cosine_small(a: str, b: str):
     """Fold-form cosine for the BOUNDED demo-oracle windows
     (dedup_semantic's vec_id<200, dedup_embedding_cosine's vec_id<80):
@@ -2034,38 +2057,52 @@ def embed_neighbor_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair join is brute-force on the bounded window (the demo
     oracle); the production path buckets by sign-LSH first
     (dedup_embedding_lsh / ann_lsh_buckets) and applies the same integer
-    predicate inside buckets."""
-    from pyspark.sql.functions import pandas_udf
+    predicate inside buckets.
 
+    Round 8: each side is ONE mapInPandas pass emitting (doc_id, e, s) —
+    the pandas_udf + fold form re-evaluated the embedder UDF twice per
+    side (filter + project each got an ArrowEvalPython node) and ran the
+    sum-of-squares as an interpreted per-element lambda; sumsq now comes
+    from the same int64 vector in numpy (integer adds — order-exact), and
+    the pair dot takes the unrolled codegen long kernel (:func:`_dot_long`,
+    bit-identical to the fold). Measured 1.6 s -> ~0.5 s noop at sf0.1."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
 
-    @pandas_udf("array<long>")
-    def counts(text):
+    def vec_batches(batches):
         import pandas as pd
 
         # the ONE signed-gram kernel (extraction/embed.py) — reusing it
         # keeps this facet pinned to the embedder it claims to pin
         from facturas_spark.extraction.embed import embed_counts
 
-        return pd.Series([embed_counts(t).tolist() for t in text])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            es = [embed_counts(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "e": [v.tolist() for v in es],
+                    "s": [int((v * v).sum()) for v in es],
+                }
+            )
 
-    sumsq = F.aggregate(
-        "e", F.lit(0).cast("long"), lambda acc, v: acc + v * v
-    )
-    vecs = docs.select(
-        "doc_id", counts("text").alias("e")
-    ).withColumn("s", sumsq).filter(F.col("s") > 0)
+    vecs = docs.select("doc_id", "text").mapInPandas(
+        vec_batches, schema="doc_id bigint, e array<long>, s bigint"
+    ).filter(F.col("s") > 0)
+    # both join sides read this 150-row frame — checkpoint materializes
+    # the (serial) embedder stage ONCE per invocation instead of once per
+    # branch (tracked: released by release_session_cache)
+    from facturas_spark.analytics.cache import tracked_checkpoint
+
+    vecs = tracked_checkpoint(vecs)
     a = vecs.select(
         F.col("doc_id").alias("id1"), F.col("e").alias("e1"), F.col("s").alias("s1")
     )
     b = vecs.select(
         F.col("doc_id").alias("id2"), F.col("e").alias("e2"), F.col("s").alias("s2")
     )
-    dot = F.aggregate(
-        F.zip_with("e1", "e2", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot_long("e1", "e2")
     return (
         a.join(b, a.id1 < b.id2)
         .withColumn("dot", dot)

@@ -79,7 +79,12 @@ def _platos_base_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facturas_spark.analytics.queries import _rev_e4
 
     orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # round 8: fanned scan keyed on the groupBy key (guide §2.5; one
+    # exchange either way, but the 600k-row agg runs session-wide during
+    # the one-time session-cache build instead of in the lone scan task)
+    from facturas_spark.analytics.dedup import _t_fan
+
+    li = _t_fan(spark, sf_dir, "lineitem", "l_orderkey")
     # net line spend summed as exact 1e-4-euro BIGINTs (order-independent;
     # see queries._rev_e4); food_cost = net*(1+k)/10 rounded half-up at 2dp
     # via integer division on the exact rational
@@ -282,6 +287,9 @@ def v_productos_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     sale count; by revenue desc. Orders dim pre-filtered before the join;
     part broadcast. Top 100 keeps the contract result bounded."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # round 8: fan A/B'd and NOT applied — the fan key can't match the
+    # (p_partkey, …) Expand distribution here, so the extra 600k-row
+    # exchange lost (ratio 1.35) despite the countDistinct
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     return (

@@ -81,6 +81,7 @@ def master_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 def supplier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """proveedores dim analogue: per supplier — order volume, revenue,
     active span, nation (broadcast dim join)."""
+    # round 8: fan A/B'd and NOT applied (no Expand; ratio 1.12 — see q07)
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")

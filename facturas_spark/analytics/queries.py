@@ -92,8 +92,12 @@ def q01_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 products (ref sql:89-101 + get-dashboard-data/index.ts:205-278):
     lineitem joined to the part dim (broadcast — dim is tiny), grouped by
-    product name: sum qty, sum revenue, distinct orders; top 10."""
-    li = _t(spark, sf_dir, "lineitem")
+    product name: sum qty, sum revenue, distinct orders; top 10.
+
+    Round 8: fanned scan (guide §2.5) — single-row-group lineitem ran the
+    broadcast join + countDistinct Expand + partial agg in ONE task;
+    measured 1.29 -> 0.81 s at sf0.1, neutral at well-split scales (gate)."""
+    li = _t_fan(spark, sf_dir, "lineitem", "l_partkey")
     part = _t(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -183,6 +187,8 @@ def q07_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Window.partitionBy()`` would exchange the (tiny) agg result to a
     single partition and trips the WindowExec scale warning; the broadcast
     keeps every exchange partial-agg-sized at any data scale."""
+    # round 8: fan A/B'd and NOT applied — the serial partial agg here is
+    # cheap (no Expand), so the 600k-row fan shuffle lost (ratio 1.23)
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     agg = (
@@ -209,6 +215,9 @@ def q07_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_purchase_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase frequency per product (ref consulta_historial_completo.sql:21-33):
     count, first/last date, day span, total qty."""
+    # round 8: fan A/B'd and NOT applied — the partial agg collapses 600k
+    # rows to 20k before the only exchange; fanning shuffled the raw rows
+    # instead and lost (ratio 1.61)
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_partkey")
@@ -257,8 +266,12 @@ def q10_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q12 ---
 def q12_multi_price_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Products seen at >1 distinct price (ref
-    consulta_historial_precios_corregida.sql:5-20): HAVING COUNT>1 + min/max/avg."""
-    li = _t(spark, sf_dir, "lineitem")
+    consulta_historial_precios_corregida.sql:5-20): HAVING COUNT>1 + min/max/avg.
+
+    Round 8: fanned scan keyed on the groupBy key (guide §2.5; q09
+    rationale) — the countDistinct Expand doubles rows, so the serial
+    scan-stage agg was the whole query cost at single-row-group scales."""
+    li = _t_fan(spark, sf_dir, "lineitem", "l_partkey")
     return (
         li.groupBy("l_partkey")
         .agg(
@@ -351,6 +364,7 @@ def q08_price_history_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- Q11 ---
 def q11_spend_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total/avg spend per product (ref consulta_historial_completo.sql:68-80)."""
+    # round 8: fan A/B'd and NOT applied (no Expand here; ratio 1.18 — see q07)
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     return (
