@@ -18,7 +18,12 @@ from pyspark.sql.window import Window
 
 
 def _fan_post(
-    spark: SparkSession, sf_dir: str, table: str, df: DataFrame, key: str
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    df: DataFrame,
+    key: str,
+    force: bool = False,
 ) -> DataFrame:
     """Post-filter fan-out for the synthesized bank queries: their pushed
     key filters leave a few thousand rows in the one task that owns the
@@ -26,10 +31,19 @@ def _fan_post(
     cost. Repartition those rows to session parallelism — but only when
     the source table passes the same size/splits gate as dedup._t_fan
     (a tiny table's scan is already cheap, and the exchange would cost
-    more than it parallelizes)."""
+    more than it parallelizes).
+
+    ``force`` overrides the byte gate for a site whose bank is heavy
+    enough to win at EVERY scale: these filters keep a constant ~5-6k
+    rows (the key bound is a literal), so both the exchange cost and the
+    bank cost are scale-independent — the right gate is the per-site
+    measured constant, not the source-table bytes. Round-8 A/B at sf0.1
+    (interleaved, min of 3): only f4_f6 clears it (0.63; its amount
+    battery is ~3x the other banks per row) — f1 1.54, f2 1.40, f8 1.74,
+    f11 1.63, f12 1.56, p9 1.30 all lose below the byte gate."""
     from facturas_spark.analytics.dedup import _fan_needed
 
-    if _fan_needed(spark, sf_dir, table):
+    if force or _fan_needed(spark, sf_dir, table):
         return df.repartition(spark.sparkContext.defaultParallelism, key)
     return df
 
@@ -1969,6 +1983,9 @@ def f4_f6_amount_banks(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _fan_post(
         spark, sf_dir, "orders",
         _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000), "o_orderkey",
+        # the three amount banks are the heaviest battery in the family —
+        # fan wins at every scale (0.63 at sf0.1; see _fan_post docstring)
+        force=True,
     )
     k = F.col("o_orderkey")
     a = lambda mult: F.concat(  # noqa: E731
