@@ -285,17 +285,22 @@ def v_productos_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-way join producto/linea/venta, per product: qty, revenue
     (SUM(cantidad * precio_unitario) == SUM(l_extendedprice)), distinct
     sale count; by revenue desc. Orders dim pre-filtered before the join;
-    part broadcast. Top 100 keeps the contract result bounded."""
+    part broadcast. Top 100 keeps the contract result bounded.
+
+    Round 8 (guide §2.2, shuffle fewer bytes): aggregate by the part PK
+    FIRST and attach the dim strings AFTER — p_partkey determines
+    (p_name, p_type), so grouping by l_partkey alone is result-identical
+    (A/B-checked row-equal at sf0.1 and the sf1 shape), while the
+    distinct-orders pre-aggregation exchange carries two longs instead
+    of two strings per row (1.81 -> 1.58 s at the sf1 shape, 1.13 ->
+    0.97 at sf0.1). The lineitem-side fan was also A/B'd and lost
+    (ratio 1.35): the skinny partial agg beats a raw-row shuffle."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    # round 8: fan A/B'd and NOT applied — the fan key can't match the
-    # (p_partkey, …) Expand distribution here, so the extra 600k-row
-    # exchange lost (ratio 1.35) despite the countDistinct
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    return (
+    agg = (
         li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name", "p_type")
+        .groupBy("l_partkey")
         .agg(
             _r(F.sum("l_quantity")).alias("cantidad_total"),
             F.sum(
@@ -303,6 +308,9 @@ def v_productos_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_c"),
             F.countDistinct("l_orderkey").alias("veces_vendido"),
         )
+    )
+    return (
+        agg.join(F.broadcast(part), agg.l_partkey == part.p_partkey)
         # exact-cent revenue sum (order-independent)
         .withColumn("importe_total", F.expr("CAST(_c AS DOUBLE) / 100.0"))
         .select(

@@ -80,23 +80,32 @@ def master_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def supplier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """proveedores dim analogue: per supplier — order volume, revenue,
-    active span, nation (broadcast dim join)."""
-    # round 8: fan A/B'd and NOT applied (no Expand; ratio 1.12 — see q07)
+    active span, nation (broadcast dim join).
+
+    Round 8 (guide §2.2): aggregate by the supplier PK FIRST, attach the
+    dim strings after — s_suppkey determines (s_name, n_name), so the
+    lineitem-side partial agg hashes one long instead of a 3-part key
+    with two strings (A/B row-identical; 1.43 -> 1.11 s at the sf1
+    shape, 0.86 -> 0.66 at sf0.1). The scan fan was also A/B'd and lost
+    (ratio 1.12): the partial agg collapses to ~|suppliers| rows before
+    the only exchange."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     from facturas_spark.analytics.queries import _rev_e4
 
-    return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .groupBy("s_suppkey", "s_name", "n_name")
+    agg = (
+        li.groupBy("l_suppkey")
         .agg(
             F.count("*").alias("num_lineas"),
             F.sum(_rev_e4()).alias("_r4"),
             F.to_date(F.min("l_shipdate")).alias("primera_venta"),
             F.to_date(F.max("l_shipdate")).alias("ultima_venta"),
         )
+    )
+    return (
+        agg.join(F.broadcast(sup), agg.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .withColumn(
             "facturacion", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0")
         )

@@ -382,15 +382,24 @@ def q14_resumen_anual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_top_proveedores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'top_proveedores': top-5 suppliers by spend."""
+    """'top_proveedores': top-5 suppliers by spend.
+
+    Round 8 (guide §2.2): pre-aggregate by the supplier PK, join the dim
+    after, re-aggregate by name — count/sum decompose EXACTLY over longs,
+    so the result is identical even if two suppliers shared a name, while
+    the 6M-row partial agg hashes one long key instead of a string
+    (A/B row-identical; 1.15 -> 1.01 s sf1 shape, 0.61 -> 0.56 sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
+    agg = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("_n"), F.sum(_rev4()).alias("_r")
+    )
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        agg.join(F.broadcast(sup), agg.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(
-            F.count("*").alias("num_facturas"),
-            F.sum(_rev4()).alias("_r4"),
+            F.sum("_n").alias("num_facturas"),
+            F.sum("_r").alias("_r4"),
         )
         .withColumn(
             "total_gastado", F.expr("CAST((2 * _r4 + 100) div 200 AS DOUBLE) / 100.0")
