@@ -2255,6 +2255,15 @@ def txt_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _words(F.col("text"))
 
     base = docs.select("doc_id", words.alias("w")).filter(F.size("w") >= K)
+    # referenced THREE times below (bench slice, train hits, n_spans) —
+    # materialize the scan+fan+tokenize once per invocation instead of
+    # per branch (round 8; 2.51 -> 2.14 s at the sf1 shape, 1.10 -> 0.85
+    # at sf0.1). At cluster scale this is the persisted tokenized-corpus
+    # staging table every LM pipeline keeps (_bpe_token_seq docstring);
+    # no shuffle is added — the checkpoint is an executor-local write.
+    from facturas_spark.analytics.cache import tracked_checkpoint
+
+    base = tracked_checkpoint(base)
     bench = (
         _kgram_hashes(base.filter(is_bench), K, family="xxhash64")
         .select("h")
@@ -2564,7 +2573,17 @@ def txt_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-headed vocab TOP slice broadcast with an OOV floor, making the
     score a map-side pass (the exact-join form here is the oracle)."""
     docs = _t_fan(spark, sf_dir, "documents", "doc_id")
-    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    # the token stream feeds BOTH the vocab build and the scoring join —
+    # materialize the scan+fan+TOKENIZE once (round 8; 1.69 -> 1.56 s at
+    # the sf1 shape, 0.88 -> 0.71 at sf0.1) and explode per branch: the
+    # checkpointed frame is the tokenized-corpus staging table (array
+    # rows, corpus-sized), never the exploded stream (token-count-sized)
+    from facturas_spark.analytics.cache import tracked_checkpoint
+
+    base = tracked_checkpoint(
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+    )
+    toks = base.select("doc_id", F.explode("w").alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
     totals = vocab.agg(
         F.sum("c").alias("t_total"), F.count("*").alias("v_size")
@@ -2989,9 +3008,16 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a 1-row broadcast, scoring is the same exploded-token join as
     txt_unigram_lm_score; at 100 TB the Zipf-headed vocab broadcasts."""
     docs = _t_fan(spark, sf_dir, "documents", "doc_id")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(_words(F.col("text"))).alias("token")
+    # the token stream feeds BOTH the vocab aggregate (broadcast branch —
+    # AQE broadcast query stages never reuse exchanges) and the scoring
+    # join: materialize the scan+fan+tokenize once per invocation, same
+    # staging-table trade as txt_unigram_lm_score (round 8)
+    from facturas_spark.analytics.cache import tracked_checkpoint
+
+    base = tracked_checkpoint(
+        docs.select("doc_id", "lang", _words(F.col("text")).alias("w"))
     )
+    toks = base.select("doc_id", "lang", F.explode("w").alias("token"))
     # round 8: ONE conditional aggregate builds both count tables — the
     # raw and target LMs share the token key, so the second tokenize+
     # explode pass and the raw⨝tgt vocab join are pure waste (guide
