@@ -17,7 +17,13 @@ from pyspark.sql.window import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # memoized scan plan (cache.table_scan): the reader call costs
+    # 60-90 ms of py4j + footer schema inference per invocation; only
+    # the immutable plan object is reused, every action still scans
+    # the parquet files (mtime-keyed, so a rewritten table re-reads)
+    from facturas_spark.analytics.cache import table_scan
+
+    return table_scan(spark, sf_dir, name)
 
 
 def master_products(spark: SparkSession, sf_dir: str) -> DataFrame:

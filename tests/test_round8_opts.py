@@ -200,3 +200,30 @@ def test_fan_post_force_is_result_invariant(spark):
         assert len(df.collect()) > 0
     finally:
         D._FAN_MEMO.pop(key, None)
+
+
+def test_table_scan_memo_and_mtime_invalidation(spark, tmp_path):
+    """cache.table_scan must return the SAME plan object for an unchanged
+    file (the 60-90 ms reader memo) and a FRESH read after the file is
+    rewritten — a stale listing would silently serve old data."""
+    import os
+    import time as _time
+
+    from facturas_spark.analytics.cache import table_scan
+
+    p = str(tmp_path)
+    spark.createDataFrame([(1,)], "x long").coalesce(1).write.parquet(
+        f"{p}/t.parquet"
+    )
+    a = table_scan(spark, p, "t")
+    b = table_scan(spark, p, "t")
+    assert a is b
+    assert [r["x"] for r in a.collect()] == [1]
+    _time.sleep(0.01)
+    spark.createDataFrame([(2,), (3,)], "x long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{p}/t.parquet")
+    os.utime(f"{p}/t.parquet")  # directory mtime moves on rewrite; be explicit
+    c = table_scan(spark, p, "t")
+    assert c is not a
+    assert sorted(r["x"] for r in c.collect()) == [2, 3]
